@@ -1,0 +1,153 @@
+"""Validation operators: the datadiff engine (SURVEY §2.5 V1-V4).
+
+The reference delegates validation to the external ``rust-pgdatadiff``
+crate (call site /root/reference/src/cdc/cdc_operator.rs:268-287):
+row-count equality plus chunked, PK-ordered content hashing with
+configurable ``chunk_size`` and resumable ``start_position``. Here the
+same semantics are pure DataFrame code over any two frames (parquet,
+JDBC, anything Spark reads):
+
+- V1 ``count_diff`` — count(*) on both sides.
+- V2 ``chunked_hash_diff`` — global PK-order rank → chunk bucket →
+  per-chunk digest on each side → full outer join on bucket → rows
+  where the digests differ. Two balanced shuffles per side; the join
+  is on tiny (one row per chunk) aggregates.
+- V3 ``row_diff`` — chunk size 1 generalized: full outer join on PK,
+  compare row digests, classify source_only/target_only/different.
+
+Digests use md5 over a canonicalized, field-separated rendering so
+they are engine-portable (the DuckDB oracle reproduces them exactly).
+Chunk digests combine row digests order-insensitively (sort, concat,
+md5) so the result is independent of partition-internal order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rust_dms_cdc_operator_spark.operators.chunk import CHUNK_COL, RANK_COL, with_chunk_id
+
+_SEP = "\x1f"
+_NULL = "\x00null"
+
+
+def canonical_str(col: Column, dtype: T.DataType) -> Column:
+    """Engine-portable string rendering for hashing: timestamps as ISO
+    with fractional seconds trimmed consistently, floats via their
+    shortest round-trip repr is NOT portable, so floats/doubles are
+    fixed to 6 decimals (documented normalization, SURVEY §7)."""
+    if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
+        s = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSS")
+    elif isinstance(dtype, T.DateType):
+        s = F.date_format(col, "yyyy-MM-dd")
+    elif isinstance(dtype, T.DoubleType | T.FloatType):
+        s = F.format_number(col.cast("double"), 6)
+    elif isinstance(dtype, T.BooleanType):
+        s = F.when(col, "true").otherwise("false")
+    else:
+        s = col.cast("string")
+    return F.coalesce(s, F.lit(_NULL))
+
+
+def row_digest(df: DataFrame, cols: Sequence[str] | None = None) -> Column:
+    """md5 of the canonicalized, \\x1f-joined column values (column
+    order = sorted names, so both diff sides agree regardless of
+    projection order)."""
+    names = sorted(cols if cols is not None else df.columns)
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    return F.md5(
+        F.concat_ws(_SEP, *[canonical_str(F.col(c), dtypes[c]) for c in names])
+    )
+
+
+def count_diff(source: DataFrame, target: DataFrame) -> DataFrame:
+    """V1: row-count equality, as a one-row DataFrame report."""
+    s = source.agg(F.count(F.lit(1)).alias("source_rows"))
+    t = target.agg(F.count(F.lit(1)).alias("target_rows"))
+    return s.crossJoin(t).withColumn(
+        "counts_match", F.col("source_rows") == F.col("target_rows")
+    )
+
+
+def _chunk_digests(
+    df: DataFrame, pk_cols: Sequence[str], chunk_size: int, side: str
+) -> DataFrame:
+    chunked = with_chunk_id(df, pk_cols, chunk_size).withColumn(
+        "_row_md5", row_digest(df)
+    )
+    # order-insensitive chunk digest: sort the row digests, concat, md5
+    return chunked.groupBy(CHUNK_COL).agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("_row_md5")))).alias(
+            f"{side}_hash"
+        ),
+        F.count(F.lit(1)).alias(f"{side}_rows"),
+    )
+
+
+def chunked_hash_diff(
+    source: DataFrame,
+    target: DataFrame,
+    pk_cols: Sequence[str],
+    chunk_size: int = 1000,
+    start_position: int = 0,
+    only_mismatches: bool = True,
+) -> DataFrame:
+    """V2: pgdatadiff-style chunked content comparison.
+
+    Returns one row per chunk: ``chunk_id, source_hash, target_hash,
+    source_rows, target_rows, chunks_match``. ``start_position`` skips
+    leading chunks (resume support, reference default 0)."""
+    s = _chunk_digests(source, pk_cols, chunk_size, "source")
+    t = _chunk_digests(target, pk_cols, chunk_size, "target")
+    joined = s.join(t, CHUNK_COL, "full_outer").withColumn(
+        "chunks_match",
+        (F.col("source_hash") == F.col("target_hash"))
+        & (F.col("source_rows") == F.col("target_rows")),
+    )
+    joined = joined.fillna({"chunks_match": False})
+    if start_position:
+        joined = joined.filter(F.col(CHUNK_COL) >= start_position // chunk_size)
+    if only_mismatches:
+        joined = joined.filter(~F.col("chunks_match"))
+    return joined.orderBy(CHUNK_COL)
+
+
+def row_diff(
+    source: DataFrame, target: DataFrame, pk_cols: Sequence[str]
+) -> DataFrame:
+    """V3: row-level drill-down. Full outer join on PK; one output row
+    per differing key with status ``source_only | target_only |
+    different``. One shuffle per side on the PK."""
+    data_cols = [c for c in source.columns if c not in pk_cols]
+    s = source.select(
+        *pk_cols, row_digest(source, data_cols).alias("_src_md5")
+    )
+    t = target.select(
+        *pk_cols, row_digest(target, data_cols).alias("_tgt_md5")
+    )
+    joined = s.join(t, list(pk_cols), "full_outer")
+    return (
+        joined.withColumn(
+            "diff_status",
+            F.when(F.col("_tgt_md5").isNull(), "source_only")
+            .when(F.col("_src_md5").isNull(), "target_only")
+            .when(F.col("_src_md5") != F.col("_tgt_md5"), "different"),
+        )
+        .filter(F.col("diff_status").isNotNull())
+        .drop("_src_md5", "_tgt_md5")
+    )
+
+
+__all__ = [
+    "CHUNK_COL",
+    "RANK_COL",
+    "canonical_str",
+    "chunked_hash_diff",
+    "count_diff",
+    "row_diff",
+    "row_digest",
+]

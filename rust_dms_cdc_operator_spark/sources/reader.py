@@ -1,0 +1,77 @@
+"""Manifest → DataFrame: one vectorized Parquet scan with replay order.
+
+Covers SURVEY §2.1 S1 (parity: /root/reference/src/dataframe/
+dataframe_ops.rs:48-87) — but scale-first: where the reference GETs
+whole objects into RAM one file at a time, we hand the *entire*
+manifest to a single ``spark.read.parquet(*paths)`` so the scan is
+one distributed job (vectorized reader, row-group splits, predicate
+pushdown), and recover per-file replay order from Spark's hidden
+``_metadata`` columns instead of looping:
+
+- ``_cdc_file_seq``: the file's rank in the manifest order (LOAD
+  first, then CDC in key order) — joined in from a broadcast map of
+  path → rank, so no shuffle of the fact data.
+- ``_cdc_row_seq``: ``_metadata.row_index``, the row's position within
+  its file — reproduces the reference's row-by-row apply order.
+- ``_cdc_is_load``: LOAD/CDC classification (S5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_dms_cdc_operator_spark.sources.manifest import ParquetFile
+
+FILE_SEQ_COL = "_cdc_file_seq"
+ROW_SEQ_COL = "_cdc_row_seq"
+IS_LOAD_COL = "_cdc_is_load"
+
+
+def _absolute(root: str, key: str) -> str:
+    if key.startswith(("s3://", "s3a://", "file:", "/")):
+        return key
+    return os.path.join(root, key)
+
+
+def read_manifest(
+    spark: SparkSession,
+    root: str,
+    files: list[ParquetFile],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read an ordered manifest as ONE scan, annotated with replay order.
+
+    The (path → rank) map is tiny (one row per file) and broadcast, so
+    sequencing adds no shuffle regardless of data size.
+    """
+    if not files:
+        raise ValueError("empty manifest")
+    paths = [_absolute(root, f.key) for f in files]
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    # normalize "file:///x" and "file:/x" to "/x" so the python-side map
+    # (plain absolute paths) joins against it; object-store URIs pass through
+    # materialize both hidden-metadata projections BEFORE any join —
+    # `_metadata` is only resolvable directly against the file relation
+    df = reader.parquet(*paths).withColumns(
+        {
+            "_file_path": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+            ROW_SEQ_COL: F.col("_metadata.row_index"),
+        }
+    )
+
+    rank_rows = [
+        (os.path.abspath(p) if not p.startswith(("s3://", "s3a://", "file:")) else p,
+         i, files[i].is_load_file())
+        for i, p in enumerate(paths)
+    ]
+    rank_df = spark.createDataFrame(
+        rank_rows, schema=f"_file_path string, {FILE_SEQ_COL} long, {IS_LOAD_COL} boolean"
+    )
+    return df.join(F.broadcast(rank_df), "_file_path", "left").drop("_file_path")
