@@ -1,0 +1,447 @@
+"""Declared query inventory: every SURVEY §2 operator as a
+(spark-query, duckdb-oracle) pair over the driver testdata.
+
+Each ``q_*`` function takes ``(spark, sf_dir)`` and returns a
+DataFrame built from the engine's operators; ``ORACLE_SQL`` holds the
+ANSI-SQL equivalent DuckDB runs on the same parquet (views
+pre-registered per table). Column names are aliased identically on
+both sides (the driver's compare sorts columns by name then hashes
+values).
+
+Cross-engine value parity rules (SURVEY §7 "hard/risky items"):
+- money aggregations use exact integer-cent arithmetic (round(x*100)
+  as bigint), summed exactly, divided back at the end — double→decimal
+  casts are NOT portable (Spark rounds the shortest repr via
+  BigDecimal.valueOf, DuckDB rounds the binary expansion);
+- computed doubles that stay double use deterministic elementwise ops
+  only (+, *, /) on identical inputs;
+- hashes are md5 over the canonical rendering of
+  ``operators.diff.canonical_str`` (printf %.6f doubles, 6-digit
+  fractional-second timestamps), reproduced verbatim in the SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_dms_cdc_operator_spark.functions.dmscols import geometry_rewrite_expr
+from rust_dms_cdc_operator_spark.operators.chunk import with_chunk_id
+from rust_dms_cdc_operator_spark.operators.compact import (
+    apply_deletes,
+    compact_cdc,
+    merge_full_load_with_cdc,
+    upsert,
+)
+from rust_dms_cdc_operator_spark.operators.diff import (
+    chunked_hash_diff,
+    count_diff,
+    row_diff,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries nanosecond timestamps, which Spark's parquet
+    reader rejects; read them as long and truncate to microseconds with
+    integer division (== DuckDB's ns→us coercion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------- S1/P1/P2
+def q_s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with projection + pushed filter (reference reads whole
+    files, dataframe_ops.rs:48-87; we push both to the scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1995-06-01") & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------- P4/P5
+def q_dms_op_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-column derivation + the reference's delete/update row filters
+    (postgres_operator_impl.rs:337-342,377) over the events stream."""
+    ev = _events(spark, sf_dir).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I"),
+    )
+    return ev.filter(F.col("op") != "I").select("event_id", "user_id", "op")
+
+
+# ---------------------------------------------------------------- W1
+def _events_as_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).withColumn(
+        "Op",
+        F.when(F.col("event_type") == "error", "D").otherwise("U"),
+    )
+
+
+def q_w1_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-writer-wins compaction (the net effect of the
+    reference's imperative replay, cdc_operator.rs:155-217)."""
+    ev = _events_as_cdc(spark, sf_dir)
+    out = compact_cdc(ev, ["user_id"], order_cols=["ts", "event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------- F2
+def q_f2_load_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-load base ∪ CDC overlay per PK (cdc_operator.rs:173-216):
+    customer is the LOAD, each customer's latest order is a CDC event
+    (status F → delete, else upsert of the balance)."""
+    load = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    cdc = (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("Op"),
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").alias("c_acctbal"),
+            F.lit(0).cast("long").alias("_seq"),
+        )
+    )
+    return merge_full_load_with_cdc(load, cdc, ["c_custkey"], order_cols=["_seq"])
+
+
+# ---------------------------------------------------------------- U1
+def q_u1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert: updates win on PK clash, unmatched rows survive,
+    new keys insert (postgres_operator_impl.rs:389-417)."""
+    c = _t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 100000
+    )
+    return upsert(c, updates.unionByName(inserts), ["c_custkey"])
+
+
+# ---------------------------------------------------------------- D1
+def q_d1_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed delete as an anti-join (postgres_operator_impl.rs:349-365)."""
+    c = _t(spark, sf_dir, "customer")
+    doomed = c.filter(F.col("c_custkey") % 10 == 0)
+    return apply_deletes(c, doomed, ["c_custkey"])
+
+
+# ---------------------------------------------------------------- V1
+def q_v1_count_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count validation between two tables (pgdatadiff's first check)."""
+    return count_diff(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------- V2
+def _mutated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+
+def q_v2_chunked_hash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgdatadiff-style chunked content diff: orders vs a deterministically
+    perturbed copy; reports only mismatching chunks."""
+    o = _t(spark, sf_dir, "orders")
+    return chunked_hash_diff(o, _mutated_orders(spark, sf_dir), ["o_orderkey"], 500)
+
+
+# ---------------------------------------------------------------- V3
+def q_v3_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level drill-down: changed rows + source-only rows."""
+    o = _t(spark, sf_dir, "orders")
+    mutated = _mutated_orders(spark, sf_dir).filter(F.col("o_orderkey") % 501 != 1)
+    return row_diff(o, mutated, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------- C1
+def q_c1_chunk_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-ordered chunking (the reference's 10k-row insert slices,
+    postgres_operator_impl.rs:246-302), summarized per chunk."""
+    c = _t(spark, sf_dir, "customer")
+    chunked = with_chunk_id(c, ["c_custkey"], 100)
+    return chunked.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("rows_in_chunk"))
+
+
+# ---------------------------------------------------------------- P9
+def q_p9_geometry_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPOLYGON sniff + ST_GeomFromText wrap; POINT/plain text pass
+    through (postgres_geometry_type.rs:34-54)."""
+    p = _t(spark, sf_dir, "part")
+    wkt = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("MULTIPOLYGON(((0 0,1 0,1 1,0 0)))"))
+        .when(F.col("p_partkey") % 5 == 1, F.lit("POINT(1 1)"))
+        .otherwise(F.col("p_name"))
+    )
+    return p.select(
+        "p_partkey", geometry_rewrite_expr(wkt).alias("sink_literal")
+    )
+
+
+# ---------------------------------------------------------------- aggregation
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped groupBy aggregate (flagship): decimal-exact sums
+    surfaced as doubles for engine parity."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    # exact integer-cent arithmetic: prices/discount/tax are 2-decimal by
+    # construction, so round(x*100) recovers exact integers and every sum
+    # is integer-exact — double→decimal casts are NOT engine-portable
+    # (Spark rounds the shortest repr, DuckDB the binary expansion)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+        (F.sum(cents).cast("double") / 100).alias("sum_base_price"),
+        (F.sum(cents * (100 - disc_c)).cast("double") / 10000).alias(
+            "sum_disc_price"
+        ),
+        (F.sum(cents * (100 - disc_c) * (100 + tax_c)).cast("double") / 1000000).alias(
+            "sum_charge"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out.withColumn(
+        "avg_qty", F.col("sum_qty") / F.col("count_order")
+    ).withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+
+
+def q_q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + top-k: revenue per BUILDING-segment customer.
+    The two dimension joins are broadcast (small sides)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    joined = li.join(
+        F.broadcast(o), li.l_orderkey == o.o_orderkey
+    ).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    agg = joined.groupBy("c_custkey", "c_name").agg(
+        (F.sum(rev).cast("double") / 10000).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
+
+
+# ------------------------------------------------------------------ oracle SQL
+# canonical-rendering SQL fragments mirroring operators.diff.canonical_str
+_TS = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+_DBL = "printf('%.6f', {c})"
+_NULLS = "chr(1)||'null'"
+
+
+def _orders_row_md5(alias: str) -> str:
+    """DuckDB rendering of operators.diff.row_digest over the orders
+    schema (columns in sorted-name order)."""
+    cols = [
+        f"coalesce(CAST({alias}.o_custkey AS VARCHAR), {_NULLS})",
+        f"coalesce({_TS.format(c=alias + '.o_orderdate')}, {_NULLS})",
+        f"coalesce(CAST({alias}.o_orderkey AS VARCHAR), {_NULLS})",
+        f"coalesce({alias}.o_orderpriority, {_NULLS})",
+        f"coalesce({alias}.o_orderstatus, {_NULLS})",
+        f"coalesce({_DBL.format(c=alias + '.o_totalprice')}, {_NULLS})",
+    ]
+    return f"md5(concat_ws(chr(31), {', '.join(cols)}))"
+
+
+_MUTATED_ORDERS = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "s1_scan_projection": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+    """,
+    "dms_op_classify": """
+        WITH t AS (
+          SELECT event_id, user_id,
+                 CASE WHEN event_type = 'error' THEN 'D'
+                      WHEN event_type = 'click' THEN 'U'
+                      ELSE 'I' END AS op
+          FROM events)
+        SELECT event_id, user_id, op FROM t WHERE op <> 'I'
+    """,
+    "w1_cdc_compact": """
+        WITH t AS (
+          SELECT *,
+                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_event_type, value AS last_value
+        FROM t WHERE rn = 1 AND op <> 'D'
+    """,
+    "f2_load_cdc_merge": """
+        WITH last_o AS (
+          SELECT o_custkey, o_totalprice, o_orderstatus,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders),
+        cdc AS (
+          SELECT o_custkey AS k,
+                 CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                 o_totalprice AS v
+          FROM last_o WHERE rn = 1)
+        SELECT coalesce(c.c_custkey, cdc.k) AS c_custkey,
+               coalesce(cdc.v, c.c_acctbal) AS c_acctbal
+        FROM customer c FULL JOIN cdc ON c.c_custkey = cdc.k
+        WHERE cdc.op IS NULL OR cdc.op <> 'D'
+    """,
+    "u1_upsert": """
+        WITH src AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 97 = 0)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM src
+    """,
+    "d1_delete": """
+        SELECT * FROM customer WHERE c_custkey % 10 <> 0
+    """,
+    "v1_count_diff": """
+        SELECT s.source_rows, t.target_rows,
+               s.source_rows = t.target_rows AS counts_match
+        FROM (SELECT count(*) AS source_rows FROM lineitem) s
+        CROSS JOIN (SELECT count(*) AS target_rows FROM orders) t
+    """,
+    "v2_chunked_hash_diff": f"""
+        WITH mutated AS ({_MUTATED_ORDERS}),
+        s AS (
+          SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500)
+                      AS BIGINT) AS chunk_id,
+                 {_orders_row_md5('orders')} AS row_md5
+          FROM orders),
+        t AS (
+          SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500)
+                      AS BIGINT) AS chunk_id,
+                 {_orders_row_md5('mutated')} AS row_md5
+          FROM mutated),
+        sh AS (SELECT chunk_id, md5(string_agg(row_md5, '' ORDER BY row_md5)) AS source_hash,
+                      count(*) AS source_rows
+               FROM s GROUP BY chunk_id),
+        th AS (SELECT chunk_id, md5(string_agg(row_md5, '' ORDER BY row_md5)) AS target_hash,
+                      count(*) AS target_rows
+               FROM t GROUP BY chunk_id)
+        SELECT coalesce(sh.chunk_id, th.chunk_id) AS chunk_id,
+               source_hash, source_rows, target_hash, target_rows,
+               coalesce(source_hash = target_hash
+                        AND source_rows = target_rows, FALSE) AS chunks_match
+        FROM sh FULL JOIN th ON sh.chunk_id = th.chunk_id
+        WHERE NOT coalesce(source_hash = target_hash
+                           AND source_rows = target_rows, FALSE)
+        ORDER BY 1
+    """,
+    "v3_row_diff": f"""
+        WITH mutated AS (
+          SELECT * FROM ({_MUTATED_ORDERS}) WHERE o_orderkey % 501 <> 1)
+        SELECT o.o_orderkey,
+               CASE WHEN m.o_orderkey IS NULL THEN 'source_only'
+                    WHEN o.o_totalprice <> m.o_totalprice THEN 'different'
+               END AS diff_status
+        FROM orders o LEFT JOIN mutated m ON o.o_orderkey = m.o_orderkey
+        WHERE m.o_orderkey IS NULL OR o.o_totalprice <> m.o_totalprice
+    """,
+    "c1_chunk_sizes": """
+        WITH ranked AS (
+          SELECT CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100)
+                      AS BIGINT) AS chunk_id
+          FROM customer)
+        SELECT chunk_id, count(*) AS rows_in_chunk FROM ranked GROUP BY chunk_id
+    """,
+    "p9_geometry_rewrite": """
+        WITH t AS (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 5 = 0
+                        THEN 'MULTIPOLYGON(((0 0,1 0,1 1,0 0)))'
+                      WHEN p_partkey % 5 = 1 THEN 'POINT(1 1)'
+                      ELSE p_name END AS wkt
+          FROM part)
+        SELECT p_partkey,
+               CASE WHEN substr(wkt, 1, 13) = 'MULTIPOLYGON('
+                      THEN 'ST_GeomFromText(''' || wkt || ''', 0)'
+                    ELSE wkt END AS sink_literal
+        FROM t
+    """,
+    "q1_pricing_summary": """
+        WITH agg AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus)
+        SELECT *, sum_qty / count_order AS avg_qty,
+               sum_base_price / count_order AS avg_price
+        FROM agg
+    """,
+    "q3_top_customers": """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s1_scan_projection": q_s1_scan_projection,
+    "dms_op_classify": q_dms_op_classify,
+    "w1_cdc_compact": q_w1_cdc_compact,
+    "f2_load_cdc_merge": q_f2_load_cdc_merge,
+    "u1_upsert": q_u1_upsert,
+    "d1_delete": q_d1_delete,
+    "v1_count_diff": q_v1_count_diff,
+    "v2_chunked_hash_diff": q_v2_chunked_hash_diff,
+    "v3_row_diff": q_v3_row_diff,
+    "c1_chunk_sizes": q_c1_chunk_sizes,
+    "p9_geometry_rewrite": q_p9_geometry_rewrite,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_customers": q_q3_top_customers,
+}

@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from rust_dms_cdc_operator_spark.operators.chunk import CHUNK_COL, RANK_COL, with_chunk_id
 
 _SEP = "\x1f"
-_NULL = "\x00null"
+_NULL = "\x01null"  # \x01 not \x00: NUL bytes are invalid in DuckDB/Postgres strings
 
 
 def canonical_str(col: Column, dtype: T.DataType) -> Column:
@@ -41,11 +41,13 @@ def canonical_str(col: Column, dtype: T.DataType) -> Column:
     shortest round-trip repr is NOT portable, so floats/doubles are
     fixed to 6 decimals (documented normalization, SURVEY §7)."""
     if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
-        s = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSS")
+        # 6-digit fractional seconds == DuckDB strftime('%Y-%m-%d %H:%M:%S.%f')
+        s = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     elif isinstance(dtype, T.DateType):
         s = F.date_format(col, "yyyy-MM-dd")
     elif isinstance(dtype, T.DoubleType | T.FloatType):
-        s = F.format_number(col.cast("double"), 6)
+        # printf-style fixed 6 decimals == DuckDB printf('%.6f', x)
+        s = F.format_string("%.6f", col.cast("double"))
     elif isinstance(dtype, T.BooleanType):
         s = F.when(col, "true").otherwise("false")
     else:

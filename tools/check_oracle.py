@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's t2 correctness gate: run every
+``queries()`` entry in Spark AND its ``oracle_sql()`` in DuckDB on the
+same parquet, compare row count + column names + order-insensitive
+canonical values. Usage:
+
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from rust_dms_cdc_operator_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.names or list(queries)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle, rows-only)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        ok = True
+        if sorted(c.lower() for c in s_cols) != sorted(d_cols):
+            ok = False
+            print(f"FAIL  {name}: columns {sorted(s_cols)} vs {sorted(d_cols)}")
+        elif len(s_rows) != len(d_rows):
+            ok = False
+            print(f"FAIL  {name}: rowcount {len(s_rows)} vs {len(d_rows)}")
+        else:
+            cs = canon_rows([c.lower() for c in s_cols], s_rows)
+            cd = canon_rows(d_cols, d_rows)
+            if cs != cd:
+                ok = False
+                bad = next(i for i in range(len(cs)) if cs[i] != cd[i])
+                print(f"FAIL  {name}: first differing row #{bad}:")
+                print(f"      spark : {cs[bad]}")
+                print(f"      duckdb: {cd[bad]}")
+        if ok:
+            print(f"OK    {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
