@@ -1,0 +1,106 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with a typed metadata struct; the
+compute pattern is Arrow-batched ``mapInPandas`` so decode libraries
+see contiguous byte buffers, never row-at-a-time Python. The decode
+itself is STUBBED (no image/audio libs in this container) behind
+``decode_stub`` / ``NotImplementedError``; the Spark-side plumbing —
+schema, batch shape, partitioning — is real and tested.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+byte arrays); keep ``spark.sql.files.maxPartitionBytes`` sized so a
+task's batch of blobs fits executor memory, and repartition by a
+content-size bucket when payloads are skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def with_media_columns(
+    df: DataFrame, id_col: str, content_col: str, kind: str = "blob"
+) -> DataFrame:
+    """Wrap a column as an opaque binary payload + typed metadata struct
+    (the storage contract for multimodal tables)."""
+    payload = F.encode(F.col(content_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Placeholder for a real media decode (PIL/librosa/ffmpeg are not
+    in this container). Deterministic fake: byte length + first byte."""
+    if payload is None:
+        return {"n_bytes": 0, "first_byte": -1}
+    return {"n_bytes": len(payload), "first_byte": payload[0] if payload else -1}
+
+
+def real_decode(payload: bytes):  # pragma: no cover - documented stub
+    """The integration point for an actual decoder."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; wire PIL/librosa/av here and keep the mapInPandas "
+        "batch contract of extract_media_features()"
+    )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` so each task sees whole Arrow record batches (the
+    decode loop is per-batch vectorizable); output schema is fixed so
+    Catalyst plans around it.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("first_byte", T.IntegerType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(decode_stub)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["meta"].map(
+                        lambda m: m["kind"] if m is not None else None
+                    ),
+                    "n_bytes": feats.map(lambda f: f["n_bytes"]).astype("int64"),
+                    "first_byte": feats.map(lambda f: f["first_byte"]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, out_schema)

@@ -430,6 +430,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+from rust_dms_cdc_operator_spark.inventory_llm import (  # noqa: E402
+    ORACLE_SQL_LLM,
+    QUERIES_LLM,
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_scan_projection": q_s1_scan_projection,
     "dms_op_classify": q_dms_op_classify,
@@ -445,3 +450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_customers": q_q3_top_customers,
 }
+
+QUERIES.update(QUERIES_LLM)
+ORACLE_SQL.update(ORACLE_SQL_LLM)
+# the streaming replay must reproduce the batch W1 compaction exactly
+ORACLE_SQL["stream_cdc_apply"] = ORACLE_SQL["w1_cdc_compact"]

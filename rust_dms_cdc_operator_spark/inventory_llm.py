@@ -1,0 +1,397 @@
+"""Query inventory, part 2: training-data pipeline operators
+(dedup / similarity / text analysis / multimodal / streaming CDC).
+
+Same contract as ``inventory.py``: each query has a DuckDB oracle
+whose SQL reproduces the Spark semantics bit-for-bit. Hash-bearing
+queries share the md5 construction between engines; ratio-bearing
+queries emit exact integer numerators/denominators where a rounded
+float could round differently across engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_dms_cdc_operator_spark.functions.multimodal import (
+    extract_media_features,
+    with_media_columns,
+)
+from rust_dms_cdc_operator_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_expr,
+    langid_expr,
+    punct_count,
+    quality_score_expr,
+    regex_token_count,
+    stopword_hits,
+    whitespace_token_count,
+)
+from rust_dms_cdc_operator_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from rust_dms_cdc_operator_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The constant query vector: embedding of vec_id=0 (one driver-side
+    row — a constant of the query, not data movement)."""
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# ------------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="source", n=3, max_id_gap=5
+    )
+
+
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        e, "vec_id", "embedding", block_col="label", max_id_gap=25
+    )
+
+
+# --------------------------------------------------------------- similarity
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return cosine_topk(e, _query_vec(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
+def q_sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return lsh_bucket_topk(
+        e, _query_vec(spark, sf_dir), "vec_id", "embedding", k=10, bits=8
+    )
+
+
+# --------------------------------------------------------------------- text
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_expr(F.col("text")).alias("pred_lang"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    sw = (
+        stopword_hits(t, "en") + stopword_hits(t, "de") + stopword_hits(t, "fr")
+    )
+    return d.select(
+        "doc_id",
+        whitespace_token_count(t).alias("n_tokens"),
+        punct_count(t).alias("punct_chars"),
+        sw.alias("stop_hits"),
+        quality_score_expr(t).alias("quality"),
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("re_tokens"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------------- multimodal
+def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = with_media_columns(d, "doc_id", "text", kind="blob")
+    return extract_media_features(media)
+
+
+# ---------------------------------------------------------------- streaming
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming replay of the events table (availableNow →
+    foreachBatch merge); result must equal the batch W1 compaction, so
+    it shares the w1 oracle."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import stream_replay
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def add_op(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "Op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+        )
+
+    # the file-stream source wants a directory; expose the single table
+    # file through a symlinked staging dir
+    src_dir = tempfile.mkdtemp(prefix="cdc_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    state_dir = tempfile.mkdtemp(prefix="cdc_stream_state_")
+    final = stream_replay(
+        spark,
+        src_dir,
+        schema,
+        pk_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state_dir=state_dir,
+        transform=add_op,
+    )
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# =================================================================== oracles
+_HEX = "0123456789abcdef"
+
+
+def _sql_hex4(col: str) -> str:
+    """DuckDB rendering of dedup._hex4_to_int(md5(col))."""
+    terms = []
+    for i in range(4):
+        terms.append(
+            f"(instr('{_HEX}', substr(md5({col}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_minhash_sig(i: int) -> str:
+    return (
+        "list_aggregate(list_transform(string_split(text, ' '), "
+        f"w -> md5('{i}|' || w)), 'min')"
+    )
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 2) -> str:
+    rows = num_hashes // bands
+    sigs = ", ".join(f"{_sql_minhash_sig(i)} AS mh_{i}" for i in range(num_hashes))
+    band_exprs = [
+        "md5(" + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    ]
+    b0, b1 = band_exprs
+    return f"""
+        WITH sigs AS (SELECT doc_id, {sigs} FROM documents),
+        banded AS (SELECT doc_id, {b0} AS b0, {b1} AS b1 FROM sigs)
+        SELECT DISTINCT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT a.doc_id, b.doc_id
+          FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+    """
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h16 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        h AS (SELECT doc_id, {_sql_hex4('word')} AS h16 FROM w),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+_SHINGLES = """
+        words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents),
+        sh AS (SELECT doc_id, source,
+                      CASE WHEN len(w) < 3
+                           THEN list_distinct([array_to_string(w, ' ')])
+                           ELSE list_distinct(list_transform(range(len(w) - 2),
+                                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+                      END AS s
+               FROM words)
+"""
+
+
+def _stop_hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
+
+
+def _sql_sign_bucket(vec: str, bits: int = 8) -> str:
+    """DuckDB rendering of similarity.sign_bucket (bit i weighs
+    2^(bits-1-i); verified to round-trip identical values)."""
+    terms = [
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# round-6 cosine parity between the Spark fold and DuckDB's
+# list_cosine_similarity holds exactly (0/500 mismatches at sf0.01);
+# both compute double dot/norms over the same float32 inputs
+_COS_Q0 = (
+    "round(list_cosine_similarity(embedding::DOUBLE[], "
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)"
+)
+
+ORACLE_SQL_LLM: dict[str, str] = {
+    "sim_cosine_topk": f"""
+        SELECT vec_id, {_COS_Q0} AS cos_sim
+        FROM embeddings WHERE vec_id > 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "sim_lsh_bucket_topk": f"""
+        SELECT vec_id, {_COS_Q0} AS cos_sim
+        FROM embeddings
+        WHERE vec_id > 0
+          AND {_sql_sign_bucket('embedding')} =
+              (SELECT {_sql_sign_bucket('embedding')} FROM embeddings
+               WHERE vec_id = 0)
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "dedup_embedding_neardup": """
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 6) AS cos_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+           AND b.vec_id - a.vec_id <= 25)
+        WHERE cos_sim >= 0.0
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_md5, min(doc_id) AS kept_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS inter_size,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_size
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+         AND b.doc_id - a.doc_id <= 5
+    """,
+    "text_langid": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {_stop_hits_sql('en')} AS en,
+                 {_stop_hits_sql('de')} AS de,
+                 {_stop_hits_sql('fr')} AS fr
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN en + de + fr = 0 THEN 'und'
+                    WHEN en >= de AND en >= fr THEN 'en'
+                    WHEN de >= fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    """,
+    "text_quality": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                   AS punct_chars,
+                 {_stop_hits_sql('en')} + {_stop_hits_sql('de')}
+                   + {_stop_hits_sql('fr')} AS stop_hits,
+                 length(text) AS n_char
+          FROM documents)
+        SELECT doc_id, n_tokens, punct_chars, stop_hits,
+               least(greatest(
+                 (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+                 + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+                 - (CAST(punct_chars AS DOUBLE) / CAST(n_char AS DOUBLE)),
+                 0.0), 1.0) AS quality
+        FROM s
+    """,
+    "text_tokens": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
+        FROM documents
+    """,
+    "text_fingerprint": """
+        WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(ws) < 4 THEN md5(text)
+                    ELSE list_aggregate(list_transform(range(len(ws) - 3),
+                         i -> md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                                  || ' ' || ws[i+4])), 'min')
+               END AS fingerprint
+        FROM w
+    """,
+    "mm_binary_stats": """
+        SELECT doc_id AS media_id, 'blob' AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS first_byte
+        FROM documents
+    """,
+}
+
+QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_neardup": q_dedup_embedding_neardup,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_bucket_topk": q_sim_lsh_bucket_topk,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "mm_binary_stats": q_mm_binary_stats,
+    "stream_cdc_apply": q_stream_cdc_apply,
+}

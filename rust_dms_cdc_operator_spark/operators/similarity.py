@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how ANN is deployed at scale:
+
+- ``cosine_topk`` — brute-force exact top-k against a query vector.
+  The dot product is ``F.zip_with`` + ``F.aggregate`` (JVM fold, no
+  UDF, deterministic left-to-right order — reproducible bit-for-bit).
+  Linear scan; the right baseline and the recall oracle for ANN.
+- ``lsh_bucket_topk`` — sign-bit LSH: bucket every vector by the sign
+  pattern of its leading components (or any fixed projection set),
+  then scan only the query's bucket. At 100 TB the bucket column is
+  a partition/cluster key, so a probe touches one partition instead
+  of the fleet; recall is tuned by the number of sign bits.
+
+``embedding_neardup_pairs`` is the dedup flavor: bounded candidate
+pairs with exact cosine, for near-duplicate detection on embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order on every engine)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine to a constant query vector.
+    Deterministic ranking: (cosine desc, id asc); cosine optionally
+    rounded so downstream comparisons are engine-portable."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine(F.col(vec_col), q)
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = df.select(F.col(id_col), cos.alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first ``bits`` components
+    (a fixed axis-aligned projection — deterministic everywhere)."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out * 2 + F.when(F.element_at(vec, i + 1) >= 0, 1).otherwise(0)
+    return out.cast("long")
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ANN: restrict the exact scan to the query's sign-bit bucket.
+    One partition-prunable filter instead of a full scan."""
+    qbucket = 0
+    for i in range(bits):
+        qbucket = qbucket * 2 + (1 if query_vec[i] >= 0 else 0)
+    candidates = df.filter(sign_bucket(F.col(vec_col), bits) == qbucket)
+    return cosine_topk(candidates, query_vec, id_col, vec_col, k, round_digits)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    max_id_gap: int = 25,
+    min_cosine: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by exact cosine over bounded candidates
+    (same block + id gap bound — swap in LSH buckets as the block at
+    scale). Returns (id_a, id_b, cos_sim)."""
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    s = df.select(*cols)
+    join_keys = [block_col] if block_col else []
+    a = s.select(
+        *(F.col(c).alias(c) for c in join_keys),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = s.select(
+        *(F.col(c).alias(c) for c in join_keys),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    pairs = (a.join(b, join_keys) if join_keys else a.crossJoin(b)).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("id_b") - F.col("id_a") <= max_id_gap)
+    )
+    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits)
+    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= min_cosine
+    )

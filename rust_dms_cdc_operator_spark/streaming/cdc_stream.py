@@ -1,0 +1,102 @@
+"""Structured-Streaming CDC apply.
+
+The reference processes CDC files as batch (SURVEY §2.7: no streaming
+operators anywhere); this module is the engine's streaming-native
+equivalent: ``readStream`` over the DMS drop directory, per-microbatch
+window compaction, and a ``foreachBatch`` MERGE into the target state
+table — the incremental form of ``operators.compact``.
+
+Exactly-once: foreachBatch + an atomically-swapped parquet state dir
+locally; on a cluster the same function body targets Delta
+``MERGE INTO`` or a JDBC staging upsert.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rust_dms_cdc_operator_spark.functions.dmscols import DMS_OP_COL
+from rust_dms_cdc_operator_spark.operators.compact import compact_cdc
+
+
+def apply_cdc_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    pk_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = DMS_OP_COL,
+) -> DataFrame:
+    """Merge one microbatch of CDC events into the current state:
+    compact the batch (last writer wins within the batch), then apply
+    upserts + deletes against the state. Deletes must be applied from
+    the batch's *last* event per key, so the compaction keeps D rows
+    until after the merge."""
+    # order cols stay in the state when they are real data columns;
+    # synthetic ones (the _cdc_* bookkeeping) are dropped
+    data_cols = [
+        c
+        for c in batch.columns
+        if c != op_col and not (c in order_cols and c.startswith("_cdc"))
+    ]
+    last = compact_cdc(batch, pk_cols, order_cols=order_cols, op_col="__keep_d__")
+    # op_col passed as a non-existent name ⇒ D rows survive compaction;
+    # they must: a key whose LAST batch event is D has to delete state
+    upserts = last.filter(F.col(op_col) != "D").select(*data_cols)
+    if state is None:
+        return upserts
+    survivors = state.join(last.select(*pk_cols), list(pk_cols), "left_anti")
+    return survivors.unionByName(upserts)
+
+
+def stream_replay(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    pk_cols: Sequence[str],
+    order_cols: Sequence[str],
+    state_dir: str,
+    op_col: str = DMS_OP_COL,
+    max_files_per_trigger: int | None = None,
+    transform=None,
+) -> DataFrame:
+    """Replay a directory of CDC parquet as a stream into a parquet
+    state table; returns the final state DataFrame.
+
+    Uses ``availableNow`` so the call is synchronous (drains whatever
+    exists, then stops) — the 24/7 deployment drops the trigger and
+    keeps the query running.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    versions = {"n": 0}
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        cur = os.path.join(state_dir, f"v{versions['n']}")
+        nxt = os.path.join(state_dir, f"v{versions['n'] + 1}")
+        state = batch.sparkSession.read.parquet(cur) if os.path.exists(cur) else None
+        merged = apply_cdc_batch(state, batch, pk_cols, order_cols, op_col)
+        merged.write.mode("overwrite").parquet(nxt)
+        versions["n"] += 1
+        if state is not None:
+            shutil.rmtree(cur, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = os.path.join(state_dir, f"v{versions['n']}")
+    return spark.read.parquet(final)

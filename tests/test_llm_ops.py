@@ -1,0 +1,168 @@
+"""Unit tests for the training-data operator pack, on tiny hand-built
+frames with hand-computable expected results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_dms_cdc_operator_spark.functions.multimodal import (
+    extract_media_features,
+    with_media_columns,
+)
+from rust_dms_cdc_operator_spark.functions.text import (
+    fingerprint_expr,
+    langid_expr,
+    quality_score_expr,
+    regex_token_count,
+)
+from rust_dms_cdc_operator_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from rust_dms_cdc_operator_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "the cat sat on the mat", "a"),  # exact dup of 1
+        (3, "the cat sat on the red mat", "a"),  # near dup
+        (4, "der hund und die katze und das haus", "b"),
+        (5, "completely unrelated words here banana", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.content_md5: r for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert len(out) == 4  # 5 docs, one exact pair
+    dup_group = [r for r in out.values() if r.n_copies == 2]
+    assert len(dup_group) == 1
+    assert dup_group[0].kept_doc_id == 1
+
+
+def test_minhash_lsh_finds_exact_dup_not_unrelated(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 8, 2).collect()
+    }
+    assert (1, 2) in pairs  # identical text ⇒ identical signature
+    assert (4, 5) not in pairs  # disjoint vocabularies
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identity_and_locality(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash16(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]  # identical docs, identical signature
+    assert 0 <= sh[1] < 2**16
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup closer in hamming space than unrelated doc
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[5])
+
+
+def test_ngram_jaccard(spark, docs):
+    out = {
+        (r.id_a, r.id_b): (r.inter_size, r.union_size)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", "src", n=3, max_id_gap=5
+        ).collect()
+    }
+    # identical docs: identical shingle sets
+    inter, union = out[(1, 2)]
+    assert inter == union
+    # near dup: 'the cat sat', 'cat sat on' shared; jaccard strictly between 0 and 1
+    inter, union = out[(1, 3)]
+    assert 0 < inter < union
+    # unrelated same-block pair: zero intersection
+    inter, union = out[(4, 5)]
+    assert inter == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
+    assert got[0].cos_sim == 1.0
+    assert got[2].cos_sim == 0.0
+
+
+def test_lsh_bucket_topk_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    exact = {r.vec_id for r in cosine_topk(df, q, k=100).collect()}
+    approx = lsh_bucket_topk(df, q, k=10, bits=4).collect()
+    assert {r.vec_id for r in approx} <= exact
+    # the query vector itself lands in its own bucket with cos 1.0
+    assert approx[0].vec_id == 1
+    assert approx[0].cos_sim == 1.0
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),  # exact dup of 1, same block
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),  # dup of 1 but different block: not a candidate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.id_a, r.id_b): r.cos_sim for r in embedding_neardup_pairs(
+        df, "vec_id", "embedding", block_col="label", min_cosine=0.99
+    ).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_langid_and_quality(spark, docs):
+    out = {r.doc_id: r.pred for r in docs.select(
+        "doc_id", langid_expr(F.col("text")).alias("pred")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+    q = {r.doc_id: r.q for r in docs.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("q")
+    ).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[1] > q[5]  # stopword-rich text scores higher
+
+
+def test_token_count_and_fingerprint(spark, docs):
+    t = {r.doc_id: r.n for r in docs.select(
+        "doc_id", regex_token_count(F.col("text")).alias("n")
+    ).collect()}
+    assert t[1] == 6
+    fp = {r.doc_id: r.f for r in docs.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("f")
+    ).collect()}
+    assert fp[1] == fp[2]  # identical docs
+    assert len(fp[1]) == 32  # md5 hex
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = with_media_columns(docs, "doc_id", "text", kind="text-blob")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert feats[1].n_bytes == len("the cat sat on the mat")
+    assert feats[1].first_byte == ord("t")
+    assert feats[1].kind == "text-blob"
