@@ -194,40 +194,49 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEX = "0123456789abcdef"
 
 
-def _sql_hex4(col: str) -> str:
-    """DuckDB rendering of dedup._hex4_to_int(md5(col))."""
-    terms = []
-    for i in range(4):
-        terms.append(
-            f"(instr('{_HEX}', substr(md5({col}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        )
+def _sql_hex_to_long(col: str, chars: int) -> str:
+    """DuckDB rendering of dedup.hex_to_long."""
+    terms = [
+        f"(instr('{_HEX}', substr({col}, {i + 1}, 1)) - 1) * {16 ** (chars - 1 - i)}"
+        for i in range(chars)
+    ]
     return "(" + " + ".join(terms) + ")"
 
 
-def _sql_minhash_sig(i: int) -> str:
-    return (
-        "list_aggregate(list_transform(string_split(text, ' '), "
-        f"w -> md5('{i}|' || w)), 'min')"
+def _minhash_sql(num_hashes: int = 16, bands: int = 2) -> str:
+    """Mirror of dedup.minhash_lsh_pairs: one md5 per distinct word →
+    32-bit base hash → linear mixes (A_i*h+B_i) mod 2^31-1."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        _mix_a,
+        _mix_b,
     )
 
-
-def _minhash_sql(num_hashes: int = 16, bands: int = 2) -> str:
     rows = num_hashes // bands
-    sigs = ", ".join(f"{_sql_minhash_sig(i)} AS mh_{i}" for i in range(num_hashes))
+    sigs = ", ".join(
+        "list_aggregate(list_transform(wh, "
+        f"h -> ({_mix_a(i)} * h + {_mix_b(i)}) % {_MERSENNE}), 'min') AS mh_{i}"
+        for i in range(num_hashes)
+    )
     band_exprs = [
-        "md5(" + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)) + ")"
+        " || '|' || ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows))
         for b in range(bands)
     ]
-    b0, b1 = band_exprs
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bk, {i} AS band_idx FROM sigs"
+        for i, b in enumerate(band_exprs)
+    )
     return f"""
-        WITH sigs AS (SELECT doc_id, {sigs} FROM documents),
-        banded AS (SELECT doc_id, {b0} AS b0, {b1} AS b1 FROM sigs)
-        SELECT DISTINCT id_a, id_b FROM (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-          UNION ALL
-          SELECT a.doc_id, b.doc_id
-          FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+        WITH wh AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')),
+                                w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
+          FROM documents),
+        sigs AS (SELECT doc_id, {sigs} FROM wh),
+        banded AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc_id < b.doc_id
     """
 
 
@@ -240,7 +249,7 @@ def _simhash_sql() -> str:
     return f"""
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                    FROM documents),
-        h AS (SELECT doc_id, {_sql_hex4('word')} AS h16 FROM w),
+        h AS (SELECT doc_id, {_sql_hex_to_long('md5(word)', 4)} AS h16 FROM w),
         v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
     """

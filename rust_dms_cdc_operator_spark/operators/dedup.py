@@ -44,19 +44,49 @@ def exact_dedup(
     )
 
 
+# MinHash linear-mix family h_i(x) = (A_i * base(x) + B_i) mod MERSENNE:
+# ONE md5 per distinct word, then num_hashes integer mixes — 16x less
+# hashing than md5-per-(word, i), all in whole-stage codegen
+_MERSENNE = (1 << 31) - 1
+
+
+def _mix_a(i: int) -> int:
+    return 2 * (40000 + i) + 1  # odd multipliers, fixed and portable
+
+
+def _mix_b(i: int) -> int:
+    return 7 + i
+
+
+def hex_to_long(hexcol: Column, chars: int) -> Column:
+    """Leading ``chars`` hex chars → integer via digit positions
+    (portable: no engine-specific hex parsing)."""
+    digits = "0123456789abcdef"
+    out = F.lit(0).cast("long")
+    for i in range(chars):
+        out = out * 16 + (F.instr(F.lit(digits), F.substring(hexcol, i + 1, 1)) - 1)
+    return out
+
+
 def minhash_signature_cols(
     text: Column, num_hashes: int
-) -> list[Column]:
-    """MinHash over the word set: sig_i = min over words of
-    md5(i || '|' || word). Array ops only — no explode, no shuffle."""
-    return [
+) -> tuple[Column, list[Column]]:
+    """Word-hash array (compute once) + MinHash signature columns over
+    it: sig_i = min over distinct words of (A_i*h32(w) + B_i) mod M.
+    Array ops only — no explode, no shuffle in the signature stage."""
+    word_hashes = F.transform(
+        F.array_distinct(_words(text)), lambda w: hex_to_long(F.md5(w), 8)
+    )
+    sig = [
         F.array_min(
             F.transform(
-                _words(text), lambda w: F.md5(F.concat_ws("|", F.lit(str(i)), w))
+                F.col("_wh"),
+                lambda h: (F.lit(_mix_a(i)) * h + F.lit(_mix_b(i))) % _MERSENNE,
             )
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    return word_hashes.alias("_wh"), sig
 
 
 def minhash_lsh_pairs(
@@ -69,45 +99,40 @@ def minhash_lsh_pairs(
     """Banded-LSH candidate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
-    At scale: signature stage is embarrassingly parallel; each band is
-    one hash-shuffle on a 32-char key; the within-bucket self-join is
-    quadratic only inside a bucket (band width tunes that).
+    At scale: signature stage is embarrassingly parallel; bands are
+    exploded so ONE self-join (hash-shuffled on the band key) covers
+    all bands; the per-doc band table is checkpointed so the signature
+    lineage is computed exactly once, not once per join side. The
+    within-bucket self-join is quadratic only inside a bucket (band
+    width tunes that); AQE splits skewed buckets.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col), *minhash_signature_cols(F.col(text_col), num_hashes)
-    )
-    band_cols = [
-        F.md5(
+    wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
+    sigs = df.select(F.col(id_col), wh).select(F.col(id_col), *sig_cols)
+    band_keys = F.array(
+        *[
             F.concat_ws(
                 "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
             )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_cols)
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "bk")
+    ).localCheckpoint(eager=False)
 
-    pair_frames = []
-    for b in range(bands):
-        left = banded.select(F.col(f"band_{b}").alias("bk"), F.col(id_col).alias("id_a"))
-        right = banded.select(F.col(f"band_{b}").alias("bk"), F.col(id_col).alias("id_b"))
-        pair_frames.append(
-            left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        )
-    out = pair_frames[0]
-    for pf in pair_frames[1:]:
-        out = out.unionByName(pf)
-    return out.distinct()
-
-
-def _hex4_to_int(hexcol: Column) -> Column:
-    """First 4 hex chars → 16-bit int, via digit positions (portable —
-    avoids engine-specific hex parsing)."""
-    digits = "0123456789abcdef"
-    out = F.lit(0)
-    for i in range(4):
-        out = out * 16 + (F.instr(F.lit(digits), F.substring(hexcol, i + 1, 1)) - 1)
-    return out
+    a = banded.select(
+        F.col("band_idx"), F.col("bk"), F.col(id_col).alias("id_a")
+    )
+    b = banded.select(
+        F.col("band_idx"), F.col("bk"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -116,7 +141,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     one groupBy(doc) shuffle; 16 conditional sums in a single agg."""
     words = df.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
-    ).withColumn("h16", _hex4_to_int(F.md5(F.col("w"))))
+    ).withColumn("h16", hex_to_long(F.md5(F.col("w")), 4))
     votes = words.groupBy(id_col).agg(
         *[
             F.sum(
@@ -161,9 +186,11 @@ def ngram_jaccard_pairs(
     At scale, ``block_col`` is the blocking key (e.g. an LSH band from
     ``minhash_lsh_pairs``); the join shuffles on it once.
     """
+    # checkpoint: the shingle arrays are consumed by both join sides —
+    # compute them once, not once per side
     s = df.select(
         F.col(id_col), F.col(block_col), shingle_set(F.col(text_col), n).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     a = s.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
     )

@@ -78,9 +78,10 @@ def count_diff(source: DataFrame, target: DataFrame) -> DataFrame:
 def _chunk_digests(
     df: DataFrame, pk_cols: Sequence[str], chunk_size: int, side: str
 ) -> DataFrame:
-    chunked = with_chunk_id(df, pk_cols, chunk_size).withColumn(
-        "_row_md5", row_digest(df)
-    )
+    # digest FIRST, in the scan stage: only (pk, 32-char md5) flows
+    # through the two ranking shuffles instead of every column
+    pre = df.select(*pk_cols, row_digest(df).alias("_row_md5"))
+    chunked = with_chunk_id(pre, pk_cols, chunk_size)
     # order-insensitive chunk digest: sort the row digests, concat, md5
     return chunked.groupBy(CHUNK_COL).agg(
         F.md5(F.concat_ws("", F.array_sort(F.collect_list("_row_md5")))).alias(
