@@ -1,0 +1,84 @@
+"""Validate orchestration (SURVEY §3.2): datadiff between source and
+target, table by table — the engine-native replacement for the
+``rust-pgdatadiff`` delegation (cdc_operator.rs:255-293).
+
+Each table gets V1 (count) + V2 (chunked hash, resumable) and an
+optional V3 drill-down; sources are anything Spark reads (parquet
+state dirs here, ``spark.read.jdbc`` frames against live databases).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_dms_cdc_operator_spark.operators.diff import (
+    chunked_hash_diff,
+    count_diff,
+    row_diff,
+)
+from rust_dms_cdc_operator_spark.payloads import CdcValidatePayload
+
+
+@dataclass
+class TableReport:
+    table: str
+    source_rows: int
+    target_rows: int
+    counts_match: bool
+    mismatched_chunks: list[int] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return self.counts_match and not self.mismatched_chunks
+
+
+def validate_table(
+    source: DataFrame,
+    target: DataFrame,
+    table: str,
+    pk_cols: list[str],
+    chunk_size: int = 1000,
+    start_position: int = 0,
+) -> TableReport:
+    counts = count_diff(source, target).first()
+    chunks = chunked_hash_diff(
+        source, target, pk_cols, chunk_size, start_position
+    ).select("chunk_id").collect()
+    return TableReport(
+        table=table,
+        source_rows=counts["source_rows"],
+        target_rows=counts["target_rows"],
+        counts_match=bool(counts["counts_match"]),
+        mismatched_chunks=[r["chunk_id"] for r in chunks],
+    )
+
+
+def validate(
+    spark: SparkSession,
+    payload: CdcValidatePayload,
+    tables: dict[str, tuple[DataFrame, DataFrame, list[str]]],
+) -> dict[str, TableReport]:
+    """Validate every table: name → (source_df, target_df, pk_cols).
+    Table include/exclude follows the payload (V4)."""
+    names = sorted(tables)
+    if payload.included_tables:
+        names = [t for t in names if t in set(payload.included_tables)]
+    elif payload.excluded_tables:
+        names = [t for t in names if t not in set(payload.excluded_tables)]
+    out: dict[str, TableReport] = {}
+    for name in names:
+        src, tgt, pk = tables[name]
+        out[name] = validate_table(
+            src, tgt, name, pk, payload.chunk_size, payload.start_position
+        )
+    return out
+
+
+def drill_down(
+    source: DataFrame, target: DataFrame, pk_cols: list[str]
+) -> DataFrame:
+    """V3: per-row diff for the tables a report flagged."""
+    return row_diff(source, target, pk_cols).orderBy(*pk_cols)

@@ -1,0 +1,129 @@
+"""End-to-end orchestration: snapshot a multi-table DMS drop to a
+parquet target, then validate — through the library API and the CLI."""
+
+from __future__ import annotations
+
+import json
+
+from rust_dms_cdc_operator_spark.cli import main as cli_main
+from rust_dms_cdc_operator_spark.payloads import (
+    CdcSnapshotPayload,
+    CdcValidatePayload,
+    LoadMode,
+)
+from rust_dms_cdc_operator_spark.snapshot import ParquetTarget, snapshot
+from rust_dms_cdc_operator_spark.validate import drill_down, validate
+from tests import cdc_fixtures
+
+
+def _drop(root: str) -> dict:
+    return {
+        "customers_cdc": cdc_fixtures.write_customers_cdc(root),
+        "orders_cdc": cdc_fixtures.write_orders_cdc(root),
+        "geo_cdc": cdc_fixtures.write_geo_cdc(root),
+    }
+
+
+def test_snapshot_all_tables(spark, tmp_path):
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    payload = CdcSnapshotPayload(
+        bucket_name="local",
+        schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB,
+        mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    pks = {t: f["pk"] for t, f in fx.items()}
+    written = snapshot(spark, payload, ParquetTarget(tgt), root, pks)
+    assert set(written) == set(fx)
+    # replayed state matches each fixture's sequential-replay oracle
+    for t, f in fx.items():
+        got = spark.read.parquet(written[t])
+        assert got.count() == len(f["expected"])
+
+
+def test_snapshot_include_exclude(spark, tmp_path):
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    base = dict(
+        bucket_name="local",
+        schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB,
+        mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    inc = snapshot(
+        spark,
+        CdcSnapshotPayload(**base, included_tables=["geo_cdc"]),
+        ParquetTarget(tgt + "_inc"), root, {},
+    )
+    assert set(inc) == {"geo_cdc"}
+    exc = snapshot(
+        spark,
+        CdcSnapshotPayload(**base, excluded_tables=["geo_cdc"]),
+        ParquetTarget(tgt + "_exc"), root, {},
+    )
+    assert set(exc) == {"customers_cdc", "orders_cdc"}
+
+
+def test_validate_reports(spark, tmp_path):
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    payload = CdcSnapshotPayload(
+        bucket_name="local", schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB, mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    pks = {t: f["pk"] for t, f in fx.items()}
+    written = snapshot(spark, payload, ParquetTarget(tgt), root, pks)
+
+    cust = spark.read.parquet(written["customers_cdc"])
+    # identical → clean report
+    rep = validate(
+        spark,
+        CdcValidatePayload(schema_name="public", chunk_size=50),
+        {"customers_cdc": (cust, cust, ["id"])},
+    )["customers_cdc"]
+    assert rep.ok and rep.counts_match
+
+    # corrupt one row → count matches, chunks don't; drill-down finds it
+    from pyspark.sql import functions as F
+
+    bad = cust.withColumn(
+        "name", F.when(F.col("id") == 5, "TAMPERED").otherwise(F.col("name"))
+    )
+    rep2 = validate(
+        spark,
+        CdcValidatePayload(schema_name="public", chunk_size=50),
+        {"customers_cdc": (cust, bad, ["id"])},
+    )["customers_cdc"]
+    assert rep2.counts_match and not rep2.ok
+    assert len(rep2.mismatched_chunks) == 1
+    rows = drill_down(cust, bad, ["id"]).collect()
+    assert [(r.id, r.diff_status) for r in rows] == [(5, "different")]
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    rc = cli_main([
+        "validate",
+        "--local-root", root,
+        "--target-parquet-root", tgt,
+        "--database-name", cdc_fixtures.DB,
+        "--database-schema", cdc_fixtures.SCHEMA,
+        "--start-date", "2000-01-01",
+        "--primary-keys", json.dumps({t: f["pk"] for t, f in fx.items()}),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out["snapshot"]) == set(fx)
+    assert all(v["ok"] for v in out["validate"].values())
+
+
+def test_cli_conflicting_flags(tmp_path, capsys):
+    assert cli_main(["validate", "--only-datadiff", "--only-snapshot"]) == 2
+    assert cli_main([
+        "validate", "--included-tables", "a", "--excluded-tables", "b",
+    ]) == 2
