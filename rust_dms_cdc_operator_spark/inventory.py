@@ -43,6 +43,10 @@ from rust_dms_cdc_operator_spark.operators.diff import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the caller may hand us a session with different defaults; string
+    # timestamp literals in filters are timezone-sensitive, so pin UTC
+    # (runtime-settable) to stay parity with the UTC-naive oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

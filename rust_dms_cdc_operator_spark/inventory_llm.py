@@ -45,6 +45,7 @@ from rust_dms_cdc_operator_spark.operators.similarity import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
