@@ -113,11 +113,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = (
         stopword_hits(t, "en") + stopword_hits(t, "de") + stopword_hits(t, "fr")
     )
+    # longs, not ints: DuckDB len()/length() return BIGINT and the
+    # driver's schema compare may be type-sensitive
     return d.select(
         "doc_id",
-        whitespace_token_count(t).alias("n_tokens"),
-        punct_count(t).alias("punct_chars"),
-        sw.alias("stop_hits"),
+        whitespace_token_count(t).cast("long").alias("n_tokens"),
+        punct_count(t).cast("long").alias("punct_chars"),
+        sw.cast("long").alias("stop_hits"),
         quality_score_expr(t).alias("quality"),
     )
 
@@ -126,8 +128,8 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        whitespace_token_count(F.col("text")).alias("ws_tokens"),
-        regex_token_count(F.col("text")).alias("re_tokens"),
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        regex_token_count(F.col("text")).cast("long").alias("re_tokens"),
     )
 
 

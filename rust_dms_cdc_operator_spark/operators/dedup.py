@@ -206,6 +206,6 @@ def ngram_jaccard_pairs(
     return pairs.select(
         "id_a",
         "id_b",
-        inter.alias("inter_size"),
-        union.alias("union_size"),
+        inter.cast("long").alias("inter_size"),
+        union.cast("long").alias("union_size"),
     )

@@ -75,11 +75,25 @@ class PostgresSink:
         self.run_sql(spark, ddl.create_table_sql(columns, primary_keys, schema, table))
 
     # ----------------------------- data path -----------------------------
-    def insert(self, df: DataFrame, schema: str, table: str) -> None:
-        """S7: parallel batched append."""
+    def insert(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        database: str = "",
+        throttle=None,
+    ) -> None:
+        """S7: parallel batched append. A ``ThrottleConfig`` that applies
+        to this table collapses writer parallelism to one connection
+        with the configured chunk size (X2 parity — see
+        sinks.throttle)."""
+        batch = self.batch_size
+        if throttle is not None and throttle.applies_to(database, schema, table):
+            df = df.coalesce(throttle.writer_partitions(df.rdd.getNumPartitions()))
+            batch = throttle.rows_per_df
         (
             df.write.mode("append")
-            .option("batchsize", str(self.batch_size))
+            .option("batchsize", str(batch))
             .jdbc(self.url, f"{schema}.{table}", properties=self.properties)
         )
 

@@ -109,3 +109,25 @@ def test_catalog_sql():
     )
     # include wins when both given (snapshot_payload.rs:78-86)
     assert "IN ('a')" in tables_in_schema_sql("s", included=["a"], excluded=["x"])
+
+
+def test_throttle_config_env_parity():
+    from rust_dms_cdc_operator_spark.sinks.throttle import throttle_config_from_env
+
+    cfg = throttle_config_from_env({})
+    assert not cfg.delay_enabled
+    assert cfg.insert_delay_ms == 1000  # reference defaults
+    assert cfg.rows_per_df == 10000
+
+    cfg = throttle_config_from_env({
+        "DELAYABLE_CONFIG": "db:public:big_table, db:public:other",
+        "DELAY_INSERT": "true",
+        "INSERT_DELAY": "250",
+        "ROWS_PER_DF": "5000",
+    })
+    assert cfg.applies_to("db", "public", "big_table")
+    assert cfg.applies_to("db", "public", "other")
+    assert not cfg.applies_to("db", "public", "small_table")
+    assert cfg.insert_delay_ms == 250
+    assert cfg.rows_per_df == 5000
+    assert cfg.writer_partitions(32) == 1
