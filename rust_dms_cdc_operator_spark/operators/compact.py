@@ -157,11 +157,15 @@ def replay_manifest(
         # pure full-load drop: final state is just the rows
         return drop_dms_columns(df).drop(FILE_SEQ_COL, ROW_SEQ_COL, IS_LOAD_COL)
 
-    load = df.filter(F.col(IS_LOAD_COL)).select(*data_cols)
-    cdc = df.filter(~F.col(IS_LOAD_COL)).select(
-        DMS_OP_COL, *data_cols, FILE_SEQ_COL, ROW_SEQ_COL
+    # SINGLE-PASS merge: the manifest orders LOAD files before CDC files,
+    # so (file_seq, row_seq) already ranks every LOAD row below every CDC
+    # row — no LOAD/CDC split, no union, ONE scan of the files. LOAD rows
+    # have no Op semantics (treated as inserts, postgres_operator_impl.rs:
+    # 173-198), so their Op is normalized to 'I'.
+    unified = df.withColumn(
+        DMS_OP_COL,
+        F.when(F.col(IS_LOAD_COL), F.lit("I")).otherwise(F.col(DMS_OP_COL)),
     )
     if not pk_cols:
-        inserts = cdc.filter(F.col(DMS_OP_COL) != "D").select(*data_cols)
-        return load.unionByName(inserts)
-    return merge_full_load_with_cdc(load, cdc, pk_cols)
+        return unified.filter(F.col(DMS_OP_COL) != "D").select(*data_cols)
+    return compact_cdc(unified, pk_cols).select(*data_cols)
