@@ -75,20 +75,7 @@ def count_diff(source: DataFrame, target: DataFrame) -> DataFrame:
     )
 
 
-def _chunk_digests(
-    df: DataFrame, pk_cols: Sequence[str], chunk_size: int, side: str
-) -> DataFrame:
-    # digest FIRST, in the scan stage: only (pk, 32-char md5) flows
-    # through the two ranking shuffles instead of every column
-    pre = df.select(*pk_cols, row_digest(df).alias("_row_md5"))
-    chunked = with_chunk_id(pre, pk_cols, chunk_size)
-    # order-insensitive chunk digest: sort the row digests, concat, md5
-    return chunked.groupBy(CHUNK_COL).agg(
-        F.md5(F.concat_ws("", F.array_sort(F.collect_list("_row_md5")))).alias(
-            f"{side}_hash"
-        ),
-        F.count(F.lit(1)).alias(f"{side}_rows"),
-    )
+_SIDE_COL = "_side"
 
 
 def chunked_hash_diff(
@@ -103,15 +90,61 @@ def chunked_hash_diff(
 
     Returns one row per chunk: ``chunk_id, source_hash, target_hash,
     source_rows, target_rows, chunks_match``. ``start_position`` skips
-    leading chunks (resume support, reference default 0)."""
-    s = _chunk_digests(source, pk_cols, chunk_size, "source")
-    t = _chunk_digests(target, pk_cols, chunk_size, "target")
-    joined = s.join(t, CHUNK_COL, "full_outer").withColumn(
+    leading chunks (resume support, reference default 0).
+
+    Single-pass plan: digest FIRST in each scan stage (only (pk, md5)
+    flows through the shuffle), union both sides with a side tag, and
+    rank per side in ONE grouped-rank pass (`group_cols`) — one shuffle
+    carries both sides, and the side-by-side comparison is a pivot of
+    the per-(side, chunk) digests instead of a full outer join of two
+    independently ranked plans."""
+    s = source.select(
+        *pk_cols,
+        row_digest(source).alias("_row_md5"),
+        F.lit("source").alias(_SIDE_COL),
+    )
+    t = target.select(
+        *pk_cols,
+        row_digest(target).alias("_row_md5"),
+        F.lit("target").alias(_SIDE_COL),
+    )
+    chunked = with_chunk_id(
+        s.unionByName(t), pk_cols, chunk_size, group_cols=[_SIDE_COL]
+    )
+
+    # ONE aggregation produces the side-by-side comparison: the chunk
+    # digest (order-insensitive: sort row digests, concat, md5) is
+    # computed per side with conditional collect_list — no second
+    # shuffle, no pivot, no outer join. A side absent from a chunk
+    # yields empty collect_list/zero count → nullif keeps the
+    # null-for-missing-side contract of a full outer join.
+    def _side(side: str, col: Column) -> Column:
+        return F.when(F.col(_SIDE_COL) == side, col)
+
+    def _side_agg(side: str) -> list[Column]:
+        return [
+            F.md5(
+                F.nullif(
+                    F.concat_ws(
+                        "",
+                        F.array_sort(F.collect_list(_side(side, F.col("_row_md5")))),
+                    ),
+                    F.lit(""),
+                )
+            ).alias(f"{side}_hash"),
+            F.nullif(F.count(_side(side, F.lit(1))), F.lit(0)).alias(
+                f"{side}_rows"
+            ),
+        ]
+
+    joined = chunked.groupBy(CHUNK_COL).agg(
+        *_side_agg("source"), *_side_agg("target")
+    )
+    joined = joined.withColumn(
         "chunks_match",
         (F.col("source_hash") == F.col("target_hash"))
         & (F.col("source_rows") == F.col("target_rows")),
-    )
-    joined = joined.fillna({"chunks_match": False})
+    ).fillna({"chunks_match": False})
     if start_position:
         joined = joined.filter(F.col(CHUNK_COL) >= start_position // chunk_size)
     if only_mismatches:

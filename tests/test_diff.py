@@ -119,3 +119,45 @@ def test_start_position_resume(spark, orders):
         orders, mutated, ["o_orderkey"], 100, start_position=(first_bad + 1) * 100
     )
     assert resumed.filter(F.col("chunk_id") <= first_bad).count() == 0
+
+
+def test_global_rank_string_key_fallback(spark):
+    """Non-numeric leading key exercises the range-boundary fallback."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    keyed = c.withColumn("k", F.concat(F.lit("key-"), F.lpad("c_custkey", 8, "0")))
+    ranked = with_global_rank(keyed, ["k"])
+    n = keyed.count()
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.min("_rank").alias("lo"),
+        F.max("_rank").alias("hi"),
+        F.countDistinct("_rank").alias("d"),
+    ).first()
+    assert (stats.n, stats.lo, stats.hi, stats.d) == (n, 1, n, n)
+    # string key order == custkey order, so rank must equal custkey rank
+    mism = (
+        ranked.withColumn(
+            "_expected",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("c_custkey")
+            ),
+        )
+        .filter(F.col("_rank") != F.col("_expected"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_global_rank_grouped_restarts_per_group(spark, orders):
+    """group_cols ranks each side independently in one pass."""
+    a = orders.limit(200).withColumn("_side", F.lit("a"))
+    b = orders.limit(150).withColumn("_side", F.lit("b"))
+    ranked = with_global_rank(a.unionByName(b), ["o_orderkey"], group_cols=["_side"])
+    per = ranked.groupBy("_side").agg(
+        F.count("*").alias("n"),
+        F.min("_rank").alias("lo"),
+        F.max("_rank").alias("hi"),
+        F.countDistinct("_rank").alias("d"),
+    ).collect()
+    got = {r["_side"]: (r.n, r.lo, r.hi, r.d) for r in per}
+    assert got == {"a": (200, 1, 200, 200), "b": (150, 1, 150, 150)}
