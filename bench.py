@@ -29,6 +29,9 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm the JVM/codegen paths once so per-query numbers are steady-state
     spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the Python worker pool the same way (daemon + worker fork is
+    # a one-time session cost, not a per-query cost)
+    spark.range(1).mapInPandas(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -91,15 +91,19 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(decode_stub)
+            # vectorized over the whole Arrow batch — a real decoder
+            # slots in here with the same batch-at-a-time contract
+            pay = pdf["payload"]
+            n_bytes = pay.str.len().fillna(0).astype("int64")
+            first = pay.str[0]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["meta"].map(
                         lambda m: m["kind"] if m is not None else None
                     ),
-                    "n_bytes": feats.map(lambda f: f["n_bytes"]).astype("int64"),
-                    "first_byte": feats.map(lambda f: f["first_byte"]).astype("int32"),
+                    "n_bytes": n_bytes,
+                    "first_byte": first.where(first.notna(), -1).astype("int32"),
                 }
             )
 

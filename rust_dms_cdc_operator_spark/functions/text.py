@@ -77,17 +77,18 @@ def quality_score_expr(text: Column) -> Column:
 def fingerprint_expr(text: Column, window: int = 4) -> Column:
     """Document fingerprint by min-sampling the rolling word-window
     hashes (winnowing-style): min over all ``window``-word windows of
-    md5(window). Short docs fall back to md5(text)."""
-    w = words(text)
-    return F.when(F.size(w) < window, F.md5(text)).otherwise(
+    md5(window). Short docs fall back to md5(text).
+
+    Windows come from one linear regexp_extract_all pass (see
+    ``sliding_word_ngrams``): a transform lambda that indexes an outer
+    word array re-evaluates the split per element in the interpreted
+    higher-order-function path — quadratic per row."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        sliding_word_ngrams,
+    )
+
+    return F.when(F.size(words(text)) < window, F.md5(text)).otherwise(
         F.array_min(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - window),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", *[F.element_at(w, i + j + 1) for j in range(window)]
-                    )
-                ),
-            )
+            F.transform(sliding_word_ngrams(text, window), lambda s: F.md5(s))
         )
     )

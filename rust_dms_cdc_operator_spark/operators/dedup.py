@@ -99,40 +99,49 @@ def minhash_lsh_pairs(
     """Banded-LSH candidate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
-    At scale: signature stage is embarrassingly parallel; bands are
-    exploded so ONE self-join (hash-shuffled on the band key) covers
-    all bands; the per-doc band table is checkpointed so the signature
-    lineage is computed exactly once, not once per join side. The
-    within-bucket self-join is quadratic only inside a bucket (band
-    width tunes that); AQE splits skewed buckets.
+    At scale: signature stage is embarrassingly parallel. Each pair is
+    emitted exactly once, at its FIRST colliding band — band i's
+    equi-join keeps only pairs whose band-j keys differ for all j < i —
+    so no global ``distinct`` ever re-shuffles the (quadratic
+    within-bucket) pair stream; the only shuffles of doc-level data are
+    the per-band joins on the band key. The narrow per-doc signature
+    table is persisted (not checkpointed: lineage, AQE, and fault
+    tolerance stay intact) so every join side reads one cached copy.
+    In-bucket skew is AQE's skew-join split problem, and band width
+    tunes bucket size.
     """
     rows_per_band = num_hashes // bands
     wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
     sigs = df.select(F.col(id_col), wh).select(F.col(id_col), *sig_cols)
-    band_keys = F.array(
+    keyed = sigs.select(
+        F.col(id_col),
         *[
             F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias(f"bk_{b}")
             for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "bk")
-    ).localCheckpoint(eager=False)
+        ],
+    ).persist()
 
-    a = banded.select(
-        F.col("band_idx"), F.col("bk"), F.col(id_col).alias("id_a")
-    )
-    b = banded.select(
-        F.col("band_idx"), F.col("bk"), F.col(id_col).alias("id_b")
-    )
-    return (
-        a.join(b, ["band_idx", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    per_band = []
+    for i in range(bands):
+        a = keyed.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"bk_{j}").alias(f"a_bk_{j}") for j in range(i + 1)],
+        ).withColumnRenamed(f"a_bk_{i}", "bk")
+        b = keyed.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"bk_{j}").alias(f"b_bk_{j}") for j in range(i + 1)],
+        ).withColumnRenamed(f"b_bk_{i}", "bk")
+        j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+        for jj in range(i):
+            j = j.filter(F.col(f"a_bk_{jj}") != F.col(f"b_bk_{jj}"))
+        per_band.append(j.select("id_a", "id_b"))
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -156,19 +165,23 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def sliding_word_ngrams(text: Column, n: int) -> Column:
+    """All overlapping word ``n``-grams of a single-space-tokenized
+    text, in one linear regex pass. A zero-width lookahead anchored at
+    each word boundary captures the next ``n`` words, so the expression
+    never re-reads an outer array inside a lambda — higher-order
+    functions are interpreted (no codegen), where a captured
+    ``split(text)`` is re-evaluated per element_at, turning the naive
+    transform-over-indices formulation quadratic per row."""
+    pat = "(?= (" + " ".join(["\\S+"] * n) + "))"
+    return F.regexp_extract_all(F.concat(F.lit(" "), text), F.lit(pat), 1)
+
+
 def shingle_set(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array (empty-safe)."""
-    words = _words(text)
-    return F.when(F.size(words) < n, F.array_distinct(F.array(text))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
-                ),
-            )
-        )
-    )
+    return F.when(
+        F.size(_words(text)) < n, F.array_distinct(F.array(text))
+    ).otherwise(F.array_distinct(sliding_word_ngrams(text, n)))
 
 
 def ngram_jaccard_pairs(
@@ -186,21 +199,28 @@ def ngram_jaccard_pairs(
     At scale, ``block_col`` is the blocking key (e.g. an LSH band from
     ``minhash_lsh_pairs``); the join shuffles on it once.
     """
-    # checkpoint: the shingle arrays are consumed by both join sides —
+    # persist: the shingle arrays are consumed by both join sides —
     # compute them once, not once per side
     s = df.select(
         F.col(id_col), F.col(block_col), shingle_set(F.col(text_col), n).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).persist()
+    # the bounded id gap turns the candidate join into an EQUI-join:
+    # each left row proposes its ≤ max_id_gap candidate ids via
+    # explode(sequence(...)), so candidates are linear in the input and
+    # the join hash-shuffles on (block, id) — never the quadratic
+    # within-block cross product a post-join gap filter would scan
     a = s.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.explode(
+            F.sequence(F.col(id_col) + 1, F.col(id_col) + max_id_gap)
+        ).alias("id_b"),
     )
     b = s.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
     )
-    pairs = a.join(b, "blk").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("id_b") - F.col("id_a") <= max_id_gap)
-    )
+    pairs = a.join(b, ["blk", "id_b"])
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return pairs.select(
