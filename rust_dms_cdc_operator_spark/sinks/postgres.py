@@ -45,15 +45,11 @@ class PostgresSink:
         """S12 raw SQL passthrough (postgres_operator_impl.rs:438-447)."""
         jvm = spark.sparkContext._jvm
         try:
-            conn = jvm.java.sql.DriverManager.getConnection(
-                self.url,
-                self.properties.get("user", ""),
-                self.properties.get("password", ""),
-            )
+            conn = self._connect(jvm)
         except Exception as exc:  # noqa: BLE001
             raise RuntimeError(
-                "Postgres JDBC driver/connection unavailable "
-                "(add postgresql.jar to spark.jars and a reachable URL)"
+                "JDBC driver/connection unavailable "
+                "(add the driver jar to spark.jars and a reachable URL)"
             ) from exc
         try:
             stmt = conn.createStatement()
@@ -61,6 +57,52 @@ class PostgresSink:
             stmt.close()
         finally:
             conn.close()
+
+    def _stage(self, df: DataFrame, staging: str) -> None:
+        """Recreate the staging table with OUR DDL (explicit reverse
+        type map, not the JDBC dialect's guess) and bulk-append into
+        it — sidesteps Spark's overwrite-mode existence probing, which
+        not every backend answers the way the Postgres dialect expects."""
+        self.run_sql(df.sparkSession, f"DROP TABLE IF EXISTS {staging}")
+        cols = ", ".join(
+            f"{ddl.quote_ident(f.name)} {ddl.pg_type_for(f.dataType)}"
+            for f in df.schema.fields
+        )
+        self.run_sql(df.sparkSession, f"CREATE TABLE {staging} ({cols})")
+        (
+            df.write.mode("append")
+            .option("batchsize", str(self.batch_size))
+            .jdbc(self.url, staging, properties=self.properties)
+        )
+
+    def _connect(self, jvm):
+        """Open a JDBC connection. DriverManager only consults drivers
+        on the JVM's root classpath; jars shipped via ``spark.jars`` /
+        ``--jars`` live in Spark's mutable classloader, so fall back to
+        instantiating the configured driver class through Spark's
+        context classloader (what Spark's own JDBC source does)."""
+        user = self.properties.get("user", "")
+        password = self.properties.get("password", "")
+        try:
+            return jvm.java.sql.DriverManager.getConnection(
+                self.url, user, password
+            )
+        except Exception:  # noqa: BLE001 - retry via Spark's classloader
+            loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+            cls = jvm.java.lang.Class.forName(
+                self.properties["driver"], True, loader
+            )
+            driver = cls.newInstance()  # py4j can't pass Class[] varargs
+            props = jvm.java.util.Properties()
+            for k, v in self.properties.items():
+                # "driver" is Spark-API metadata, not a connection
+                # property — real drivers reject unknown keys
+                if k != "driver" and v:
+                    props.setProperty(k, v)
+            conn = driver.connect(self.url, props)
+            if conn is None:
+                raise RuntimeError(f"driver rejected URL {self.url}")
+            return conn
 
     def create_schema(self, spark: SparkSession, schema: str) -> None:
         self.run_sql(spark, ddl.create_schema_sql(schema))
@@ -107,11 +149,7 @@ class PostgresSink:
     ) -> None:
         """S8 upserts: bulk-stage then one set-based ON CONFLICT merge."""
         staging = staging_table or f"{schema}.{table}__stage"
-        (
-            df.write.mode("overwrite")
-            .option("batchsize", str(self.batch_size))
-            .jdbc(self.url, staging, properties=self.properties)
-        )
+        self._stage(df, staging)
         self.run_sql(
             df.sparkSession,
             ddl.staging_merge_sql(schema, table, staging, df.columns, primary_keys),
@@ -128,12 +166,7 @@ class PostgresSink:
     ) -> None:
         """S8 deletes: stage the PK tuples, one server-side keyed DELETE."""
         staging = staging_table or f"{schema}.{table}__delstage"
-        (
-            keys.select(*primary_keys)
-            .write.mode("overwrite")
-            .option("batchsize", str(self.batch_size))
-            .jdbc(self.url, staging, properties=self.properties)
-        )
+        self._stage(keys.select(*primary_keys), staging)
         on = " AND ".join(f"t.{c} = s.{c}" for c in primary_keys)
         self.run_sql(
             keys.sparkSession,
