@@ -15,8 +15,9 @@ here) or ``sinks.postgres.PostgresSink`` (JDBC; gated on a driver).
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,6 +38,38 @@ class ParquetTarget:
         path = os.path.join(self.root, schema, table)
         df.write.mode("overwrite").parquet(path)
         return path
+
+
+@dataclass
+class JdbcTarget:
+    """Writes each rebuilt table into a live JDBC database through the
+    S9/S10 DDL + S7 bulk-insert path (the reference's target Postgres,
+    cdc_operator.rs:32-35,103-110,173-198). The snapshot is a full
+    rebuild, so the table is recreated, then bulk-appended.
+
+    DDL is serialized across the per-table snapshot threads (the
+    shared CREATE SCHEMA is a write-write catalog conflict under
+    concurrent transactions); the bulk data writes stay parallel."""
+
+    sink: "object"  # sinks.postgres.PostgresSink (duck-typed to avoid import gate)
+    _ddl_lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def write(self, df: DataFrame, schema: str, table: str, pk: list[str]) -> str:
+        from rust_dms_cdc_operator_spark.sinks.ddl import pg_type_for  # noqa: PLC0415
+
+        spark = df.sparkSession
+        with self._ddl_lock:
+            self.sink.create_schema(spark, schema)
+            self.sink.run_sql(spark, f"DROP TABLE IF EXISTS {schema}.{table}")
+            self.sink.create_table(
+                spark,
+                {f.name: pg_type_for(f.dataType) for f in df.schema.fields},
+                list(pk),
+                schema,
+                table,
+            )
+        self.sink.insert(df, schema, table)
+        return f"{schema}.{table}"
 
 
 def discover_tables_local(root: str, database: str, schema: str) -> list[str]:
