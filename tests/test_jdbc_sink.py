@@ -86,6 +86,20 @@ assert (
     bumped.filter(F.col("c_acctbal") != F.col("old") + 1000.0).count() == 0
 ), "upsert did not update in place"
 
+# S13/S15 live catalog scans (information_schema is shared SQL surface)
+from rust_dms_cdc_operator_spark.sources.catalog import (
+    get_table_columns,
+    get_tables_in_schema,
+)
+
+cols = get_table_columns(spark, sink.url, "tgt", "customer", sink.properties)
+assert list(cols) == ["c_custkey", "c_name", "c_acctbal"], cols
+tabs = get_tables_in_schema(spark, sink.url, "tgt", properties=sink.properties)
+assert "customer" in tabs, tabs
+assert get_tables_in_schema(
+    spark, sink.url, "tgt", excluded=["customer"], properties=sink.properties
+) == [t for t in tabs if t != "customer"]
+
 # S8 delete
 doomed = c.filter(F.col("c_custkey") <= 5)
 n_del = doomed.count()
