@@ -54,6 +54,132 @@ def apply_cdc_batch(
     return survivors.unionByName(upserts)
 
 
+BUCKET_COL = "_state_bucket"
+
+
+class BucketedParquetState:
+    """Incremental state table: parquet partitioned by a stable hash
+    bucket of the PK. A microbatch only rewrites the buckets its keys
+    touch (dynamic partition overwrite + partition-pruned state read),
+    so per-batch cost is O(touched buckets), not O(total state) — the
+    property that keeps a 24/7 CDC stream viable when the state is
+    100 TB and a batch touches a few GB.
+
+    Exactly-once: the merge is idempotent (re-applying the same batch
+    to an already-merged state is a no-op), so the streaming
+    checkpoint's at-least-once replay after a crash converges; a
+    partially overwritten partition is fully rewritten on retry.
+    """
+
+    def __init__(self, path: str, pk_cols: Sequence[str], num_buckets: int = 64):
+        self.path = path
+        self.pk_cols = list(pk_cols)
+        self.num_buckets = num_buckets
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.pk_cols]), F.lit(self.num_buckets)
+        ).cast("int")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Full current state (no DMS/bookkeeping columns)."""
+        return spark.read.parquet(self.path).drop(BUCKET_COL)
+
+    def merge_batch(
+        self,
+        batch: DataFrame,
+        order_cols: Sequence[str],
+        op_col: str = DMS_OP_COL,
+    ) -> None:
+        spark = batch.sparkSession
+        data_cols = [
+            c
+            for c in batch.columns
+            if c != op_col and not (c in order_cols and c.startswith("_cdc"))
+        ]
+        last = compact_cdc(batch, self.pk_cols, order_cols=order_cols, op_col="__keep_d__")
+        last = last.withColumn(BUCKET_COL, self._bucket()).persist()
+        try:
+            touched = [r[BUCKET_COL] for r in last.select(BUCKET_COL).distinct().collect()]
+            if not touched:  # empty microbatch
+                return
+            upserts = last.filter(F.col(op_col) != "D").select(*data_cols, BUCKET_COL)
+            if self.exists():
+                state = spark.read.parquet(self.path).filter(
+                    F.col(BUCKET_COL).isin(touched)  # partition-pruned read
+                )
+                survivors = state.join(
+                    last.select(*self.pk_cols), self.pk_cols, "left_anti"
+                )
+                merged = survivors.unionByName(upserts)
+            else:
+                merged = upserts
+            merged = merged.persist()
+            written = [
+                r[BUCKET_COL]
+                for r in merged.select(BUCKET_COL).distinct().collect()
+            ]
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                merged.unpersist()
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output: a bucket whose every key was deleted this batch
+            # produces no rows, so its stale partition must be cleared
+            # explicitly (idempotent on batch retry — the anti-join
+            # re-derives the same empty bucket)
+            for b in set(touched) - set(written):
+                shutil.rmtree(
+                    os.path.join(self.path, f"{BUCKET_COL}={b}"),
+                    ignore_errors=True,
+                )
+        finally:
+            last.unpersist()
+
+
+def stream_replay_bucketed(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    pk_cols: Sequence[str],
+    order_cols: Sequence[str],
+    state_dir: str,
+    op_col: str = DMS_OP_COL,
+    num_buckets: int = 64,
+    max_files_per_trigger: int | None = None,
+    transform=None,
+) -> DataFrame:
+    """``stream_replay`` with the bucketed incremental state table —
+    same contract, per-batch cost proportional to touched buckets."""
+    store = BucketedParquetState(
+        os.path.join(state_dir, "state"), pk_cols, num_buckets
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        store.merge_batch(batch, order_cols, op_col)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(spark)
+
+
 def stream_replay(
     spark: SparkSession,
     source_dir: str,
