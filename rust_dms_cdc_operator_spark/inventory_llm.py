@@ -40,6 +40,7 @@ from rust_dms_cdc_operator_spark.operators.dedup import (
 from rust_dms_cdc_operator_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
@@ -98,6 +99,20 @@ def q_sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
     return lsh_bucket_topk(
         e, _query_vec(spark, sf_dir), "vec_id", "embedding", k=10, bits=8
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 deterministic centroids (the 8 smallest vec_ids —
+    production would train these with pyspark.ml KMeans), probe the 2
+    lists nearest the query, exact top-10 within them."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.orderBy("vec_id").limit(8).collect()
+    ]
+    return ivf_topk(
+        e, _query_vec(spark, sf_dir), cents, "vec_id", "embedding", k=10, nprobe=2
     )
 
 
@@ -309,6 +324,35 @@ ORACLE_SQL_LLM: dict[str, str] = {
                WHERE vec_id = 0)
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
+    "sim_ivf_topk": """
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+          FROM embeddings WHERE vec_id > 0 ORDER BY vec_id LIMIT 8
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT cid FROM cents, q
+          ORDER BY round(list_cosine_similarity(cemb, qv), 6) DESC, cid
+          LIMIT 2
+        ),
+        assign AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.cemb), 6) DESC, c.cid
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cents c WHERE e.vec_id > 0
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                 AS cos_sim
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+        CROSS JOIN q
+        WHERE a.cid IN (SELECT cid FROM probes) AND e.vec_id > 0
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
     "dedup_embedding_neardup": """
         SELECT * FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -400,6 +444,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_neardup": q_dedup_embedding_neardup,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_bucket_topk": q_sim_lsh_bucket_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,

@@ -126,3 +126,75 @@ def embedding_neardup_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= min_cosine
     )
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def ivf_assign(
+    vec: Column, centroid_vecs: list[list[float]], round_digits: int = 6
+) -> Column:
+    """IVF list assignment: index of the nearest centroid by cosine
+    (rounded for engine portability; ties -> lowest centroid index).
+    The argmax is a single greatest() over (sim, -index) structs —
+    pure expression, codegen-friendly, no join."""
+    scored = [
+        F.struct(
+            F.round(cosine(vec, _vec_lit(c)), round_digits).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, c in enumerate(centroid_vecs)
+    ]
+    best = scored[0] if len(scored) == 1 else F.greatest(*scored)
+    return (-best["ni"]).cast("int")
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the same sequential-fold order as
+    ``dot``/``norm`` (bit-reproducible against the JVM fold)."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return d / ((na**0.5) * (nb**0.5))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroid_vecs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid's inverted
+    list, probe only the ``nprobe`` lists nearest the query, exact
+    cosine top-k within them.
+
+    At 100 TB the assignment column is the table's partition/cluster
+    key, so a probe reads nprobe/n_centroids of the data (plus the
+    centroids are a broadcast-scale literal). Centroids here are
+    caller-supplied; production trains them with pyspark.ml KMeans —
+    the probing/partitioning mechanics are identical and are what this
+    operator provides. Deterministic given the centroids, so
+    oracle-checkable end to end.
+    """
+    sims = sorted(
+        (
+            (round(_py_cosine(query_vec, c), round_digits or 6), -i)
+            for i, c in enumerate(centroid_vecs)
+        ),
+        reverse=True,
+    )
+    probe_ids = [-ni for _, ni in sims[:nprobe]]
+    assign = ivf_assign(F.col(vec_col), centroid_vecs, round_digits or 6)
+    candidates = df.filter(assign.isin(probe_ids))
+    return cosine_topk(candidates, query_vec, id_col, vec_col, k, round_digits)

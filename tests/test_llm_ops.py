@@ -120,6 +120,41 @@ def test_lsh_bucket_topk_subset_of_exact(spark):
     assert approx[0].cos_sim == 1.0
 
 
+def test_ivf_topk_probes_nearest_lists(spark):
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [rows[i][1] for i in range(8)]
+    q = rows[0][1]
+    got = ivf_topk(df, q, cents, k=5, nprobe=3).collect()
+    # the query vector's own list is always probed -> cos 1.0 first
+    assert got[0].vec_id == 1 and got[0].cos_sim == 1.0
+    # IVF results are a subset of the exact scan, same scoring
+    exact = {r.vec_id: r.cos_sim for r in cosine_topk(df, q, k=200).collect()}
+    for r in got:
+        assert exact[r.vec_id] == r.cos_sim
+    # every returned vector is assigned to a probed list
+    assign = df.select(
+        "vec_id",
+        ivf_assign(F.col("embedding"), cents).alias("list_id"),
+    )
+    assigned = {r.vec_id: r.list_id for r in assign.collect()}
+    n_lists = len(set(assigned.values()))
+    assert n_lists > 1  # centroids actually partition the space
+    probed = {assigned[r.vec_id] for r in got}
+    assert len(probed) <= 3
+
+
 def test_embedding_neardup_pairs(spark):
     rows = [
         (1, [1.0, 0.0], 0),
