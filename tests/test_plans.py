@@ -66,3 +66,39 @@ def test_exact_dedup_single_shuffle(spark):
 def test_d1_anti_join_no_extra_scan_columns(spark):
     df = QUERIES["d1_delete"](spark, SF_DIR)
     assert has_whole_stage_codegen(df)
+
+
+def test_global_rank_no_single_partition_exchange(spark):
+    """The exact global rank must never plan a SinglePartition exchange
+    over the data (the naive row_number() OVER (ORDER BY pk) shape) —
+    buckets come from literal boundaries, offsets from a broadcast."""
+    from rust_dms_cdc_operator_spark.operators.chunk import with_global_rank
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ranked = with_global_rank(orders, ["o_orderkey"])
+    plan = formatted_plan(ranked)
+    # the data-side exchange hashes on the bucket id
+    assert "hashpartitioning(_rank_bucket" in plan
+    # exactly one SinglePartition exchange, and it carries only the
+    # two-column (bucket, count) aggregate for the prefix sum — never
+    # the data
+    single = [
+        seg for seg in plan.split("\n\n") if "SinglePartition" in seg
+    ]
+    assert len(single) == 1, plan
+    assert "_cnt" in single[0] or "count" in single[0], single[0]
+    # the tiny offsets side reaches the join as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_v2_digests_prune_to_pk_and_md5_inputs(spark):
+    """The ranking/count subtrees of the datadiff must not drag the
+    md5 digest through the boundary scan."""
+    from rust_dms_cdc_operator_spark.plans.inspect import read_schemas
+
+    df = QUERIES["v2_chunked_hash_diff"](spark, SF_DIR)
+    # all scans read concrete column subsets (never the full table
+    # width of 6 orders columns plus digests)
+    for schema in read_schemas(df):
+        assert "o_comment" not in schema
