@@ -95,3 +95,45 @@ def test_schema_drift_raises(spark, tmp_path):
         spark, root, fx2["table"], fx2["pk"],
         source_columns=source_columns, merge_schema=True,
     )
+
+
+def test_nested_struct_and_map_columns_replay(spark, tmp_path):
+    """Nested types (struct, map) ride through the CDC window
+    compaction untouched — the capability the reference's flat
+    Postgres type map never had (SURVEY §1.2)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path)
+    t = "nested"
+    base = os.path.join(root, cdc_fixtures.DB, cdc_fixtures.SCHEMA, t)
+
+    def meta(v, k):
+        return {"version": v, "kind": k}
+
+    load = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "meta": pa.array([meta(1, "a"), meta(1, "b"), meta(1, "c")],
+                         pa.struct([("version", pa.int64()), ("kind", pa.string())])),
+        "attrs": pa.array([[("x", 1)], [("y", 2)], [("z", 3)]],
+                          pa.map_(pa.string(), pa.int64())),
+    })
+    os.makedirs(os.path.join(base, "2026", "01", "02"), exist_ok=True)
+    pq.write_table(load, os.path.join(base, "LOAD00000001.parquet"))
+    cdc = pa.table({
+        "Op": ["U", "D"],
+        "_dms_ingestion_timestamp": ["2026-01-02 00:00:00"] * 2,
+        "id": pa.array([2, 3], pa.int64()),
+        "meta": pa.array([meta(2, "b2"), meta(1, "c")],
+                         pa.struct([("version", pa.int64()), ("kind", pa.string())])),
+        "attrs": pa.array([[("y", 20)], []], pa.map_(pa.string(), pa.int64())),
+    })
+    pq.write_table(cdc, os.path.join(base, "2026", "01", "02", "c1.parquet"))
+
+    got = {r["id"]: r for r in _replay(spark, root, t, ["id"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["meta"]["version"] == 2 and got[2]["meta"]["kind"] == "b2"
+    assert dict(got[2]["attrs"]) == {"y": 20}
+    assert got[1]["meta"]["kind"] == "a" and dict(got[1]["attrs"]) == {"x": 1}
