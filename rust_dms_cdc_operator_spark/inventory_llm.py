@@ -14,7 +14,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rust_dms_cdc_operator_spark.functions.multimodal import (
@@ -151,6 +151,36 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation pipeline — what a training-data run actually
+    chains: quality-score every doc → threshold filter → exact dedup
+    (smallest doc_id per content wins) → per-source yield stats. One
+    declarative plan: scan → window on md5(text) → partial-agg groupBy;
+    Catalyst fuses the scoring into the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_score_expr(t).alias("quality"),
+        whitespace_token_count(t).cast("long").alias("n_tokens"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    uniq = kept.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    # min/max (order-insensitive) rather than avg: a double SUM's
+    # partial-merge order is engine/partitioning dependent
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+    )
 
 
 # --------------------------------------------------------------- multimodal
@@ -411,6 +441,34 @@ ORACLE_SQL_LLM: dict[str, str] = {
                  0.0), 1.0) AS quality
         FROM s
     """,
+    "docs_curation_pipeline": f"""
+        WITH s AS (
+          SELECT doc_id, source, text,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                   AS punct_chars,
+                 {_stop_hits_sql('en')} + {_stop_hits_sql('de')}
+                   + {_stop_hits_sql('fr')} AS stop_hits,
+                 length(text) AS n_char
+          FROM documents),
+        scored AS (
+          SELECT doc_id, source, text, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 least(greatest(
+                   (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+                   + least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+                   - (CAST(punct_chars AS DOUBLE) / CAST(n_char AS DOUBLE)),
+                   0.0), 1.0) AS quality
+          FROM s),
+        kept AS (
+          SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS rn
+          FROM scored WHERE quality >= 0.5)
+        SELECT source, count(*) AS docs_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+               round(min(quality), 6) AS min_quality,
+               round(max(quality), 6) AS max_quality
+        FROM kept WHERE rn = 1 GROUP BY source
+    """,
     "text_tokens": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS ws_tokens,
@@ -447,6 +505,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
+    "docs_curation_pipeline": q_docs_curation_pipeline,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "mm_binary_stats": q_mm_binary_stats,
