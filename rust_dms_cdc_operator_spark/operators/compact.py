@@ -129,6 +129,9 @@ def replay_manifest(
     strict_schema_check: bool = True,
     source_columns: Sequence[str] | None = None,
     merge_schema: bool = False,
+    fmt: str = "parquet",
+    schema=None,
+    csv_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """End-to-end table rebuild: ordered manifest → single scan →
     LOAD ∪ CDC window compaction → final state (no DMS columns).
@@ -137,8 +140,19 @@ def replay_manifest(
     column other than the two DMS columns must exist in
     ``source_columns`` when given, else raise (pass
     ``merge_schema=True`` so drift columns surface in the scan schema).
+
+    ``fmt="csv"`` replays DMS CSV-format drops (see
+    ``sources.reader.read_manifest``).
     """
-    df = read_manifest(spark, root, files, merge_schema=merge_schema)
+    df = read_manifest(
+        spark,
+        root,
+        files,
+        merge_schema=merge_schema,
+        fmt=fmt,
+        schema=schema,
+        csv_options=csv_options,
+    )
     data_cols = [
         c
         for c in df.columns

@@ -102,13 +102,15 @@ def classify_and_order(
 
 
 def list_local(root: str, prefix: str) -> list[ParquetFile]:
-    """Local-filesystem stand-in for ListObjectsV2: every *.parquet under
-    ``root/prefix``, with mtime as last_modified (UTC-naive)."""
+    """Local-filesystem stand-in for ListObjectsV2: every data file
+    under ``root/prefix``, with mtime as last_modified (UTC-naive).
+    Accepts parquet and csv — DMS's two S3 target formats (the
+    reference's S3 listing keeps every key, s3_operator.rs:250-262)."""
     base = os.path.join(root, prefix) if prefix else root
     out: list[ParquetFile] = []
     for dirpath, _dirnames, filenames in os.walk(base):
         for name in filenames:
-            if not name.endswith(".parquet"):
+            if not name.endswith((".parquet", ".csv", ".csv.gz")):
                 continue
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, root)

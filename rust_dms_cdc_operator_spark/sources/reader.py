@@ -41,11 +41,25 @@ def read_manifest(
     root: str,
     files: list[ParquetFile],
     merge_schema: bool = False,
+    fmt: str = "parquet",
+    schema=None,
+    csv_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read an ordered manifest as ONE scan, annotated with replay order.
 
     The (path → rank) map is tiny (one row per file) and broadcast, so
     sequencing adds no shuffle regardless of data size.
+
+    ``fmt="csv"`` supports DMS's CSV target format (a drop the
+    reference's parquet-only reader cannot replay). CSV needs an
+    explicit ``schema`` (DMS CSV files are headerless by default —
+    pass ``csv_options={"header": "true"}`` otherwise) and has no
+    ``_metadata.row_index``; the intra-file row sequence falls back to
+    ``monotonically_increasing_id``, which is monotone within a file
+    as long as each CSV file maps to one input split — keep
+    ``spark.sql.files.maxPartitionBytes`` at/above the largest CSV
+    file for replay (DMS CDC files are small; the default 128 MB
+    comfortably covers them).
     """
     if not files:
         raise ValueError("empty manifest")
@@ -57,14 +71,30 @@ def read_manifest(
     # (plain absolute paths) joins against it; object-store URIs pass through
     # materialize both hidden-metadata projections BEFORE any join —
     # `_metadata` is only resolvable directly against the file relation
-    df = reader.parquet(*paths).withColumns(
-        {
-            "_file_path": F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ),
-            ROW_SEQ_COL: F.col("_metadata.row_index"),
-        }
-    )
+    if fmt == "csv":
+        if schema is None:
+            raise ValueError("csv manifests require an explicit schema")
+        for k, v in (csv_options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.schema(schema).csv(list(paths)).withColumns(
+            {
+                "_file_path": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                ROW_SEQ_COL: F.monotonically_increasing_id(),
+            }
+        )
+    elif fmt == "parquet":
+        df = reader.parquet(*paths).withColumns(
+            {
+                "_file_path": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                ROW_SEQ_COL: F.col("_metadata.row_index"),
+            }
+        )
+    else:
+        raise ValueError(f"unsupported manifest format: {fmt!r}")
 
     rank_rows = [
         (os.path.abspath(p) if not p.startswith(("s3://", "s3a://", "file:")) else p,

@@ -137,3 +137,51 @@ def test_nested_struct_and_map_columns_replay(spark, tmp_path):
     assert got[2]["meta"]["version"] == 2 and got[2]["meta"]["kind"] == "b2"
     assert dict(got[2]["attrs"]) == {"y": 20}
     assert got[1]["meta"]["kind"] == "a" and dict(got[1]["attrs"]) == {"x": 1}
+
+
+def test_csv_drop_replay(spark, tmp_path):
+    """DMS's CSV target format replays through the same single-scan
+    compaction (the reference reads only parquet)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path)
+    t = "csvtab"
+    base = os.path.join(root, cdc_fixtures.DB, cdc_fixtures.SCHEMA, t)
+    os.makedirs(os.path.join(base, "2026", "01", "02"), exist_ok=True)
+    # headerless, Op first then the DMS ts, then data — the DMS layout
+    with open(os.path.join(base, "LOAD00000001.csv"), "w") as f:
+        f.write("I,2026-01-01 00:00:00,1,alice\n")
+        f.write("I,2026-01-01 00:00:00,2,bob\n")
+        f.write("I,2026-01-01 00:00:00,3,carol\n")
+    with open(os.path.join(base, "2026", "01", "02", "c1.csv"), "w") as f:
+        f.write("U,2026-01-02 00:00:00,2,bob2\n")
+        f.write("D,2026-01-02 00:00:00,3,carol\n")
+        f.write("I,2026-01-02 00:00:00,4,dave\n")
+        f.write("U,2026-01-02 00:00:00,4,dave2\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("Op", T.StringType()),
+            T.StructField("_dms_ingestion_timestamp", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    from rust_dms_cdc_operator_spark.operators.compact import replay_manifest
+    from rust_dms_cdc_operator_spark.payloads import LoadMode
+    from rust_dms_cdc_operator_spark.sources.manifest import build_manifest
+
+    files = build_manifest(
+        mode=LoadMode.DATE_AWARE, root=root, database=cdc_fixtures.DB,
+        schema=cdc_fixtures.SCHEMA, table=t, start_date="2000-01-01",
+    )
+    assert [f.file_name for f in files] == ["LOAD00000001.csv", "c1.csv"]
+    got = {
+        r["id"]: r["name"]
+        for r in replay_manifest(
+            spark, root, files, ["id"], fmt="csv", schema=schema
+        ).collect()
+    }
+    assert got == {1: "alice", 2: "bob2", 4: "dave2"}
