@@ -250,6 +250,40 @@ def q_q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
 
 
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table join: revenue per ASIA nation from
+    orders supplied locally (customer and supplier share a nation).
+    nation/region broadcast explicitly; AQE picks strategies for the
+    fact-fact joins. Money in exact integer cents (engine-portable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 # ------------------------------------------------------------------ oracle SQL
 # canonical-rendering SQL fragments mirroring operators.diff.canonical_str
 _TS = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
@@ -432,6 +466,23 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 10
     """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
 }
 
 from rust_dms_cdc_operator_spark.inventory_llm import (  # noqa: E402
@@ -453,6 +504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p9_geometry_rewrite": q_p9_geometry_rewrite,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_customers": q_q3_top_customers,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
 }
 
 QUERIES.update(QUERIES_LLM)
