@@ -102,3 +102,12 @@ def test_v2_digests_prune_to_pk_and_md5_inputs(spark):
     # width of 6 orders columns plus digests)
     for schema in read_schemas(df):
         assert "o_comment" not in schema
+
+
+def test_q5_join_chain_broadcasts_and_pushes_date(spark):
+    df = QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+    # nation/region are forced broadcasts; AQE upgrades the rest at
+    # this scale — at minimum the two explicit ones must be there
+    assert count_broadcast_joins(df) >= 2
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed  # date range reaches the orders scan
