@@ -57,6 +57,19 @@ class ConnConfig:
     accept_invalid_certs: bool = False
     properties: dict[str, str] = field(default_factory=dict)
 
+    def jdbc_properties(self) -> dict[str, str]:
+        """JDBC connection properties with the reference's TLS stance
+        applied (postgres_config.rs:68-78: accept-invalid-certs builds
+        a danger-mode TLS connector): the pg-JDBC equivalent is
+        ssl=true with the non-validating factory. Explicit user
+        properties always win."""
+        props: dict[str, str] = {}
+        if self.accept_invalid_certs:
+            props["ssl"] = "true"
+            props["sslfactory"] = "org.postgresql.ssl.NonValidatingFactory"
+        props.update(self.properties)
+        return props
+
 
 @dataclass
 class CdcSnapshotPayload:

@@ -127,3 +127,24 @@ def test_cli_conflicting_flags(tmp_path, capsys):
     assert cli_main([
         "validate", "--included-tables", "a", "--excluded-tables", "b",
     ]) == 2
+
+
+def test_conn_config_tls_properties():
+    """X3 parity: accept_invalid_certs maps to the pg-JDBC
+    non-validating TLS factory; explicit properties win."""
+    from rust_dms_cdc_operator_spark.payloads import ConnConfig
+
+    plain = ConnConfig(url="jdbc:postgresql://h/db")
+    assert plain.jdbc_properties() == {}
+    lax = ConnConfig(url="jdbc:postgresql://h/db", accept_invalid_certs=True)
+    assert lax.jdbc_properties() == {
+        "ssl": "true",
+        "sslfactory": "org.postgresql.ssl.NonValidatingFactory",
+    }
+    override = ConnConfig(
+        url="jdbc:postgresql://h/db",
+        accept_invalid_certs=True,
+        properties={"sslfactory": "custom.Factory", "user": "u"},
+    )
+    got = override.jdbc_properties()
+    assert got["sslfactory"] == "custom.Factory" and got["user"] == "u"
