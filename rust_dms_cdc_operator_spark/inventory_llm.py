@@ -183,6 +183,30 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation (the windowed-agg shape the
+    streaming path runs with a watermark — see
+    tests/test_streaming.py::test_watermarked_window_agg): per
+    (hour, event_type) exact counts, distinct users, and an integer
+    milli-value sum (double SUM merge order is not engine-portable;
+    round(value*1000) is)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    win = F.window(ts, "1 hour")
+    return (
+        e.select(win.alias("w"), "event_type", "user_id", "value")
+        .groupBy(F.col("w.start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events_n"),
+            F.countDistinct("user_id").alias("users_n"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias(
+                "value_milli_sum"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------- multimodal
 def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -486,6 +510,16 @@ ORACLE_SQL_LLM: dict[str, str] = {
                END AS fingerprint
         FROM w
     """,
+    "events_tumbling_counts": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS events_n,
+               count(DISTINCT user_id) AS users_n,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                 AS value_milli_sum
+        FROM events
+        GROUP BY window_start, event_type
+    """,
     "mm_binary_stats": """
         SELECT doc_id AS media_id, 'blob' AS kind,
                octet_length(encode(text)) AS n_bytes,
@@ -506,6 +540,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "docs_curation_pipeline": q_docs_curation_pipeline,
+    "events_tumbling_counts": q_events_tumbling_counts,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "mm_binary_stats": q_mm_binary_stats,

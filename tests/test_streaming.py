@@ -154,3 +154,93 @@ def test_bucketed_state_clears_fully_deleted_bucket(spark, tmp_path):
     kill = spark.createDataFrame([("D", 1, "a", 10)], schema=SCHEMA)
     store.merge_batch(kill, order_cols=["seq"])
     assert {r.id: r.val for r in store.read(spark).collect()} == {2: "b"}
+
+
+def test_watermarked_window_agg_matches_batch(spark, tmp_path):
+    """Streaming tumbling-window aggregation with a watermark, append
+    mode: only windows CLOSED by the final watermark (end <= max seen
+    event time - delay) are emitted — the still-open last hour is
+    withheld — and every emitted window's count matches the batch
+    answer. (Dropping of late rows is best-effort per the Spark
+    contract, so it is not asserted.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    src = tmp_path / "evsrc"
+    out_dir = tmp_path / "evout"
+    os.makedirs(src)
+    rows = []
+    for h in range(3):
+        for i in range(20):
+            rows.append((h * 20 + i, f"2026-01-01 {h:02d}:{i:02d}:00", "click" if i % 2 else "view"))
+    # second file arrives "late": events for hour 0 after hour 2 was seen
+    pq.write_table(
+        pa.table({
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+        }),
+        str(src / "e1.parquet"),
+    )
+    late = [(999, "2026-01-01 00:59:00", "late")]
+    pq.write_table(
+        pa.table({
+            "event_id": [r[0] for r in late],
+            "ts": [r[1] for r in late],
+            "event_type": [r[2] for r in late],
+        }),
+        str(src / "e2.parquet"),
+    )
+    os.utime(str(src / "e1.parquet"), (1000, 1000))
+    os.utime(str(src / "e2.parquet"), (2000, 2000))
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "evck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["w"]["start"].isoformat(), r["event_type"]): r["count"]
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    batch = (
+        spark.read.schema(schema).parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    want = {
+        (r["w"]["start"].isoformat(), r["event_type"]): r["count"]
+        for r in batch.collect()
+    }
+    # final watermark = 02:19 - 10 min = 02:09: the hour-2 window
+    # (end 03:00) is still open -> append mode withholds it
+    assert not any(k[0].startswith("2026-01-01T02") for k in got), got
+    assert any(k[0].startswith("2026-01-01T02") for k in want)
+    # every emitted (closed) window matches the batch count exactly
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want.get(k))
+    # hours 0 and 1 are fully present
+    for h in ("2026-01-01T00:00:00", "2026-01-01T01:00:00"):
+        for et in ("click", "view"):
+            assert (h, et) in got
