@@ -192,7 +192,8 @@ def q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(value*1000) is)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    # integer div, not `/`: double division of ns epochs drifts 1 us
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
     win = F.window(ts, "1 hour")
     return (
         e.select(win.alias("w"), "event_type", "user_id", "value")
@@ -204,6 +205,28 @@ def q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_milli_sum"
             ),
         )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap —
+    ``F.session_window`` (the streaming-native session operator, run in
+    batch mode). Spark's session interval is half-open: an event at
+    exactly previous_ts + gap starts a NEW session; the DuckDB
+    gaps-and-islands oracle mirrors that with ``diff >= gap``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer div, not `/`: double division of ns epochs drifts 1 us
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        e.select("user_id", ts.alias("ts"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_n"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "events_n")
     )
 
 
@@ -520,6 +543,24 @@ ORACLE_SQL_LLM: dict[str, str] = {
         FROM events
         GROUP BY window_start, event_type
     """,
+    "events_sessionize": """
+        WITH m AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS events_n
+        FROM s GROUP BY user_id, sid
+    """,
     "mm_binary_stats": """
         SELECT doc_id AS media_id, 'blob' AS kind,
                octet_length(encode(text)) AS n_bytes,
@@ -541,6 +582,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "docs_curation_pipeline": q_docs_curation_pipeline,
     "events_tumbling_counts": q_events_tumbling_counts,
+    "events_sessionize": q_events_sessionize,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "mm_binary_stats": q_mm_binary_stats,
