@@ -250,6 +250,24 @@ def q_q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (grouping-sets family): order counts and exact
+    integer-cent totals per (status, priority), per status, and grand
+    total, disambiguated by grouping_id — same bitmask as DuckDB's
+    GROUPING(a, b)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("orders_n"),
+            (F.sum(cents).cast("double") / 100).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "orders_n", "total_price")
+    )
+
+
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped 6-table join: revenue per ASIA nation from
     orders supplied locally (customer and supplier share a nation).
@@ -466,6 +484,15 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 10
     """,
+    "orders_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS orders_n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
     "q5_local_supplier_volume": """
         SELECT n_name,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -505,6 +532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_customers": q_q3_top_customers,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "orders_rollup": q_orders_rollup,
 }
 
 QUERIES.update(QUERIES_LLM)

@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The escape hatch for stateful logic the built-in aggregations can't
+express (per-key custom accumulators, decaying counters, cross-event
+feature state). State lives in Spark's state store (checkpointed,
+partitioned by key — scales horizontally like any keyed state);
+batches arrive Arrow-vectorized per key group.
+
+``running_profile`` is the reference shape: per key it maintains
+(event count, value sum, last event time) across microbatches and
+emits the updated profile every batch — the building block for
+online feature tables over CDC/event streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("events_n", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_ts", T.StringType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("events_n", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_ts", T.StringType()),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, vsum, last = state.get if state.exists else (0, 0.0, "")
+    for pdf in pdfs:
+        n += len(pdf)
+        vsum += float(pdf["value"].sum())
+        mx = str(pdf["ts"].max())
+        last = max(last, mx)
+    state.update((n, vsum, last))
+    yield pd.DataFrame(
+        {"key": [key[0]], "events_n": [n], "value_sum": [vsum], "last_ts": [last]}
+    )
+
+
+def running_profile(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running (count, value sum, last ts) over a stream of
+    (key, ts string, value double) — one state entry per key, updated
+    and emitted each microbatch the key appears in."""
+    keyed = events.selectExpr(
+        f"{key_col} as key", "cast(ts as string) as ts", "value"
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

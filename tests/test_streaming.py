@@ -244,3 +244,67 @@ def test_watermarked_window_agg_matches_batch(spark, tmp_path):
     for h in ("2026-01-01T00:00:00", "2026-01-01T01:00:00"):
         for et in ("click", "view"):
             assert (h, et) in got
+
+
+def test_apply_in_pandas_with_state_running_profile(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-key
+    running profiles accumulate across microbatches; the final emit per
+    key equals the batch aggregate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.streaming.stateful import running_profile
+
+    src = tmp_path / "stsrc"
+    os.makedirs(src)
+    f1 = [(1, "2026-01-01 00:00:00", 1.0), (2, "2026-01-01 00:01:00", 2.0),
+          (1, "2026-01-01 00:02:00", 3.0)]
+    f2 = [(1, "2026-01-01 00:03:00", 4.0), (3, "2026-01-01 00:04:00", 5.0)]
+    for name, rows, mt in (("a.parquet", f1, 1000), ("b.parquet", f2, 2000)):
+        pq.write_table(
+            pa.table({
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }),
+            str(src / name),
+        )
+        os.utime(str(src / name), (mt, mt))
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    emitted = []
+
+    def sink(batch, epoch):
+        emitted.extend((epoch, r) for r in batch.collect())
+
+    q = (
+        running_profile(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "stck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {}
+    for _epoch, r in emitted:
+        final[r.key] = (r.events_n, r.value_sum, r.last_ts)
+    assert final == {
+        1: (3, 8.0, "2026-01-01 00:03:00"),
+        2: (1, 2.0, "2026-01-01 00:01:00"),
+        3: (1, 5.0, "2026-01-01 00:04:00"),
+    }
+    # key 1 appeared in both microbatches: its state really accumulated
+    key1_emits = [r.events_n for _e, r in emitted if r.key == 1]
+    assert key1_emits == [2, 3]
