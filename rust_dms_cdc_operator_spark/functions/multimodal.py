@@ -108,3 +108,72 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, out_schema)
+
+
+def _stub_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake for an image resize (PIL absent): keeps the
+    plumbing honest — output is a byte payload derived from the input
+    and target geometry. A real impl decodes, resizes, re-encodes."""
+    if payload is None:
+        return b""
+    head = payload[: min(len(payload), 16)]
+    return b"RSZ|%dx%d|" % (w, h) + head
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched media resize: same (media_id, payload, meta)
+    contract in and out, so resize stages compose/pipeline with decode
+    and feature extraction. The codec is stubbed (no image libs in
+    this container); swap ``_stub_resize`` for a PIL/libvips call —
+    the batch shape, schema, and partitioning stay identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda p: _stub_resize(p, width, height)
+            )
+            out["meta"] = [
+                {"kind": (m["kind"] if m is not None else None),
+                 "n_bytes": len(p)}
+                for m, p in zip(out["meta"], out["payload"])
+            ]
+            yield out
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Video-style frame sampling plumbing: one input blob → N frame
+    rows (media_id, frame_idx, frame payload). The sampler is a
+    deterministic byte-stride stub standing in for an ffmpeg/pyav
+    keyframe extractor; the EXPLODING row shape — the part Spark has
+    to plan for (fan-out, per-frame downstream ops) — is real."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(max_frames):
+                    off = i * every_n_bytes
+                    if off >= len(payload):
+                        break
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(batches, out_schema)

@@ -201,3 +201,29 @@ def test_multimodal_plumbing(spark, docs):
     assert feats[1].n_bytes == len("the cat sat on the mat")
     assert feats[1].first_byte == ord("t")
     assert feats[1].kind == "text-blob"
+
+
+def test_multimodal_resize_and_frame_sampling(spark, docs):
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        resize_media,
+        sample_frames,
+        with_media_columns,
+    )
+
+    media = with_media_columns(docs, "doc_id", "text", kind="img")
+    resized = resize_media(media, 64, 64)
+    # contract-preserving: same fields/types (modulo nullability), so
+    # stages compose
+    assert resized.dtypes == media.dtypes
+    r = {x.media_id: x for x in resized.collect()}
+    assert r[1].payload.startswith(b"RSZ|64x64|")
+    assert r[1].meta.kind == "img"
+    assert r[1].meta.n_bytes == len(r[1].payload)
+
+    frames = sample_frames(media, every_n_bytes=8, max_frames=3).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.media_id, []).append(f)
+    # doc 1 text is 22 bytes -> frames at offsets 0, 8, 16
+    assert [f.frame_idx for f in sorted(by_doc[1], key=lambda f: f.frame_idx)] == [0, 1, 2]
+    assert by_doc[1][0].frame == b"the cat "
