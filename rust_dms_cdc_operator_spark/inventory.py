@@ -234,16 +234,21 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + aggregate + top-k: revenue per BUILDING-segment customer.
-    The two dimension joins are broadcast (small sides)."""
+
+    orders and customer are fact-proportional (they grow with the data),
+    so NO broadcast hints here — AQE picks the join strategy at runtime
+    and may still broadcast when a side is genuinely small at the current
+    scale. tests/test_plans.py gates that no user-forced BroadcastExchange
+    sits on the orders/customer side."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         100 - F.round(F.col("l_discount") * 100).cast("long")
     )
-    joined = li.join(
-        F.broadcast(o), li.l_orderkey == o.o_orderkey
-    ).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
     agg = joined.groupBy("c_custkey", "c_name").agg(
         (F.sum(rev).cast("double") / 10000).alias("revenue")
     )

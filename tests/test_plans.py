@@ -39,12 +39,18 @@ def test_w1_compaction_single_shuffle(spark):
     assert count_exchanges(df) == 1
 
 
-def test_q3_dimension_joins_broadcast(spark):
-    df = QUERIES["q3_top_customers"](spark, SF_DIR)
-    assert count_broadcast_joins(df) == 2
-    # broadcast joins mean the only hash exchange is the final groupBy
-    # (+ the top-k single partition)
-    assert count_exchanges(df) <= 2
+def test_q3_no_forced_fact_broadcasts(spark):
+    """orders/customer grow with the data — q3 must not carry user
+    broadcast hints on them. With size-based broadcasting disabled,
+    any BroadcastExchange left in the plan can only come from a hint,
+    so the gate is simply: zero."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q3_top_customers"](spark, SF_DIR)
+        assert count_broadcast_joins(df) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_q1_aggregation_plan(spark):
