@@ -240,11 +240,14 @@ def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- streaming
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming replay of the events table (availableNow →
-    foreachBatch merge); result must equal the batch W1 compaction, so
-    it shares the w1 oracle."""
+    foreachBatch merge into the bucketed incremental state table, so a
+    microbatch costs O(touched buckets), never O(total state)); result
+    must equal the batch W1 compaction, so it shares the w1 oracle."""
     from pyspark.sql import types as T  # noqa: PLC0415
 
-    from rust_dms_cdc_operator_spark.streaming.cdc_stream import stream_replay
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        stream_replay_bucketed,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
@@ -268,7 +271,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="cdc_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
     state_dir = tempfile.mkdtemp(prefix="cdc_stream_state_")
-    final = stream_replay(
+    final = stream_replay_bucketed(
         spark,
         src_dir,
         schema,

@@ -84,6 +84,18 @@ class BucketedParquetState:
     def exists(self) -> bool:
         return os.path.exists(self.path)
 
+    def _live_buckets(self) -> set[int]:
+        """Bucket partitions currently on disk. A state dir can exist
+        with zero buckets (every key deleted) — reading it as parquet
+        would fail schema inference, so callers gate on this."""
+        if not self.exists():
+            return set()
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Full current state (no DMS/bookkeeping columns)."""
         return spark.read.parquet(self.path).drop(BUCKET_COL)
@@ -107,7 +119,7 @@ class BucketedParquetState:
             if not touched:  # empty microbatch
                 return
             upserts = last.filter(F.col(op_col) != "D").select(*data_cols, BUCKET_COL)
-            if self.exists():
+            if self._live_buckets() & set(touched):
                 state = spark.read.parquet(self.path).filter(
                     F.col(BUCKET_COL).isin(touched)  # partition-pruned read
                 )
@@ -117,28 +129,31 @@ class BucketedParquetState:
                 merged = survivors.unionByName(upserts)
             else:
                 merged = upserts
-            merged = merged.persist()
-            written = [
-                r[BUCKET_COL]
-                for r in merged.select(BUCKET_COL).distinct().collect()
-            ]
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path)
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-                merged.unpersist()
-            # dynamic overwrite only replaces partitions PRESENT in the
-            # output: a bucket whose every key was deleted this batch
-            # produces no rows, so its stale partition must be cleared
-            # explicitly (idempotent on batch retry — the anti-join
-            # re-derives the same empty bucket)
-            for b in set(touched) - set(written):
-                shutil.rmtree(
-                    os.path.join(self.path, f"{BUCKET_COL}={b}"),
-                    ignore_errors=True,
-                )
+            # Stage the merged buckets in a sibling directory FIRST: the
+            # staging write is a fully-completed job before any byte of
+            # the live state moves, so the plan reading self.path can
+            # never observe its own overwrite — lineage is broken by
+            # materialization, not by best-effort caching. Then swap
+            # each touched bucket in with a same-filesystem rename.
+            # A crash mid-swap leaves a mix of old/new buckets; the
+            # checkpoint replays the batch and the merge is idempotent
+            # per bucket (anti-join + upserts re-derive the same rows),
+            # so at-least-once replay converges. On an object store this
+            # whole method maps to a transactional MERGE (Delta/Iceberg)
+            # instead — renames are the local-parquet commit protocol.
+            staging = f"{self.path}.staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            os.makedirs(self.path, exist_ok=True)
+            for b in touched:
+                live = os.path.join(self.path, f"{BUCKET_COL}={b}")
+                staged = os.path.join(staging, f"{BUCKET_COL}={b}")
+                shutil.rmtree(live, ignore_errors=True)
+                # a bucket whose every key was deleted this batch has no
+                # staged dir — removing the live dir above is the commit
+                if os.path.exists(staged):
+                    os.rename(staged, live)
+            shutil.rmtree(staging, ignore_errors=True)
         finally:
             last.unpersist()
 
@@ -190,6 +205,7 @@ def stream_replay(
     op_col: str = DMS_OP_COL,
     max_files_per_trigger: int | None = None,
     transform=None,
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Replay a directory of CDC parquet as a stream into a parquet
     state table; returns the final state DataFrame.
@@ -197,32 +213,22 @@ def stream_replay(
     Uses ``availableNow`` so the call is synchronous (drains whatever
     exists, then stops) — the 24/7 deployment drops the trigger and
     keeps the query running.
+
+    Delegates to :func:`stream_replay_bucketed`: the bucketed
+    incremental state (O(touched buckets) per microbatch) is the only
+    state backend. The earlier full-rewrite versioned store was
+    O(total state) per batch — a scale-killer for a 24/7 stream — and
+    was removed in favor of this.
     """
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
-    if transform is not None:
-        stream = transform(stream)
-
-    versions = {"n": 0}
-
-    def handle(batch: DataFrame, _epoch: int) -> None:
-        cur = os.path.join(state_dir, f"v{versions['n']}")
-        nxt = os.path.join(state_dir, f"v{versions['n'] + 1}")
-        state = batch.sparkSession.read.parquet(cur) if os.path.exists(cur) else None
-        merged = apply_cdc_batch(state, batch, pk_cols, order_cols, op_col)
-        merged.write.mode("overwrite").parquet(nxt)
-        versions["n"] += 1
-        if state is not None:
-            shutil.rmtree(cur, ignore_errors=True)
-
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
+    return stream_replay_bucketed(
+        spark,
+        source_dir,
+        schema,
+        pk_cols,
+        order_cols,
+        state_dir,
+        op_col=op_col,
+        num_buckets=num_buckets,
+        max_files_per_trigger=max_files_per_trigger,
+        transform=transform,
     )
-    q.awaitTermination()
-    final = os.path.join(state_dir, f"v{versions['n']}")
-    return spark.read.parquet(final)

@@ -75,10 +75,12 @@ def test_stream_delete_then_reinsert(spark, tmp_path):
     assert {r.id: r.val for r in final.collect()} == {1: "x2"}
 
 
-def test_bucketed_state_matches_versioned(spark, tmp_path):
-    """The incremental bucketed state table must produce the same final
-    state as the full-rewrite versioned store."""
+def test_incremental_stream_matches_single_batch_apply(spark, tmp_path):
+    """Multi-microbatch incremental replay through the bucketed state
+    must equal applying the whole event log as ONE batch (the batch
+    compaction semantics the w1 oracle checks)."""
     from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        apply_cdc_batch,
         stream_replay_bucketed,
     )
 
@@ -94,9 +96,8 @@ def test_bucketed_state_matches_versioned(spark, tmp_path):
         [("U", 5, "upd", 100), ("D", 6, "x", 101), ("I", 99, "new", 102)],
         mtime=2000,
     )
-    a = stream_replay(
-        spark, str(src), SCHEMA, ["id"], ["seq"], str(tmp_path / "sv"),
-        max_files_per_trigger=1,
+    a = apply_cdc_batch(
+        None, spark.read.schema(SCHEMA).parquet(str(src)), ["id"], ["seq"]
     )
     b = stream_replay_bucketed(
         spark, str(src), SCHEMA, ["id"], ["seq"], str(tmp_path / "sb"),
