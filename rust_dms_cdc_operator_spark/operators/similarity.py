@@ -102,7 +102,14 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact cosine over bounded candidates
     (same block + id gap bound — swap in LSH buckets as the block at
-    scale). Returns (id_a, id_b, cos_sim)."""
+    scale). Returns (id_a, id_b, cos_sim).
+
+    Never cartesian: with a ``block_col`` the candidates come from a
+    blocked equi-join; without one, the id-gap bound IS the blocking
+    key — each left row explodes its ≤``max_id_gap`` candidate ids
+    (``explode(sequence(...))``) and equi-joins them, which is linear
+    in rows×gap and shuffle-partitionable, where the old
+    crossJoin-then-filter was quadratic."""
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col:
         cols.append(F.col(block_col))
@@ -118,10 +125,21 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
     )
-    pairs = (a.join(b, join_keys) if join_keys else a.crossJoin(b)).filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("id_b") - F.col("id_a") <= max_id_gap)
-    )
+    if join_keys:
+        pairs = a.join(b, join_keys).filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("id_b") - F.col("id_a") <= max_id_gap)
+        )
+    else:
+        cand = a.withColumn(
+            "id_b",
+            F.explode(
+                F.sequence(
+                    F.col("id_a") + 1, F.col("id_a") + F.lit(max_id_gap)
+                )
+            ),
+        )
+        pairs = cand.join(b, "id_b")
     cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits)
     return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= min_cosine

@@ -169,6 +169,36 @@ def test_embedding_neardup_pairs(spark):
     assert out == {(1, 2): 1.0}
 
 
+def test_embedding_neardup_no_block_is_not_cartesian(spark):
+    """block_col=None must keep crossJoin-free plans: the id-gap bound
+    becomes an explode(sequence) equi-join with identical results to
+    the quadratic definition (all pairs with 0 < id_b-id_a <= gap)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (7, [1.0, 0.1]),   # gap 4 from 3: only candidate within gap=5
+        (20, [1.0, 0.0]),  # beyond every gap window
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(
+        df, "vec_id", "embedding", block_col=None, max_id_gap=5,
+        min_cosine=-1.0,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r.id_a, r.id_b): r.cos_sim for r in pairs.collect()}
+    # quadratic reference semantics, computed in python
+    import itertools
+    from rust_dms_cdc_operator_spark.operators.similarity import _py_cosine
+    want = {
+        (a_id, b_id): round(_py_cosine(a_v, b_v), 6)
+        for (a_id, a_v), (b_id, b_v) in itertools.combinations(rows, 2)
+        if 0 < b_id - a_id <= 5
+    }
+    assert got == want
+
+
 def test_langid_and_quality(spark, docs):
     out = {r.doc_id: r.pred for r in docs.select(
         "doc_id", langid_expr(F.col("text")).alias("pred")
