@@ -168,6 +168,104 @@ def ivf_assign(
     return (-best["ni"]).cast("int")
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+    round_digits: int = 4,
+) -> list[list[float]]:
+    """Train IVF centroids with pyspark.ml KMeans (distributed Lloyd).
+
+    Vectors are L2-normalized before training so Euclidean KMeans
+    clusters *directions* — consistent with the cosine-based list
+    assignment in :func:`ivf_assign`. Returned centroids are rounded
+    (default 4 digits) so downstream queries are stable against the
+    low-order float-summation jitter that different partition layouts
+    introduce in the distributed aggregation.
+    """
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    feats = (
+        df.select(_as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", norm(F.col("v")))
+        .select(
+            array_to_vector(
+                F.transform("v", lambda x: x / F.col("n"))
+            ).alias("features")
+        )
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feats)
+    return [
+        [round(float(x), round_digits) for x in c]
+        for c in model.clusterCenters()
+    ]
+
+
+IVF_LIST_COL = "ivf_list"
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroid_vecs: list[list[float]],
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Materialize the IVF list assignment as the table's write-side
+    partition key. At 100 TB this is the deployment shape: a probe
+    reads nprobe/n_lists of the files via partition pruning at the
+    scan instead of filtering a full pass."""
+    df.withColumn(
+        IVF_LIST_COL, ivf_assign(F.col(vec_col), centroid_vecs, round_digits)
+    ).write.mode("overwrite").partitionBy(IVF_LIST_COL).parquet(path)
+
+
+def _nearest_centroids(
+    query_vec: list[float],
+    centroid_vecs: list[list[float]],
+    nprobe: int,
+    round_digits: int,
+) -> list[int]:
+    """The nprobe list ids nearest the query (driver-side constants;
+    ties break to the lowest centroid index, matching ivf_assign)."""
+    sims = sorted(
+        (
+            (round(_py_cosine(query_vec, c), round_digits), -i)
+            for i, c in enumerate(centroid_vecs)
+        ),
+        reverse=True,
+    )
+    return [-ni for _, ni in sims[:nprobe]]
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroid_vecs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF probe against a :func:`write_ivf_partitioned` table: the
+    list filter is a partition filter, so the scan touches only the
+    probed directories."""
+    probe_ids = _nearest_centroids(
+        query_vec, centroid_vecs, nprobe, round_digits or 6
+    )
+    candidates = spark.read.parquet(path).filter(
+        F.col(IVF_LIST_COL).isin(probe_ids)
+    )
+    return cosine_topk(candidates, query_vec, id_col, vec_col, k, round_digits)
+
+
 def _py_cosine(a: list[float], b: list[float]) -> float:
     """Driver-side cosine with the same sequential-fold order as
     ``dot``/``norm`` (bit-reproducible against the JVM fold)."""
@@ -205,14 +303,9 @@ def ivf_topk(
     operator provides. Deterministic given the centroids, so
     oracle-checkable end to end.
     """
-    sims = sorted(
-        (
-            (round(_py_cosine(query_vec, c), round_digits or 6), -i)
-            for i, c in enumerate(centroid_vecs)
-        ),
-        reverse=True,
+    probe_ids = _nearest_centroids(
+        query_vec, centroid_vecs, nprobe, round_digits or 6
     )
-    probe_ids = [-ni for _, ni in sims[:nprobe]]
     assign = ivf_assign(F.col(vec_col), centroid_vecs, round_digits or 6)
     candidates = df.filter(assign.isin(probe_ids))
     return cosine_topk(candidates, query_vec, id_col, vec_col, k, round_digits)

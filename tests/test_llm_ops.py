@@ -155,6 +155,81 @@ def test_ivf_topk_probes_nearest_lists(spark):
     assert len(probed) <= 3
 
 
+def _clustered_vectors(n_clusters=8, per_cluster=40, dim=16, noise=0.15):
+    """Deterministic clustered embeddings: unit-ish cluster directions
+    plus small noise — the regime IVF is built for (the synthetic
+    embeddings table is near-uniform, where ANN recall is provably
+    poor for every indexing scheme)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 1
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + noise * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    query = centers[0] + noise * rng.randn(dim)
+    return rows, [float(x) for x in query]
+
+
+def test_trained_ivf_recall(spark, tmp_path):
+    """KMeans-trained centroids (seed-fixed) must give recall@10 >= 0.8
+    vs the exact scan at nprobe=2 on clustered data, and the
+    partitioned write must prune the scan to the probed lists."""
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+
+    rows, query = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(df, "embedding", n_lists=8, seed=42)
+    exact = [r.vec_id for r in cosine_topk(df, query, k=10).collect()]
+    approx = [
+        r.vec_id for r in ivf_topk(df, query, cents, k=10, nprobe=2).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, recall
+
+    # materialized assignment: probe prunes partitions at the scan
+    path = str(tmp_path / "ivf_table")
+    write_ivf_partitioned(df, path, cents)
+    part = ivf_topk_partitioned(spark, path, query, cents, k=10, nprobe=2)
+    assert [r.vec_id for r in part.collect()] == approx
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_list" in plan.replace("#", " #").replace(
+        "ivf_list #", "ivf_list#"
+    ) or "ivf_list" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+
+def test_trained_centroids_deterministic(spark):
+    """Same data layout + seed -> identical rounded centroids across
+    independent fits (the property the sim_ivf_trained oracle depends
+    on: the driver reads the same parquet file, so the layout is
+    fixed; cross-LAYOUT determinism is explicitly not claimed —
+    KMeans|| init samples per partition)."""
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rows, _ = _clustered_vectors(n_clusters=4, per_cluster=20)
+    a = train_ivf_centroids(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        "embedding", n_lists=4, seed=42,
+    )
+    b = train_ivf_centroids(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        "embedding", n_lists=4, seed=42,
+    )
+    assert a == b
+
+
 def test_embedding_neardup_pairs(spark):
     rows = [
         (1, [1.0, 0.0], 0),

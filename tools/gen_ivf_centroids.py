@@ -1,0 +1,40 @@
+"""Regenerate the trained-IVF centroid literals embedded in
+inventory_llm.py's sim_ivf_trained oracle.
+
+The correctness driver compares Spark vs DuckDB at sf0.01, and the
+oracle SQL must be a static string — so the seed-42 KMeans centroids
+for sf0.01 are trained here once and pasted as a module constant.
+Training is deterministic (verified across local[4]/local[32]): same
+data + seed + rounding → identical centroids, so the live-trained
+query reproduces these values exactly.
+
+Usage: python tools/gen_ivf_centroids.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F
+
+from rust_dms_cdc_operator_spark.operators.similarity import (
+    train_ivf_centroids,
+)
+from rust_dms_cdc_operator_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="gen-ivf-centroids")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") > 0
+    )
+    cents = train_ivf_centroids(e, "embedding", n_lists=8, seed=42)
+    print("_IVF_TRAINED_CENTROIDS_SF001 = [")
+    for c in cents:
+        print(f"    {c},")
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
