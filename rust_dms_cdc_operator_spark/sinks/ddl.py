@@ -61,14 +61,29 @@ def quote_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def quote_literal(value: str) -> str:
+    """Escape a string for a single-quoted SQL literal context (the
+    catalog queries interpolate config-supplied names into literals;
+    the data path is parameterized and never needs this)."""
+    return "'" + value.replace("'", "''") + "'"
+
+
+def qualify(schema: str, table: str) -> str:
+    """Quoted ``"schema"."table"``. Every statement this module emits
+    quotes identifiers the same way, so a mixed-case or reserved-word
+    column that succeeds at staging can never fail at merge (unquoted
+    names would be case-folded by the server)."""
+    return f"{quote_ident(schema)}.{quote_ident(table)}"
+
+
 def create_schema_sql(schema: str) -> str:
     """table_query.rs:62-71."""
-    return f"CREATE SCHEMA IF NOT EXISTS {schema}"
+    return f"CREATE SCHEMA IF NOT EXISTS {quote_ident(schema)}"
 
 
 def drop_schema_sql(schema: str) -> str:
     """table_query.rs:89-98."""
-    return f"DROP SCHEMA IF EXISTS {schema} CASCADE"
+    return f"DROP SCHEMA IF EXISTS {quote_ident(schema)} CASCADE"
 
 
 def create_table_sql(
@@ -84,18 +99,22 @@ def create_table_sql(
         items = [(f.name, pg_type_for(f.dataType)) for f in columns.fields]
     else:
         items = list(columns.items())
-    cols = ", ".join(f"{name} {typ}" for name, typ in items)
-    pk = f", PRIMARY KEY ({', '.join(primary_keys)})" if primary_keys else ""
-    return f"CREATE TABLE IF NOT EXISTS {schema}.{table} ({cols}{pk})"
+    cols = ", ".join(f"{quote_ident(name)} {typ}" for name, typ in items)
+    pk = (
+        f", PRIMARY KEY ({', '.join(quote_ident(c) for c in primary_keys)})"
+        if primary_keys
+        else ""
+    )
+    return f"CREATE TABLE IF NOT EXISTS {qualify(schema, table)} ({cols}{pk})"
 
 
 def insert_sql(schema: str, table: str, columns: Sequence[str]) -> str:
     """Parameterized single-row INSERT (executemany/batch does the
     chunking the reference hand-rolls at postgres_operator_impl.rs:
     246-302)."""
-    cols = ", ".join(columns)
+    cols = ", ".join(quote_ident(c) for c in columns)
     ph = ", ".join(["%s"] * len(columns))
-    return f"INSERT INTO {schema}.{table} ({cols}) VALUES ({ph})"
+    return f"INSERT INTO {qualify(schema, table)} ({cols}) VALUES ({ph})"
 
 
 def upsert_sql(
@@ -107,9 +126,11 @@ def upsert_sql(
     if not primary_keys:
         return base
     updates = ", ".join(
-        f"{c} = EXCLUDED.{c}" for c in columns if c not in primary_keys
+        f"{quote_ident(c)} = EXCLUDED.{quote_ident(c)}"
+        for c in columns
+        if c not in primary_keys
     )
-    conflict = ", ".join(primary_keys)
+    conflict = ", ".join(quote_ident(c) for c in primary_keys)
     if not updates:
         return f"{base} ON CONFLICT ({conflict}) DO NOTHING"
     return f"{base} ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
@@ -117,9 +138,9 @@ def upsert_sql(
 
 def delete_sql(schema: str, table: str, primary_keys: Sequence[str]) -> str:
     """Keyed delete, composite-PK capable (table_query.rs:37-47)."""
-    cols = ", ".join(primary_keys)
+    cols = ", ".join(quote_ident(c) for c in primary_keys)
     ph = ", ".join(["%s"] * len(primary_keys))
-    return f"DELETE FROM {schema}.{table} WHERE ({cols}) = ({ph})"
+    return f"DELETE FROM {qualify(schema, table)} WHERE ({cols}) = ({ph})"
 
 
 def staging_merge_sql(
@@ -133,15 +154,21 @@ def staging_merge_sql(
     Spark bulk-writes the compacted frame to ``staging_table`` via JDBC
     (parallel, batched), then ONE server-side statement applies it.
     Row-at-a-time upserts (the reference's loop) never touch the data
-    path."""
-    cols = ", ".join(columns)
-    conflict = ", ".join(primary_keys)
+    path.
+
+    ``staging_table`` is used verbatim — callers pass an
+    already-qualified/quoted name (PostgresSink builds it with
+    ``qualify``)."""
+    cols = ", ".join(quote_ident(c) for c in columns)
+    conflict = ", ".join(quote_ident(c) for c in primary_keys)
     updates = ", ".join(
-        f"{c} = EXCLUDED.{c}" for c in columns if c not in primary_keys
+        f"{quote_ident(c)} = EXCLUDED.{quote_ident(c)}"
+        for c in columns
+        if c not in primary_keys
     )
     action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
     return (
-        f"INSERT INTO {schema}.{table} ({cols}) "
+        f"INSERT INTO {qualify(schema, table)} ({cols}) "
         f"SELECT {cols} FROM {staging_table} "
         f"ON CONFLICT ({conflict}) {action}"
     )

@@ -136,7 +136,7 @@ class PostgresSink:
         (
             df.write.mode("append")
             .option("batchsize", str(batch))
-            .jdbc(self.url, f"{schema}.{table}", properties=self.properties)
+            .jdbc(self.url, ddl.qualify(schema, table), properties=self.properties)
         )
 
     def upsert(
@@ -148,7 +148,7 @@ class PostgresSink:
         staging_table: str | None = None,
     ) -> None:
         """S8 upserts: bulk-stage then one set-based ON CONFLICT merge."""
-        staging = staging_table or f"{schema}.{table}__stage"
+        staging = staging_table or ddl.qualify(schema, f"{table}__stage")
         self._stage(df, staging)
         self.run_sql(
             df.sparkSession,
@@ -165,11 +165,14 @@ class PostgresSink:
         staging_table: str | None = None,
     ) -> None:
         """S8 deletes: stage the PK tuples, one server-side keyed DELETE."""
-        staging = staging_table or f"{schema}.{table}__delstage"
+        staging = staging_table or ddl.qualify(schema, f"{table}__delstage")
         self._stage(keys.select(*primary_keys), staging)
-        on = " AND ".join(f"t.{c} = s.{c}" for c in primary_keys)
+        on = " AND ".join(
+            f"t.{ddl.quote_ident(c)} = s.{ddl.quote_ident(c)}"
+            for c in primary_keys
+        )
         self.run_sql(
             keys.sparkSession,
-            f"DELETE FROM {schema}.{table} t USING {staging} s WHERE {on}",
+            f"DELETE FROM {ddl.qualify(schema, table)} t USING {staging} s WHERE {on}",
         )
         self.run_sql(keys.sparkSession, f"DROP TABLE IF EXISTS {staging}")

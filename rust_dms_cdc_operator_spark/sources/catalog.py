@@ -15,24 +15,31 @@ from collections.abc import Sequence
 from pyspark.sql import SparkSession
 
 from rust_dms_cdc_operator_spark.payloads import TableMode
+from rust_dms_cdc_operator_spark.sinks.ddl import quote_ident, quote_literal
 
 
 def table_columns_sql(schema: str, table: str) -> str:
-    """table_query.rs:17-25 — ordered column name → data type."""
+    """table_query.rs:17-25 — ordered column name → data type.
+    Config-supplied names land in string-literal position, escaped via
+    quote_literal (the reference splices them raw)."""
     return (
         "SELECT column_name, data_type FROM information_schema.columns "
-        f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+        f"WHERE table_schema = {quote_literal(schema)} "
+        f"AND table_name = {quote_literal(table)} "
         "ORDER BY ordinal_position"
     )
 
 
 def primary_key_sql(schema: str, table: str) -> str:
-    """table_query.rs:48-61 — pg_index ⋈ pg_attribute on indisprimary."""
+    """table_query.rs:48-61 — pg_index ⋈ pg_attribute on indisprimary.
+    The regclass literal carries quoted identifiers, so mixed-case
+    names resolve and quotes cannot escape the literal."""
+    regclass = quote_literal(f"{quote_ident(schema)}.{quote_ident(table)}")
     return (
         "SELECT a.attname FROM pg_index i "
         "JOIN pg_attribute a ON a.attrelid = i.indrelid "
         "AND a.attnum = ANY(i.indkey) "
-        f"WHERE i.indrelid = '{schema}.{table}'::regclass AND i.indisprimary"
+        f"WHERE i.indrelid = {regclass}::regclass AND i.indisprimary"
     )
 
 
@@ -45,17 +52,17 @@ def tables_in_schema_sql(
     exclude list, else all tables in the schema."""
     base = (
         "SELECT table_name FROM information_schema.tables "
-        f"WHERE table_schema = '{schema}'"
+        f"WHERE table_schema = {quote_literal(schema)}"
     )
     mode = (
         TableMode.INCLUDE if included else
         TableMode.EXCLUDE if excluded else TableMode.ALL
     )
     if mode is TableMode.INCLUDE:
-        lst = ", ".join(f"'{t}'" for t in included)
+        lst = ", ".join(quote_literal(t) for t in included)
         return f"{base} AND table_name IN ({lst})"
     if mode is TableMode.EXCLUDE:
-        lst = ", ".join(f"'{t}'" for t in excluded)
+        lst = ", ".join(quote_literal(t) for t in excluded)
         return f"{base} AND table_name NOT IN ({lst})"
     return base
 

@@ -29,7 +29,20 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import datetime, timezone
+
+
+def parse_naive_utc(s: str) -> datetime:
+    """ISO date/datetime → naive UTC. The reference documents
+    ``%Y-%m-%dT%H:%M:%SZ`` dates (main.rs --start-date docs); Python
+    3.11+ parses the trailing ``Z`` as a tz-aware datetime, which
+    cannot be compared to the naive-UTC ``last_modified`` values the
+    listers produce — so aware inputs are converted to UTC and
+    stripped here."""
+    d = datetime.fromisoformat(s)
+    if d.tzinfo is not None:
+        d = d.astimezone(timezone.utc).replace(tzinfo=None)
+    return d
 
 
 @dataclass(frozen=True, order=True)
@@ -63,7 +76,7 @@ def date_start_key(
 ) -> str:
     """DateAware listing start key with zero-padded month/day
     (s3_operator.rs:145-154). ``start_date`` is ISO ``YYYY-MM-DD[T..]``."""
-    d = datetime.fromisoformat(start_date)
+    d = parse_naive_utc(start_date)
     return f"{table_prefix(s3_prefix, database, schema, table)}{d.year}/{d.month:02d}/{d.day:02d}/"
 
 
@@ -191,8 +204,8 @@ def build_manifest(
         raise ValueError(
             "start_date required in DATE_AWARE mode (cdc_operator.rs:116-118)"
         )
-    start = datetime.fromisoformat(start_date)
-    stop = datetime.fromisoformat(stop_date) if stop_date else None
+    start = parse_naive_utc(start_date)
+    stop = parse_naive_utc(stop_date) if stop_date else None
     files = lister(prefix, date_start_key(s3_prefix, database, schema, table, start_date))
     files = filter_by_date_window(files, start, stop)
     return classify_and_order(files, strict_reference_mode=strict_reference_mode)

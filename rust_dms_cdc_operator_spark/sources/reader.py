@@ -36,6 +36,38 @@ def _absolute(root: str, key: str) -> str:
     return os.path.join(root, key)
 
 
+def _max_partition_bytes(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:  # noqa: BLE001 - conf string fallback ("134217728b")
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        return int(digits or "134217728")
+
+
+def _check_csv_unsplit(spark: SparkSession, paths: list[str]) -> None:
+    """Enforce the CSV replay-order precondition instead of documenting
+    it: ``monotonically_increasing_id`` is only monotone with a file's
+    row order if the file maps to ONE input split (Spark orders splits
+    by size, not offset, so a split file scrambles ``_cdc_row_seq`` and
+    with it last-writer-wins compaction). Gzipped CSV is unsplittable;
+    plain CSV must fit in ``spark.sql.files.maxPartitionBytes``."""
+    limit = _max_partition_bytes(spark)
+    for p in paths:
+        if p.endswith(".gz") or not os.path.exists(p):
+            continue  # unsplittable / remote (checked server-side sizes n/a)
+        size = os.path.getsize(p)
+        if size > limit:
+            raise ValueError(
+                f"CSV file {p} is {size} bytes > "
+                f"spark.sql.files.maxPartitionBytes={limit}: it would be "
+                "split and its replay order scrambled. Raise the conf "
+                "above the largest CSV file (or gzip the drop)."
+            )
+
+
 def read_manifest(
     spark: SparkSession,
     root: str,
@@ -56,10 +88,11 @@ def read_manifest(
     pass ``csv_options={"header": "true"}`` otherwise) and has no
     ``_metadata.row_index``; the intra-file row sequence falls back to
     ``monotonically_increasing_id``, which is monotone within a file
-    as long as each CSV file maps to one input split — keep
-    ``spark.sql.files.maxPartitionBytes`` at/above the largest CSV
-    file for replay (DMS CDC files are small; the default 128 MB
-    comfortably covers them).
+    only when each CSV file maps to one input split — ENFORCED here:
+    an uncompressed CSV larger than
+    ``spark.sql.files.maxPartitionBytes`` raises instead of silently
+    scrambling replay order (DMS CDC files are small; the default
+    128 MB comfortably covers them).
     """
     if not files:
         raise ValueError("empty manifest")
@@ -74,6 +107,7 @@ def read_manifest(
     if fmt == "csv":
         if schema is None:
             raise ValueError("csv manifests require an explicit schema")
+        _check_csv_unsplit(spark, paths)
         for k, v in (csv_options or {}).items():
             reader = reader.option(k, v)
         df = reader.schema(schema).csv(list(paths)).withColumns(

@@ -185,3 +185,26 @@ def test_csv_drop_replay(spark, tmp_path):
         ).collect()
     }
     assert got == {1: "alice", 2: "bob2", 4: "dave2"}
+
+
+def test_csv_replay_rejects_splittable_oversize_file(spark, tmp_path, monkeypatch):
+    """A plain CSV larger than maxPartitionBytes would be split and its
+    replay order scrambled — the reader must refuse, not corrupt
+    (round-1 ADVICE: the precondition was documented, never enforced)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.sources import reader as reader_mod
+    from rust_dms_cdc_operator_spark.sources.manifest import ParquetFile
+
+    p = tmp_path / "big.csv"
+    p.write_text("I,2026-01-01 00:00:00,1,alice\n" * 100)
+    schema = T.StructType([T.StructField("Op", T.StringType())])
+    monkeypatch.setattr(
+        reader_mod, "_max_partition_bytes", lambda _s: 64
+    )
+    with pytest.raises(ValueError, match="maxPartitionBytes"):
+        reader_mod.read_manifest(
+            spark, str(tmp_path), [ParquetFile(key="big.csv")],
+            fmt="csv", schema=schema,
+        )

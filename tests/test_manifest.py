@@ -116,6 +116,38 @@ def test_mode_dispatch(tmp_path):
     assert [f.key for f in absolute] == ["x/y.parquet"]
 
 
+def test_date_aware_accepts_reference_zulu_format(tmp_path):
+    """The reference documents %Y-%m-%dT%H:%M:%SZ dates (main.rs
+    --start-date). Python 3.11+ parses the Z as tz-aware; comparisons
+    against naive-UTC mtimes must still work (round-1 ADVICE)."""
+    root = str(tmp_path)
+    cdc_fixtures.write_customers_cdc(root)
+    zulu = build_manifest(
+        mode=LoadMode.DATE_AWARE,
+        root=root,
+        database=cdc_fixtures.DB,
+        schema=cdc_fixtures.SCHEMA,
+        table="customers_cdc",
+        start_date="2000-01-01T00:00:00Z",
+        stop_date="2100-01-01T00:00:00Z",
+    )
+    naive = build_manifest(
+        mode=LoadMode.DATE_AWARE,
+        root=root,
+        database=cdc_fixtures.DB,
+        schema=cdc_fixtures.SCHEMA,
+        table="customers_cdc",
+        start_date="2000-01-01",
+    )
+    assert [f.key for f in zulu] == [f.key for f in naive]
+    # explicit-offset form normalizes to the same UTC instant
+    from rust_dms_cdc_operator_spark.sources.manifest import parse_naive_utc
+
+    assert parse_naive_utc("2024-01-02T03:00:00+01:00") == parse_naive_utc(
+        "2024-01-02T02:00:00Z"
+    )
+
+
 def test_date_aware_requires_start_date(tmp_path):
     with pytest.raises(ValueError, match="start_date"):
         build_manifest(mode=LoadMode.DATE_AWARE, root=str(tmp_path), table="t")

@@ -23,23 +23,23 @@ from rust_dms_cdc_operator_spark.sources.catalog import (
 
 
 def test_schema_ddl():
-    assert create_schema_sql("s") == "CREATE SCHEMA IF NOT EXISTS s"
-    assert drop_schema_sql("s") == "DROP SCHEMA IF EXISTS s CASCADE"
+    assert create_schema_sql("s") == 'CREATE SCHEMA IF NOT EXISTS "s"'
+    assert drop_schema_sql("s") == 'DROP SCHEMA IF EXISTS "s" CASCADE'
 
 
 def test_create_table_with_and_without_pk():
     cols = {"id": "bigint", "name": "text", "tags": "text[]"}
     assert create_table_sql(cols, ["id"], "s", "t") == (
-        "CREATE TABLE IF NOT EXISTS s.t "
-        "(id bigint, name text, tags text[], PRIMARY KEY (id))"
+        'CREATE TABLE IF NOT EXISTS "s"."t" '
+        '("id" bigint, "name" text, "tags" text[], PRIMARY KEY ("id"))'
     )
     # no PK → no PK clause (table_query.rs:79-83)
     assert create_table_sql(cols, [], "s", "t") == (
-        "CREATE TABLE IF NOT EXISTS s.t (id bigint, name text, tags text[])"
+        'CREATE TABLE IF NOT EXISTS "s"."t" ("id" bigint, "name" text, "tags" text[])'
     )
     # composite PK
     assert create_table_sql({"a": "bigint", "b": "int"}, ["a", "b"], "s", "t").endswith(
-        "PRIMARY KEY (a, b))"
+        'PRIMARY KEY ("a", "b"))'
     )
 
 
@@ -57,9 +57,9 @@ def test_create_table_from_struct_type_maps_spark_types():
         ]
     )
     assert create_table_sql(st, ["id"], "s", "t") == (
-        "CREATE TABLE IF NOT EXISTS s.t (id bigint, bal numeric(12,2), "
-        "score double precision, d date, ts timestamp, ok boolean, "
-        "tags text[], blob bytea, PRIMARY KEY (id))"
+        'CREATE TABLE IF NOT EXISTS "s"."t" ("id" bigint, "bal" numeric(12,2), '
+        '"score" double precision, "d" date, "ts" timestamp, "ok" boolean, '
+        '"tags" text[], "blob" bytea, PRIMARY KEY ("id"))'
     )
     # reference's ARRAY → text[] rewrite applies to any element type
     assert pg_type_for(T.ArrayType(T.LongType())) == "text[]"
@@ -67,27 +67,41 @@ def test_create_table_from_struct_type_maps_spark_types():
 
 def test_dml_statements():
     assert insert_sql("s", "t", ["a", "b"]) == (
-        "INSERT INTO s.t (a, b) VALUES (%s, %s)"
+        'INSERT INTO "s"."t" ("a", "b") VALUES (%s, %s)'
     )
     assert upsert_sql("s", "t", ["a", "b", "c"], ["a"]) == (
-        "INSERT INTO s.t (a, b, c) VALUES (%s, %s, %s) "
-        "ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b, c = EXCLUDED.c"
+        'INSERT INTO "s"."t" ("a", "b", "c") VALUES (%s, %s, %s) '
+        'ON CONFLICT ("a") DO UPDATE SET "b" = EXCLUDED."b", "c" = EXCLUDED."c"'
     )
     # PK-only table: DO NOTHING (no columns left to update)
-    assert upsert_sql("s", "t", ["a"], ["a"]).endswith("ON CONFLICT (a) DO NOTHING")
+    assert upsert_sql("s", "t", ["a"], ["a"]).endswith('ON CONFLICT ("a") DO NOTHING')
     # no PK → degenerates to plain insert (reference upsert requires PK)
     assert upsert_sql("s", "t", ["a", "b"], []) == insert_sql("s", "t", ["a", "b"])
     # composite-PK delete (table_query.rs:37-47)
     assert delete_sql("s", "t", ["a", "b"]) == (
-        "DELETE FROM s.t WHERE (a, b) = (%s, %s)"
+        'DELETE FROM "s"."t" WHERE ("a", "b") = (%s, %s)'
+    )
+
+
+def test_mixed_case_identifiers_quoted_everywhere():
+    """A mixed-case column that succeeds at staging must also merge:
+    every statement quotes identifiers identically (ADVICE round 1)."""
+    sql = staging_merge_sql("s", "T", '"s"."T__stage"', ["Id", "firstName"], ["Id"])
+    assert sql == (
+        'INSERT INTO "s"."T" ("Id", "firstName") '
+        'SELECT "Id", "firstName" FROM "s"."T__stage" '
+        'ON CONFLICT ("Id") DO UPDATE SET "firstName" = EXCLUDED."firstName"'
+    )
+    assert create_table_sql({"Id": "bigint"}, ["Id"], "s", "T") == (
+        'CREATE TABLE IF NOT EXISTS "s"."T" ("Id" bigint, PRIMARY KEY ("Id"))'
     )
 
 
 def test_staging_merge():
-    sql = staging_merge_sql("s", "t", "s.t__stage", ["a", "b"], ["a"])
+    sql = staging_merge_sql("s", "t", '"s"."t__stage"', ["a", "b"], ["a"])
     assert sql == (
-        "INSERT INTO s.t (a, b) SELECT a, b FROM s.t__stage "
-        "ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b"
+        'INSERT INTO "s"."t" ("a", "b") SELECT "a", "b" FROM "s"."t__stage" '
+        'ON CONFLICT ("a") DO UPDATE SET "b" = EXCLUDED."b"'
     )
 
 
@@ -98,7 +112,7 @@ def test_catalog_sql():
         "ORDER BY ordinal_position"
     )
     assert "indisprimary" in primary_key_sql("public", "c")
-    assert "'public.c'::regclass" in primary_key_sql("public", "c")
+    assert "'\"public\".\"c\"'::regclass" in primary_key_sql("public", "c")
     base = "SELECT table_name FROM information_schema.tables WHERE table_schema = 's'"
     assert tables_in_schema_sql("s") == base
     assert tables_in_schema_sql("s", included=["a", "b"]) == (
@@ -109,6 +123,16 @@ def test_catalog_sql():
     )
     # include wins when both given (snapshot_payload.rs:78-86)
     assert "IN ('a')" in tables_in_schema_sql("s", included=["a"], excluded=["x"])
+
+
+def test_catalog_sql_escapes_injection():
+    """Config values cannot break out of literal position (ADVICE)."""
+    evil = "x'; DROP TABLE users; --"
+    sql = table_columns_sql(evil, "t")
+    assert "DROP TABLE" in sql  # present, but inert inside the literal
+    assert "'x''; DROP TABLE users; --'" in sql
+    sql2 = tables_in_schema_sql("s", included=[evil])
+    assert "'x''; DROP TABLE users; --'" in sql2
 
 
 def test_throttle_config_env_parity():
