@@ -143,6 +143,25 @@ def delete_sql(schema: str, table: str, primary_keys: Sequence[str]) -> str:
     return f"DELETE FROM {qualify(schema, table)} WHERE ({cols}) = ({ph})"
 
 
+def staging_delete_sql(
+    schema: str,
+    table: str,
+    staging_table: str,
+    primary_keys: Sequence[str],
+) -> str:
+    """Set-based keyed delete from a staged PK table (the scale form
+    of table_query.rs:37-47's keyed delete): one server-side statement,
+    composite-PK capable. ``staging_table`` is used verbatim, like
+    :func:`staging_merge_sql`."""
+    on = " AND ".join(
+        f"t.{quote_ident(c)} = s.{quote_ident(c)}" for c in primary_keys
+    )
+    return (
+        f"DELETE FROM {qualify(schema, table)} t "
+        f"USING {staging_table} s WHERE {on}"
+    )
+
+
 def staging_merge_sql(
     schema: str,
     table: str,

@@ -167,12 +167,8 @@ class PostgresSink:
         """S8 deletes: stage the PK tuples, one server-side keyed DELETE."""
         staging = staging_table or ddl.qualify(schema, f"{table}__delstage")
         self._stage(keys.select(*primary_keys), staging)
-        on = " AND ".join(
-            f"t.{ddl.quote_ident(c)} = s.{ddl.quote_ident(c)}"
-            for c in primary_keys
-        )
         self.run_sql(
             keys.sparkSession,
-            f"DELETE FROM {ddl.qualify(schema, table)} t USING {staging} s WHERE {on}",
+            ddl.staging_delete_sql(schema, table, staging, primary_keys),
         )
         self.run_sql(keys.sparkSession, f"DROP TABLE IF EXISTS {staging}")

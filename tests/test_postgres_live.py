@@ -1,0 +1,186 @@
+"""Live-Postgres contract tests for the SQL this engine emits.
+
+Round-1 verdict: the pg_index PK query (S14) and the ON CONFLICT
+merge SQL had never executed against real Postgres (the DuckDB JDBC
+stand-in has no pg_index). This container ships PostgreSQL 15
+binaries, so these tests initdb a scratch cluster (as an unprivileged
+user — postgres refuses root), drive it over a unix socket with psql,
+and execute every statement shape the catalog (sources/catalog.py)
+and sink (sinks/ddl.py) generate — including the mixed-case
+identifiers the round-1 ADVICE flagged.
+
+No JDBC jar for Postgres is present, so the Spark-side bulk writer is
+exercised against DuckDB JDBC elsewhere (tests/test_jdbc_sink.py);
+here the contract under test is the SQL text itself.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import uuid
+
+import pytest
+
+from rust_dms_cdc_operator_spark.sinks.ddl import (
+    create_schema_sql,
+    create_table_sql,
+    delete_sql,
+    drop_schema_sql,
+    insert_sql,
+    qualify,
+    staging_delete_sql,
+    staging_merge_sql,
+    upsert_sql,
+)
+from rust_dms_cdc_operator_spark.sources.catalog import (
+    primary_key_sql,
+    table_columns_sql,
+    tables_in_schema_sql,
+)
+
+PORT = "54331"
+
+pytestmark = pytest.mark.skipif(
+    not (shutil.which("initdb") and shutil.which("pg_ctl") and shutil.which("psql")),
+    reason="postgres binaries unavailable",
+)
+
+
+def _su_nobody(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "nobody", "-s", "/bin/sh", "-c", cmd],
+        capture_output=True, text=True, cwd="/tmp",
+    )
+
+
+@pytest.fixture(scope="module")
+def pg():
+    # not tmp_path_factory: pytest's tmp root is 0700-root and the
+    # server must run as an unprivileged user
+    import pathlib  # noqa: PLC0415
+
+    base = pathlib.Path(f"/tmp/pglive-{uuid.uuid4().hex[:8]}")
+    base.mkdir(mode=0o777)
+    base.chmod(0o777)
+    data = base / "data"
+    r = _su_nobody(f"initdb -D {data} -U postgres --no-sync")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+    r = _su_nobody(
+        f"pg_ctl -D {data} -l {base}/log -w "
+        f"-o '-k {base} -p {PORT} -c listen_addresses=' start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-200:]}")
+    yield str(base)
+    _su_nobody(f"pg_ctl -D {data} -m immediate stop")
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _psql(pg_dir: str, sql: str, params: list[str] | None = None) -> str:
+    """Run one statement; return stdout (tuples-only). Raises on SQL
+    error so a syntax wart in generated SQL fails the test loudly."""
+    cmd = ["psql", "-h", pg_dir, "-p", PORT, "-U", "postgres", "-X",
+           "-v", "ON_ERROR_STOP=1", "-At", "-c", sql]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/tmp")
+    assert r.returncode == 0, f"SQL failed: {sql}\n{r.stderr}"
+    return r.stdout.strip()
+
+
+def _exec_param(pg_dir: str, sql: str, rows: list[tuple]) -> None:
+    """Client-side binding stand-in for the %s-parameterized DML: the
+    engine binds via JDBC; here values are spliced as quoted literals
+    purely to execute the statement shape."""
+    for row in rows:
+        lits = [
+            "NULL" if v is None
+            else str(v) if isinstance(v, (int, float))
+            else "'" + str(v).replace("'", "''") + "'"
+            for v in row
+        ]
+        stmt = sql
+        for lit in lits:
+            stmt = stmt.replace("%s", lit, 1)
+        _psql(pg_dir, stmt)
+
+
+def test_s14_pg_index_primary_key_query(pg):
+    """The pg_index ⋈ pg_attribute PK query (catalog.py, mirroring
+    reference table_query.rs:48-61) against real catalogs, composite
+    PK and mixed-case identifiers included."""
+    _psql(pg, create_schema_sql("cat_s"))
+    _psql(pg, create_table_sql(
+        {"id": "bigint", "region": "text", "val": "text"},
+        ["id", "region"], "cat_s", "orders",
+    ))
+    got = _psql(pg, primary_key_sql("cat_s", "orders")).splitlines()
+    assert sorted(got) == ["id", "region"]
+
+    _psql(pg, create_table_sql({"Id": "bigint", "Name": "text"}, ["Id"],
+                               "cat_s", "MixedCase"))
+    assert _psql(pg, primary_key_sql("cat_s", "MixedCase")) == "Id"
+    # no PK -> empty result, not an error
+    _psql(pg, create_table_sql({"x": "int"}, [], "cat_s", "nopk"))
+    assert _psql(pg, primary_key_sql("cat_s", "nopk")) == ""
+
+
+def test_s13_s15_catalog_queries(pg):
+    _psql(pg, create_schema_sql("cat2"))
+    _psql(pg, create_table_sql(
+        {"a": "bigint", "b": "numeric(12,2)", "tags": "text[]"}, ["a"],
+        "cat2", "t1",
+    ))
+    _psql(pg, create_table_sql({"x": "int"}, [], "cat2", "t2"))
+    cols = _psql(pg, table_columns_sql("cat2", "t1")).splitlines()
+    assert cols == ["a|bigint", "b|numeric", "tags|ARRAY"]
+    tables = _psql(pg, tables_in_schema_sql("cat2")).splitlines()
+    assert sorted(tables) == ["t1", "t2"]
+    only = _psql(pg, tables_in_schema_sql("cat2", included=["t2"]))
+    assert only == "t2"
+    rest = _psql(pg, tables_in_schema_sql("cat2", excluded=["t2"]))
+    assert rest == "t1"
+
+
+def test_s8_staging_merge_and_delete(pg):
+    """The full staged upsert+delete flow (sinks/postgres.py order of
+    operations) with mixed-case columns — the exact combination the
+    round-1 ADVICE predicted would fail under inconsistent quoting."""
+    _psql(pg, create_schema_sql("mrg"))
+    cols = {"Id": "bigint", "firstName": "text"}
+    _psql(pg, create_table_sql(cols, ["Id"], "mrg", "Users"))
+    _exec_param(pg, insert_sql("mrg", "Users", list(cols)),
+                [(1, "alice"), (2, "bob")])
+
+    staging = qualify("mrg", "Users__stage")
+    _psql(pg, f"CREATE TABLE {staging} (\"Id\" bigint, \"firstName\" text)")
+    _exec_param(pg, f"INSERT INTO {staging} VALUES (%s, %s)",
+                [(2, "bob2"), (3, "carol")])
+    _psql(pg, staging_merge_sql("mrg", "Users", staging, list(cols), ["Id"]))
+    got = _psql(pg, 'SELECT "Id", "firstName" FROM mrg."Users" ORDER BY "Id"')
+    assert got.splitlines() == ["1|alice", "2|bob2", "3|carol"]
+
+    delstage = qualify("mrg", "Users__delstage")
+    _psql(pg, f"CREATE TABLE {delstage} (\"Id\" bigint)")
+    _exec_param(pg, f"INSERT INTO {delstage} VALUES (%s)", [(1,)])
+    _psql(pg, staging_delete_sql("mrg", "Users", delstage, ["Id"]))
+    got = _psql(pg, 'SELECT "Id" FROM mrg."Users" ORDER BY "Id"')
+    assert got.splitlines() == ["2", "3"]
+
+
+def test_row_dml_statements_execute(pg):
+    """upsert_sql / delete_sql (the row-parameterized forms) and
+    schema drop execute cleanly."""
+    _psql(pg, create_schema_sql("dml"))
+    _psql(pg, create_table_sql({"k": "bigint", "v": "text"}, ["k"], "dml", "t"))
+    up = upsert_sql("dml", "t", ["k", "v"], ["k"])
+    _exec_param(pg, up, [(1, "x"), (1, "y"), (2, "z")])
+    assert _psql(pg, 'SELECT v FROM dml.t WHERE k = 1') == "y"
+    _exec_param(pg, delete_sql("dml", "t", ["k"]), [(2,)])
+    assert _psql(pg, "SELECT count(*) FROM dml.t") == "1"
+    _psql(pg, drop_schema_sql("dml"))
+    assert _psql(
+        pg,
+        "SELECT count(*) FROM information_schema.schemata "
+        "WHERE schema_name = 'dml'",
+    ) == "0"
