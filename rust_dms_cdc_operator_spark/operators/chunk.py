@@ -160,32 +160,60 @@ def with_global_rank(
 
     bucketed = df.withColumn(BUCKET_COL, bucket)
 
-    # exact per-(group, bucket) counts → cumulative offsets. The agg is
-    # partial (map-side combine of the pruned key columns), its result
-    # is ≤ groups × buckets rows, so the single-partition prefix-sum
-    # window and the broadcast are trivially cheap.
-    counts = bucketed.groupBy(*group_cols, BUCKET_COL).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # Exact per-(group, bucket) counts from ONE pruned, map-side
+    # partial-agged pass (only ≤ groups × buckets combined rows cross
+    # the wire), collected and prefix-summed on the driver — bounded by
+    # MAX_RANK_BUCKETS regardless of data size. The cumulative offsets
+    # then enter the main plan as a LITERAL array lookup, so the data
+    # DAG is just: scan → one (group, bucket) shuffle → window — no
+    # offsets window stage, no broadcast exchange, no join. (Round-1
+    # plan audit: at small scale every saved stage is ~0.2-0.3 s; at
+    # 100 TB the saved broadcast-join of the data frame is real too.)
+    cnt_rows = (
+        df.select(*group_cols, bucket.alias(BUCKET_COL))
+        .groupBy(*group_cols, BUCKET_COL)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
     )
-    off_w = (
-        Window.partitionBy(*[F.col(c) for c in group_cols])
-        if group_cols
-        else Window.partitionBy(F.lit(1))
-    ).orderBy(BUCKET_COL).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_offset", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
-    ).drop("_cnt")
+    n_buckets = len(boundary_lits) + 1
+    per_group: dict[tuple, list[int]] = {}
+    for r in cnt_rows:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, [0] * n_buckets)[r[BUCKET_COL]] = r["_cnt"]
+    offset_arrays: dict[tuple, list[int]] = {}
+    for g, cnts in per_group.items():
+        acc, offs = 0, []
+        for c in cnts:
+            offs.append(acc)
+            acc += c
+        offset_arrays[g] = offs
+
+    def _offset_lookup() -> Column:
+        if not offset_arrays:
+            return F.lit(0)
+        idx = (F.col(BUCKET_COL) + 1).cast("int")
+        out: Column | None = None
+        for g, offs in offset_arrays.items():
+            pick = F.element_at(F.array(*[F.lit(o) for o in offs]), idx)
+            if not group_cols:
+                return pick
+            cond = reduce(
+                operator.and_,
+                [F.col(c) == F.lit(v) for c, v in zip(group_cols, g)],
+            )
+            out = pick if out is None else F.when(cond, pick).otherwise(out)
+        return out
 
     w = Window.partitionBy(*group_cols, BUCKET_COL).orderBy(
         *[F.col(c) for c in order_cols]
     )
     return (
         bucketed.withColumn("_local_rn", F.row_number().over(w))
-        .join(F.broadcast(offsets), [*group_cols, BUCKET_COL])
         .withColumn(
-            rank_col, (F.col("_offset") + F.col("_local_rn")).cast("long")
+            rank_col,
+            (_offset_lookup() + F.col("_local_rn")).cast("long"),
         )
-        .drop(BUCKET_COL, "_local_rn", "_offset")
+        .drop(BUCKET_COL, "_local_rn")
     )
 
 

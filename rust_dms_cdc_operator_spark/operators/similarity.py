@@ -173,7 +173,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_lists: int = 8,
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 10,
     round_digits: int = 4,
 ) -> list[list[float]]:
     """Train IVF centroids with pyspark.ml KMeans (distributed Lloyd).
@@ -196,10 +196,13 @@ def train_ivf_centroids(
                 F.transform("v", lambda x: x / F.col("n"))
             ).alias("features")
         )
-    )
-    model = KMeans(
-        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(feats)
+    ).persist()  # Lloyd iterates over this; don't recompute lineage per pass
+    try:
+        model = KMeans(
+            k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features"
+        ).fit(feats)
+    finally:
+        feats.unpersist()
     return [
         [round(float(x), round_digits) for x in c]
         for c in model.clusterCenters()

@@ -143,7 +143,12 @@ class BucketedParquetState:
             # instead — renames are the local-parquet commit protocol.
             staging = f"{self.path}.staging"
             shutil.rmtree(staging, ignore_errors=True)
-            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+            # align write tasks with buckets: one task → one bucket →
+            # one file, instead of every shuffle partition spraying a
+            # file into every touched bucket directory
+            merged.repartition(
+                min(self.num_buckets, len(touched)), BUCKET_COL
+            ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
             os.makedirs(self.path, exist_ok=True)
             for b in touched:
                 live = os.path.join(self.path, f"{BUCKET_COL}={b}")

@@ -74,10 +74,12 @@ def test_d1_anti_join_no_extra_scan_columns(spark):
     assert has_whole_stage_codegen(df)
 
 
-def test_global_rank_no_single_partition_exchange(spark):
-    """The exact global rank must never plan a SinglePartition exchange
-    over the data (the naive row_number() OVER (ORDER BY pk) shape) —
-    buckets come from literal boundaries, offsets from a broadcast."""
+def test_global_rank_single_data_shuffle(spark):
+    """The exact global rank's data plan is scan → ONE (group, bucket)
+    hash shuffle → window: never a SinglePartition exchange over the
+    data (the naive row_number() OVER (ORDER BY pk) shape), and — since
+    cumulative offsets enter as a literal array lookup — no join and no
+    second data shuffle either."""
     from rust_dms_cdc_operator_spark.operators.chunk import with_global_rank
     from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
 
@@ -86,16 +88,11 @@ def test_global_rank_no_single_partition_exchange(spark):
     plan = formatted_plan(ranked)
     # the data-side exchange hashes on the bucket id
     assert "hashpartitioning(_rank_bucket" in plan
-    # exactly one SinglePartition exchange, and it carries only the
-    # two-column (bucket, count) aggregate for the prefix sum — never
-    # the data
-    single = [
-        seg for seg in plan.split("\n\n") if "SinglePartition" in seg
-    ]
-    assert len(single) == 1, plan
-    assert "_cnt" in single[0] or "count" in single[0], single[0]
-    # the tiny offsets side reaches the join as a broadcast
-    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
 def test_v2_digests_prune_to_pk_and_md5_inputs(spark):

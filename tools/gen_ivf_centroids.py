@@ -27,7 +27,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="gen-ivf-centroids")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
-        F.col("vec_id") > 0
+        (F.col("vec_id") > 0) & (F.col("vec_id") <= 2048)
     )
     cents = train_ivf_centroids(e, "embedding", n_lists=8, seed=42)
     print("_IVF_TRAINED_CENTROIDS_SF001 = [")
