@@ -129,7 +129,8 @@ class CdcOperatorPayload:
 
     def __post_init__(self) -> None:
         if self.only_snapshot and self.only_datadiff:
+            # byte-for-byte the reference's panic message
+            # (cdc_operator_payload.rs:72-74)
             raise ValueError(
-                "only_datadiff and only_snapshot are mutually exclusive "
-                "(reference: cdc_operator_payload.rs:72-74)"
+                "Cannot run both only_datadiff and only_snapshot at the same time"
             )

@@ -72,10 +72,13 @@ class JdbcTarget:
         return f"{schema}.{table}"
 
 
-def discover_tables_local(root: str, database: str, schema: str) -> list[str]:
+def discover_tables_local(
+    root: str, database: str, schema: str, s3_prefix: str = ""
+) -> list[str]:
     """Local stand-in for the S15 catalog scan: table = directory under
-    {root}/{db}/{schema}/ that contains parquet files."""
-    base = os.path.join(root, database, schema)
+    {root}/{prefix}/{db}/{schema}/ — the same key layout the manifest
+    listers use (manifest.table_prefix)."""
+    base = os.path.join(root, *(p for p in (s3_prefix, database, schema) if p))
     if not os.path.isdir(base):
         return []
     return sorted(
@@ -110,7 +113,9 @@ def snapshot(
     """
     tables = resolve_tables(
         payload,
-        discover_tables_local(root, payload.database_name, payload.schema_name),
+        discover_tables_local(
+            root, payload.database_name, payload.schema_name, payload.s3_prefix
+        ),
     )
     pks = primary_keys or {}
     # FAIR scheduling must be set at session build time

@@ -124,9 +124,81 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
 
 def test_cli_conflicting_flags(tmp_path, capsys):
     assert cli_main(["validate", "--only-datadiff", "--only-snapshot"]) == 2
+    # error text matches the reference panic (cdc_operator_payload.rs:72-74)
+    assert (
+        "Cannot run both only_datadiff and only_snapshot at the same time"
+        in capsys.readouterr().err
+    )
     assert cli_main([
         "validate", "--included-tables", "a", "--excluded-tables", "b",
     ]) == 2
+    assert cli_main(["snapshot", "--only-datadiff"]) == 2
+
+
+def test_cli_snapshot_command(spark, tmp_path, capsys):
+    """`snapshot` == the reference's `validate --only-snapshot`: writes
+    state tables, runs no datadiff."""
+    root, tgt = str(tmp_path / "drop2"), str(tmp_path / "state2")
+    fx = _drop(root)
+    rc = cli_main([
+        "snapshot",
+        "--local-root", root,
+        "--target-parquet-root", tgt,
+        "--database-name", cdc_fixtures.DB,
+        "--database-schema", cdc_fixtures.SCHEMA,
+        "--start-date", "2000-01-01",
+        "--primary-keys", json.dumps({t: f["pk"] for t, f in fx.items()}),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out["snapshot"]) == set(fx)
+    assert "validate" not in out
+
+
+def test_cli_interactive_mode_builds_reference_payload():
+    """The interactive config mirrors the reference client's inquire
+    prompts (main.rs:167-287): same labels, defaults on empty answers,
+    CamelCase mode names accepted."""
+    from rust_dms_cdc_operator_spark.cli import build_parser, interactive_args
+
+    answers = iter([
+        "my-bucket",            # S3 Bucket name
+        "",                     # S3 Prefix -> default data/landing/rds/mydb
+        "", "",                 # source/target postgres urls -> defaults
+        "",                     # Database Schema -> public
+        "t1,t2",                # Tables to include
+        "",                     # Tables to exclude
+        "FullLoadOnly",         # Mode (CamelCase, as the reference accepts)
+        "2024-02-14T10:00:00Z", # Start date (reference's documented format)
+        "",                     # Stop date
+        "500",                  # chunk size
+        "",                     # max connections -> 100
+        "",                     # start position -> 0
+        "", "",                 # local-root / parquet-root
+        "y",                    # only datadiff
+        "",                     # only snapshot
+        "", "",                 # TLS confirms
+    ])
+    prompts: list[str] = []
+
+    def ask(label: str) -> str:
+        prompts.append(label)
+        return next(answers)
+
+    argv = interactive_args(ask)
+    assert prompts[0] == "S3 Bucket name [bucket_name]: "
+    assert "Number of rows to compare (in batches) [1000]: " in prompts
+    args = build_parser().parse_args(argv)
+    assert args.command == "validate"
+    assert args.bucket_name == "my-bucket"
+    assert args.s3_prefix == "data/landing/rds/mydb"
+    assert args.database_schema == "public"
+    assert args.included_tables == "t1,t2"
+    assert args.mode == "full-load-only"
+    assert args.start_date == "2024-02-14T10:00:00Z"
+    assert args.chunk_size == 500
+    assert args.max_connections == 100
+    assert args.only_datadiff and not args.only_snapshot
 
 
 def test_conn_config_tls_properties():
