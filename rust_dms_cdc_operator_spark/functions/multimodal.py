@@ -130,14 +130,19 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
+            # the codec call is inherently per-item (a real decoder
+            # takes one blob at a time); everything around it is
+            # column-vectorized
             out["payload"] = pdf["payload"].map(
                 lambda p: _stub_resize(p, width, height)
             )
-            out["meta"] = [
-                {"kind": (m["kind"] if m is not None else None),
-                 "n_bytes": len(p)}
-                for m, p in zip(out["meta"], out["payload"])
-            ]
+            kinds = pd.DataFrame(
+                [m or {} for m in pdf["meta"]], index=pdf.index
+            ).get("kind")
+            n_bytes = out["payload"].str.len().fillna(0).astype("int64")
+            out["meta"] = pd.DataFrame(
+                {"kind": kinds, "n_bytes": n_bytes}, index=pdf.index
+            ).to_dict("records")
             yield out
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)
