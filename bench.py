@@ -42,17 +42,77 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "inventory_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    sf1 = _sf1_section(spark, sf, timings)
+    if sf1:
+        out["sf1"] = sf1
+    print(json.dumps(out))
+
+
+# headline subset for the 10x scale check: the shuffle/join/window
+# heavy shapes whose plans could degrade non-linearly
+SCALE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_customers",
+    "q5_local_supplier_volume",
+    "w1_cdc_compact",
+    "f2_load_cdc_merge",
+    "v2_chunked_hash_diff",
+    "c1_chunk_sizes",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "events_sessionize",
+    "sim_cosine_topk",
+]
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1")
+
+
+def _sf1_section(spark, sf, sf01_timings) -> dict | None:
+    """Scale check: run the headline subset at a 10x
+    replication-scaled copy of sf0.1 (generated once into SF1_DIR by
+    tools/gen_scaled_sf.py — timing-only data; correctness is the
+    oracle's job). Emits per-query seconds and the ratio vs this run's
+    sf0.1 numbers: ~10x ratio == linear scaling, the SCALE.md claim."""
+    if sf != 0.1 or os.environ.get("SPARK_GRAFT_NO_SF1"):
+        return None
+
+    from rust_dms_cdc_operator_spark.inventory import QUERIES
+
+    if not os.path.isdir(SF1_DIR):
+        from tools.gen_scaled_sf import generate
+
+        t0 = time.time()
+        generate(spark, "/root/testdata/sf0.1", SF1_DIR, 10)
+        gen_secs = round(time.time() - t0, 3)
+    else:
+        gen_secs = 0.0
+
+    timings: dict[str, float] = {}
+    for name in SCALE_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, SF1_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.time() - t0, 3)
+    return {
+        "note": "10x replication of sf0.1 (tools/gen_scaled_sf.py); timing-only",
+        "gen_secs": gen_secs,
+        "queries": timings,
+        "scale_vs_sf0.1": {
+            q: round(timings[q] / sf01_timings[q], 2)
+            for q in SCALE_QUERIES
+            if sf01_timings.get(q)
+        },
+    }
 
 
 if __name__ == "__main__":
