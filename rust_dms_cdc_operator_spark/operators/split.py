@@ -1,0 +1,87 @@
+"""Deterministic dataset splitting & stratified sampling.
+
+Training pipelines need splits that are (a) reproducible across runs,
+clusters, and engines, (b) stable under repartitioning, and (c) leak-
+free (an id always lands in the same split). ``F.rand`` fails all
+three (seeded per partition), so the split key is a content hash:
+``md5(id || salt)`` truncated to a long and reduced mod a grain — the
+same arithmetic the dedup operators use (operators/dedup.hex_to_long),
+so every decision is bit-reproducible in any engine with md5 (the
+DuckDB oracle replays it exactly).
+
+Scale: the split/sample predicates are pure row-local expressions
+(codegen, no shuffle, pushdown-friendly); stratified sampling adds one
+broadcast-scale map of per-stratum rates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rust_dms_cdc_operator_spark.operators.dedup import hex_to_long
+
+SPLIT_GRAIN = 10_000  # basis points: rates resolve to 0.01%
+
+
+def split_bucket(id_col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, SPLIT_GRAIN): first 8 md5 hex chars
+    of ``id || salt`` as a long, mod the grain. Independent buckets for
+    independent decisions come from distinct salts."""
+    key = F.concat(id_col.cast("string"), F.lit(salt))
+    return F.pmod(hex_to_long(F.md5(key), 8), F.lit(SPLIT_GRAIN))
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label with the given fractions (must
+    sum to ≤ 1; remainder falls into the last split). Contiguous
+    bucket ranges per split, so membership is a single comparison and
+    an id can never change splits when other fractions move below it.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = split_bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    hi = 0
+    names = list(fractions)
+    for name in names:
+        hi += round(fractions[name] * SPLIT_GRAIN)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None
+    return df.withColumn(split_col, expr.otherwise(names[-1]))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket falls under its stratum's rate. The rate map becomes a
+    literal CASE (broadcast-scale; no join, no shuffle), so the filter
+    pushes into the scan."""
+    bucket = split_bucket(F.col(id_col), salt)
+    rate: Column | None = None
+    for value, r in rates.items():
+        thresh = F.lit(round(r * SPLIT_GRAIN))
+        cond = F.col(stratum_col) == F.lit(value)
+        rate = F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+    rate = (
+        F.lit(round(default_rate * SPLIT_GRAIN))
+        if rate is None
+        else rate.otherwise(round(default_rate * SPLIT_GRAIN))
+    )
+    return df.filter(bucket < rate)
