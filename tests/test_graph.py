@@ -1,0 +1,43 @@
+"""Connected components / dedup groups (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rust_dms_cdc_operator_spark.operators.graph import (
+    connected_components,
+    dedup_groups,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.node: r.comp for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cliques_and_isolated_pairs(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 100-node path is the adversarial case for plain min-label
+    propagation (needs 99 rounds); the pointer-jump must finish it
+    within max_iter=12 (~log2 rounds)."""
+    chain = [(i, i + 1) for i in range(100)]
+    got = _cc(spark, chain, max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == 101
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    got = _cc(spark, [(5, 1), (1, 5), (5, 1), (2, 5)])
+    assert got == {1: 1, 5: 1, 2: 1}
+
+
+def test_dedup_groups_column_contract(spark):
+    pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
+    rows = {(r.doc_id, r.group_id) for r in dedup_groups(pairs).collect()}
+    assert rows == {(3, 3), (7, 3), (9, 3)}
