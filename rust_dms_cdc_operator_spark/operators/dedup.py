@@ -229,3 +229,36 @@ def ngram_jaccard_pairs(
         inter.cast("long").alias("inter_size"),
         union.cast("long").alias("union_size"),
     )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share any
+    word ``n``-gram with an eval/benchmark set (the pre-training
+    hygiene check that keeps test sets out of training data). Returns
+    ``(doc_id, n_hits)`` — distinct shared n-grams per contaminated
+    document; clean documents are absent.
+
+    Scale: the corpus side is ONE linear explode of its n-grams (the
+    zero-width-lookahead regex from ``sliding_word_ngrams``, no
+    quadratic lambdas); eval suites are small (~10^5-10^6 grams), so
+    the benchmark gram set broadcasts and the corpus never shuffles.
+    Set ``broadcast_bench=False`` for a genuinely large reference set
+    (falls back to a hash join on the gram).
+    """
+    grams = lambda col: F.explode(  # noqa: E731
+        F.array_distinct(sliding_word_ngrams(col, n))
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), grams(F.col(text_col)).alias("gram"))
+    b = bench.select(grams(F.col(text_col)).alias("gram")).distinct()
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return d.join(b, "gram").groupBy("doc_id").agg(
+        F.count_distinct("gram").alias("n_hits")
+    )

@@ -274,6 +274,30 @@ def test_embedding_neardup_no_block_is_not_cartesian(spark):
     assert got == want
 
 
+def test_contamination_hits(spark):
+    from rust_dms_cdc_operator_spark.operators.dedup import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely novel content with no overlap at all here"),
+            (3, "short text"),  # < n words -> no grams -> never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox jumps over obstacles")],
+        "doc_id long, text string",
+    )
+    out = contamination_hits(corpus, bench, n=5)
+    got = {r.doc_id: r.n_hits for r in out.collect()}
+    # doc 1 shares 'the quick brown fox jumps' and 'quick brown fox
+    # jumps over' with the benchmark; docs 2 and 3 are clean
+    assert got == {1: 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench grams broadcast, no corpus shuffle
+
+
 def test_langid_and_quality(spark, docs):
     out = {r.doc_id: r.pred for r in docs.select(
         "doc_id", langid_expr(F.col("text")).alias("pred")
