@@ -92,3 +92,24 @@ def fingerprint_expr(text: Column, window: int = 4) -> Column:
             F.transform(sliding_word_ngrams(text, window), lambda s: F.md5(s))
         )
     )
+
+
+def repetition_ratio_expr(text: Column, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams, ``1 - distinct/total`` —
+    high values flag boilerplate/spam/looped generations (a standard
+    pre-training quality signal). 0.0 for texts shorter than ``n``
+    words. Pure expression (linear regex n-grams), codegen-friendly."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        sliding_word_ngrams,
+    )
+
+    grams = sliding_word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / total.cast("double"),
+            6,
+        )
+    )

@@ -116,10 +116,20 @@ def with_global_rank(
     order_cols: Sequence[str],
     rank_col: str = RANK_COL,
     group_cols: Sequence[str] = (),
+    weight_col: str | None = None,
+    prefix_col: str = "_prefix_sum",
 ) -> DataFrame:
     """Exact 1-based global rank in ``order_cols`` order (restarting
     per ``group_cols`` group), computed scalably — no single-partition
-    window, no materialization."""
+    window, no materialization.
+
+    With ``weight_col``, also emits ``prefix_col`` = the EXCLUSIVE
+    global prefix sum of the weights in the same order (the running
+    total before this row) from the same single shuffle — the
+    primitive behind sequence packing (cumulative token budgets),
+    byte-offset assignment, and any "running total in key order" at
+    scale. Same mechanics as the rank: per-bucket window sums plus
+    driver-collected per-bucket totals as a literal lookup."""
     spark = df.sparkSession
     num_parts = min(
         max(spark.sparkContext.defaultParallelism, 2), MAX_RANK_BUCKETS
@@ -169,26 +179,34 @@ def with_global_rank(
     # offsets window stage, no broadcast exchange, no join. (Round-1
     # plan audit: at small scale every saved stage is ~0.2-0.3 s; at
     # 100 TB the saved broadcast-join of the data frame is real too.)
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if weight_col:
+        aggs.append(F.sum(F.col(weight_col)).alias("_wsum"))
     cnt_rows = (
-        df.select(*group_cols, bucket.alias(BUCKET_COL))
+        df.select(*group_cols, bucket.alias(BUCKET_COL), *( [weight_col] if weight_col else [] ))
         .groupBy(*group_cols, BUCKET_COL)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(*aggs)
         .collect()
     )
     n_buckets = len(boundary_lits) + 1
-    per_group: dict[tuple, list[int]] = {}
-    for r in cnt_rows:
-        g = tuple(r[c] for c in group_cols)
-        per_group.setdefault(g, [0] * n_buckets)[r[BUCKET_COL]] = r["_cnt"]
-    offset_arrays: dict[tuple, list[int]] = {}
-    for g, cnts in per_group.items():
-        acc, offs = 0, []
-        for c in cnts:
-            offs.append(acc)
-            acc += c
-        offset_arrays[g] = offs
 
-    def _offset_lookup() -> Column:
+    def _prefix_arrays(field: str) -> dict[tuple, list[int]]:
+        per_group: dict[tuple, list[int]] = {}
+        for r in cnt_rows:
+            g = tuple(r[c] for c in group_cols)
+            per_group.setdefault(g, [0] * n_buckets)[r[BUCKET_COL]] = int(
+                r[field] or 0
+            )
+        out: dict[tuple, list[int]] = {}
+        for g, vals in per_group.items():
+            acc, offs = 0, []
+            for v in vals:
+                offs.append(acc)
+                acc += v
+            out[g] = offs
+        return out
+
+    def _offset_lookup(offset_arrays: dict[tuple, list[int]]) -> Column:
         if not offset_arrays:
             return F.lit(0)
         idx = (F.col(BUCKET_COL) + 1).cast("int")
@@ -207,14 +225,23 @@ def with_global_rank(
     w = Window.partitionBy(*group_cols, BUCKET_COL).orderBy(
         *[F.col(c) for c in order_cols]
     )
-    return (
-        bucketed.withColumn("_local_rn", F.row_number().over(w))
-        .withColumn(
-            rank_col,
-            (_offset_lookup() + F.col("_local_rn")).cast("long"),
-        )
-        .drop(BUCKET_COL, "_local_rn")
+    result = bucketed.withColumn("_local_rn", F.row_number().over(w)).withColumn(
+        rank_col,
+        (_offset_lookup(_prefix_arrays("_cnt")) + F.col("_local_rn")).cast("long"),
     )
+    if weight_col:
+        running = F.sum(F.col(weight_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        result = result.withColumn(
+            prefix_col,
+            (
+                _offset_lookup(_prefix_arrays("_wsum"))
+                + running
+                - F.col(weight_col)
+            ).cast("long"),
+        )
+    return result.drop(BUCKET_COL, "_local_rn")
 
 
 def with_chunk_id(

@@ -85,3 +85,37 @@ def stratified_sample(
         else rate.otherwise(round(default_rate * SPLIT_GRAIN))
     )
     return df.filter(bucket < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs in key order —
+    the distributed form of streaming-concat sequence packing (docs
+    are concatenated in ``order_col`` order and sliced every
+    ``budget`` tokens, so a document may straddle a pack boundary;
+    the (pack_id, pack_offset) pair tells the tokenizer stage exactly
+    where its bytes land).
+
+    Built on ``with_global_rank``'s weighted prefix sum: one data
+    shuffle, no single-partition window, scales like the rank."""
+    from rust_dms_cdc_operator_spark.operators.chunk import (  # noqa: PLC0415
+        RANK_COL,
+        with_global_rank,
+    )
+
+    ranked = with_global_rank(
+        df, [order_col], weight_col=token_col, prefix_col="_pre"
+    )
+    return (
+        ranked.withColumn(
+            pack_col, F.floor(F.col("_pre") / F.lit(budget)).cast("long")
+        )
+        .withColumn(offset_col, F.pmod(F.col("_pre"), F.lit(budget)).cast("long"))
+        .drop(RANK_COL, "_pre")
+    )

@@ -22,6 +22,9 @@ from rust_dms_cdc_operator_spark.operators.diff import (
 from rust_dms_cdc_operator_spark.payloads import CdcValidatePayload
 
 
+MAX_REPORTED_CHUNKS = 1024
+
+
 @dataclass
 class TableReport:
     table: str
@@ -29,6 +32,7 @@ class TableReport:
     target_rows: int
     counts_match: bool
     mismatched_chunks: list[int] = field(default_factory=list)
+    mismatched_chunks_truncated: bool = False
 
     @property
     def ok(self) -> bool:
@@ -42,17 +46,26 @@ def validate_table(
     pk_cols: list[str],
     chunk_size: int = 1000,
     start_position: int = 0,
+    max_reported_chunks: int = MAX_REPORTED_CHUNKS,
 ) -> TableReport:
     counts = count_diff(source, target).first()
-    chunks = chunked_hash_diff(
-        source, target, pk_cols, chunk_size, start_position
-    ).select("chunk_id").collect()
+    # bounded collect: two wholly-different tables mismatch on EVERY
+    # chunk — report the first N ids (ordered, so resume positions are
+    # right) plus a truncation flag instead of an unbounded driver list
+    chunks = (
+        chunked_hash_diff(source, target, pk_cols, chunk_size, start_position)
+        .select("chunk_id")
+        .limit(max_reported_chunks + 1)
+        .collect()
+    )
+    truncated = len(chunks) > max_reported_chunks
     return TableReport(
         table=table,
         source_rows=counts["source_rows"],
         target_rows=counts["target_rows"],
         counts_match=bool(counts["counts_match"]),
-        mismatched_chunks=[r["chunk_id"] for r in chunks],
+        mismatched_chunks=[r["chunk_id"] for r in chunks[:max_reported_chunks]],
+        mismatched_chunks_truncated=truncated,
     )
 
 

@@ -74,6 +74,65 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert none.count() == 0
 
 
+def test_global_prefix_sum_exact(spark):
+    """The weighted rank's exclusive prefix sum must equal the naive
+    single-partition window on shuffled input."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.chunk import with_global_rank
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 50)) for i in range(1000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, wt long").repartition(11)
+    got = {
+        r.k: r._prefix_sum
+        for r in with_global_rank(df, ["k"], weight_col="wt").collect()
+    }
+    acc, want = 0, {}
+    for k, wt in sorted(rows):
+        want[k] = acc
+        acc += wt
+    assert got == want
+
+
+def test_pack_sequences_semantics(spark):
+    from rust_dms_cdc_operator_spark.operators.split import pack_sequences
+
+    rows = [(1, 5), (2, 3), (3, 4), (4, 10), (5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=8).collect()
+    }
+    # prefix sums: 0,5,8,12,22 -> packs 0,0,1,1,2 at offsets 0,5,0,4,6
+    assert out == {1: (0, 0), 2: (0, 5), 3: (1, 0), 4: (1, 4), 5: (2, 6)}
+
+
+def test_repetition_ratio_edges(spark):
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.functions.text import (
+        repetition_ratio_expr,
+    )
+
+    rows = [
+        (1, "a b c a b c a b c"),   # heavy repetition
+        (2, "all distinct words here now"),
+        (3, "too short"),           # < n words -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.rr
+        for r in df.select(
+            "doc_id", repetition_ratio_expr(F.col("text"), 3).alias("rr")
+        ).collect()
+    }
+    assert got[3] == 0.0 and got[2] == 0.0
+    # 7 grams, 3 distinct -> 1 - 3/7
+    assert abs(got[1] - round(1 - 3 / 7, 6)) < 1e-9
+
+
 def test_sample_filter_is_scan_local(spark):
     """The sampling predicate must stay a row-local filter — no
     shuffle, no join in the plan."""
