@@ -45,10 +45,16 @@ def connected_components(
         .persist()
     )
     try:
+        # init fuses the first propagation round: node's starting label
+        # is min(self, direct neighbors) from one groupBy — the
+        # distinct-then-join round this replaces cost a full iteration
         labels = (
-            sym.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("comp", F.col("node"))
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("_mb")).alias("comp"),
+            )
             .persist()
         )
         prev_sum = labels.agg(F.sum("comp")).first()[0]
