@@ -37,6 +37,40 @@ def test_direction_and_duplicates_irrelevant(spark):
     assert got == {1: 1, 5: 1, 2: 1}
 
 
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: CC result equals a driver-side union-find on
+    random sparse graphs (several seeds, mixed chains/cliques)."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        nodes = list(range(1, 120))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(90)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {n: find(n) for n in parent}
+        got = _cc(spark, edges)
+        assert got == want, f"seed {seed}"
+
+
 def test_dedup_groups_column_contract(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
     rows = {(r.doc_id, r.group_id) for r in dedup_groups(pairs).collect()}

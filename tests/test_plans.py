@@ -95,6 +95,23 @@ def test_global_rank_single_data_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+def test_pack_sequences_no_single_partition(spark):
+    """The packing prefix sum must inherit the rank machinery's scale
+    shape: no SinglePartition exchange over the data, no join."""
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.split import pack_sequences
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", budget=4096)
+    plan = formatted_plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_v2_digests_prune_to_pk_and_md5_inputs(spark):
     """The ranking/count subtrees of the datadiff must not drag the
     md5 digest through the boundary scan."""

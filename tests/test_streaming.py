@@ -139,6 +139,33 @@ def test_bucketed_state_rewrites_only_touched_buckets(spark, tmp_path):
     assert {r.val for r in store.read(spark).filter("id = 7").collect()} == {"седем"}
 
 
+def test_bucketed_merge_is_idempotent_on_replay(spark, tmp_path):
+    """Exactly-once contract: the streaming checkpoint replays a batch
+    at-least-once after a crash; re-applying the SAME batch (including
+    a crash between the two applies having already committed some
+    buckets) must leave the state byte-identical in content."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "idem" / "state"), ["id"], 8)
+    base = spark.createDataFrame(
+        [("I", i, f"v{i}", i) for i in range(1, 60)], schema=SCHEMA
+    )
+    store.merge_batch(base, order_cols=["seq"])
+    delta = spark.createDataFrame(
+        [("U", 5, "u5", 100), ("D", 6, "x", 101), ("I", 99, "n", 102)],
+        schema=SCHEMA,
+    )
+    store.merge_batch(delta, order_cols=["seq"])
+    first = {(r.id, r.val) for r in store.read(spark).collect()}
+    # crash-replay: the same batch applied again
+    store.merge_batch(delta, order_cols=["seq"])
+    second = {(r.id, r.val) for r in store.read(spark).collect()}
+    assert first == second
+    assert (5, "u5") in second and not any(i == 6 for i, _ in second)
+
+
 def test_bucketed_state_clears_fully_deleted_bucket(spark, tmp_path):
     """Dynamic partition overwrite only writes partitions present in
     the output — a bucket whose every key is deleted must still be
