@@ -27,15 +27,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_UF_THRESHOLD = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = DRIVER_UF_THRESHOLD,
 ) -> DataFrame:
     """(node, comp) for every node in ``edges``; ``comp`` is the
     smallest node id in the component (deterministic, engine-portable
-    — the DuckDB oracle reproduces it with a recursive closure)."""
+    — the DuckDB oracle reproduces it with a recursive closure).
+
+    Two-level contraction: one distributed local-min round labels every
+    node with min(self, neighbors), then the graph is CONTRACTED to
+    edges between labels. For dup graphs (unions of near-cliques) the
+    contracted graph is tiny — each cluster collapses to ~1 label — so
+    it finishes in a bounded driver-side union-find
+    (``driver_threshold`` caps the collect; ≤ a few MB). A contracted
+    graph still above the threshold recurses distributed; each level
+    at least halves chains, so depth is O(log diameter) with
+    ``max_iter`` as the guard. Common case: init groupBy + contract
+    join + one broadcast mapping join — constant rounds, vs diameter
+    rounds for plain label propagation."""
     # the edge list is consumed once per round — persist it, or the
     # whole upstream pair computation (minhash, cosine, ...) re-runs
     # every iteration
@@ -45,9 +61,9 @@ def connected_components(
         .persist()
     )
     try:
-        # init fuses the first propagation round: node's starting label
-        # is min(self, direct neighbors) from one groupBy — the
-        # distinct-then-join round this replaces cost a full iteration
+        # level-0 round: node's label = min(self, direct neighbors).
+        # This is a FOREST: following comp pointers always ends at a
+        # local-minimum node (comp(r) == r).
         labels = (
             sym.groupBy("a")
             .agg(F.min("b").alias("_mb"))
@@ -55,51 +71,91 @@ def connected_components(
                 F.col("a").alias("node"),
                 F.least(F.col("a"), F.col("_mb")).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        prev_sum = labels.agg(F.sum("comp")).first()[0]
+        # pointer-jump the forest to its roots: comp ← comp(comp)
+        # doubles the resolved pointer depth per round, so this takes
+        # O(log depth) self-joins (localCheckpoint per round keeps the
+        # plan flat). Afterwards every node is labeled by a local
+        # minimum, and the contracted graph below connects those
+        # minima — each of which is smaller than all its neighbors, so
+        # the node count shrinks geometrically per level.
+        prev = labels.agg(F.sum("comp")).first()[0]
         for _ in range(max_iter):
-            # one propagation hop across edges...
-            msgs = sym.join(
-                labels, sym["a"] == labels["node"]
-            ).select(F.col("b").alias("node"), F.col("comp"))
-            prop = (
-                labels.unionByName(msgs)
-                .groupBy("node")
-                .agg(F.min("comp").alias("comp"))
-            )
-            # ...then a pointer-jump (path halving): comp ← comp's
-            # comp. Propagation alone needs diameter rounds (a chain
-            # of pairwise near-dups is worst-case linear); the jump
-            # compresses label chains geometrically, so chains finish
-            # in O(log diameter) rounds while cliques still finish in
-            # 2-3.
-            x, y = prop.alias("x"), prop.alias("y")
-            # localCheckpoint (eager) truncates lineage every round —
-            # the self-join otherwise doubles the logical plan per
-            # iteration (exponential analysis cost / stack overflow).
-            # This is the one legitimate localCheckpoint in the
-            # engine: iterative algorithms need bounded plans, and
-            # the checkpointed frame is the node-sized label table,
-            # not data.
-            new = (
+            x, y = labels.alias("x"), labels.alias("y")
+            labels = (
                 x.join(y, F.col("x.comp") == F.col("y.node"), "left")
                 .select(
                     F.col("x.node").alias("node"),
-                    F.least(
-                        F.col("x.comp"),
-                        F.coalesce(F.col("y.comp"), F.col("x.comp")),
-                    ).alias("comp"),
+                    F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
                 )
                 .localCheckpoint()
             )
-            cur_sum = new.agg(F.sum("comp")).first()[0]
-            labels.unpersist()
-            labels = new
-            if cur_sum == prev_sum:
+            cur = labels.agg(F.sum("comp")).first()[0]
+            if cur == prev:
                 break
-            prev_sum = cur_sum
-        return labels
+            prev = cur
+        # contract: edges between LABELS (self-loops dropped). For a
+        # near-dup corpus this is the tiny inter-cluster remainder.
+        la = labels.select(
+            F.col("node").alias("a"), F.col("comp").alias("ca")
+        )
+        lb = labels.select(
+            F.col("node").alias("b"), F.col("comp").alias("cb")
+        )
+        # localCheckpoint: each contraction level must start from a
+        # leaf plan — recursion over lazy frames otherwise NESTS the
+        # whole lower-level plan per level (exponential planning cost,
+        # driver OOM). The checkpointed frame is the label-edge list,
+        # orders of magnitude smaller than the input pairs.
+        contracted = (
+            sym.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .select("ca", "cb")
+            .distinct()
+            .localCheckpoint()
+        )
+        n2 = contracted.count()
+        if n2 == 0:
+            return labels
+        spark = edges.sparkSession
+        if n2 <= driver_threshold or max_iter <= 0:
+            # bounded driver union-find over label-edges (≤ a few MB)
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in contracted.collect():
+                ra, rb = find(r["ca"]), find(r["cb"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            mapping = [(label, find(label)) for label in parent]
+            map_df = spark.createDataFrame(mapping, "comp long, _root long")
+        else:
+            # contracted graph still large: recurse distributed —
+            # every level at least halves chains
+            sub = connected_components(
+                contracted, "ca", "cb",
+                max_iter=max_iter - 1,
+                driver_threshold=driver_threshold,
+            )
+            map_df = sub.select(
+                F.col("node").alias("comp"), F.col("comp").alias("_root")
+            )
+        # broadcast only the bounded driver mapping; the recursive
+        # branch's mapping is label-graph-sized and joins normally
+        if n2 <= driver_threshold or max_iter <= 0:
+            map_df = F.broadcast(map_df)
+        resolved = labels.join(map_df, "comp", "left").select(
+            "node", F.coalesce(F.col("_root"), F.col("comp")).alias("comp")
+        )
+        return resolved
     finally:
         sym.unpersist()
 
