@@ -173,7 +173,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_lists: int = 8,
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 5,
     round_digits: int = 4,
 ) -> list[list[float]]:
     """Train IVF centroids with pyspark.ml KMeans (distributed Lloyd).

@@ -4,6 +4,13 @@ same parquet, compare row count + column names + order-insensitive
 canonical values. Usage:
 
     python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+
+
+Caveat: ``sim_ivf_trained``'s oracle embeds the sf0.01-trained
+centroid literals (ivf_constants.py), so it hash-matches ONLY at
+the driver's correctness scale (sf0.01) — running this tool with
+--sf-dir at another scale reports that one query as FAIL by
+design; every other oracle is scale-independent.
 """
 
 from __future__ import annotations
