@@ -312,3 +312,51 @@ def ivf_topk(
     assign = ivf_assign(F.col(vec_col), centroid_vecs, round_digits or 6)
     candidates = df.filter(assign.isin(probe_ids))
     return cosine_topk(candidates, query_vec, id_col, vec_col, k, round_digits)
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    k: int = 10,
+    round_digits: int = 6,
+    shards: int = 32,
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors (retrieval
+    eval: score every eval query in one pass). Returns
+    (query_id, vec_id, cos_sim, rank).
+
+    Scale shape: the query set broadcasts (eval sets are small), so
+    candidates are scanned ONCE and meet every query without a data
+    shuffle. Ranking is two-stage so no single reducer sees a whole
+    query's candidate list: stage 1 ranks within (query, shard) —
+    Q x ``shards`` balanced groups — and keeps k per group; stage 2
+    ranks the surviving Q x shards x k rows (tiny) per query.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = df.crossJoin(F.broadcast(queries_df)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col), F.col(qvec_col)), round_digits
+        ).alias("cos_sim"),
+    )
+    shard = F.pmod(F.col(id_col), F.lit(shards))
+    w1 = Window.partitionBy(F.col(qid_col), shard).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    survivors = scored.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

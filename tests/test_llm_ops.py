@@ -274,6 +274,37 @@ def test_embedding_neardup_no_block_is_not_cartesian(spark):
     assert got == want
 
 
+def test_batch_cosine_topk_matches_per_query(spark):
+    """The batched two-stage ranking must equal k independent
+    cosine_topk scans, per query, including tie order."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        batch_cosine_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cands = df.filter("vec_id >= 3")
+    out = batch_cosine_topk(cands, queries, k=5, shards=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    for qid, vec in [(r[0], r[1]) for r in rows[:3]]:
+        want = [
+            (i + 1, r.vec_id, r.cos_sim)
+            for i, r in enumerate(cosine_topk(cands, vec, k=5).collect())
+        ]
+        assert sorted(got[qid]) == want, qid
+
+
 def test_contamination_hits(spark):
     from rust_dms_cdc_operator_spark.operators.dedup import contamination_hits
 
