@@ -144,3 +144,64 @@ def snapshot(
         for table, path in pool.map(one_table, tables):
             results[table] = path
     return results
+
+
+def resume_snapshot(
+    spark: SparkSession,
+    payload: CdcSnapshotPayload,
+    target: ParquetTarget,
+    root: str,
+    primary_keys: dict[str, list[str]] | None = None,
+    since: str | None = None,
+) -> dict[str, str]:
+    """Incremental re-run: apply only the CDC files newer than
+    ``since`` onto each table's EXISTING state — a re-run costs
+    O(new events + touched state), never a full LOAD+CDC re-replay.
+
+    Discovery reuses the DATE_AWARE window (exclusive ``since`` bound,
+    reference semantics) but drops LOAD files: the state on disk
+    already contains them. Tables with no new events are untouched and
+    omitted from the result. The merged state is written to a sibling
+    temp dir and swapped in (the plan reads the directory it replaces,
+    so an in-place overwrite would consume its own output).
+    """
+    import shutil  # noqa: PLC0415
+
+    from rust_dms_cdc_operator_spark.operators.compact import (  # noqa: PLC0415
+        merge_full_load_with_cdc,
+    )
+    from rust_dms_cdc_operator_spark.sources.reader import read_manifest  # noqa: PLC0415
+
+    if not since:
+        raise ValueError("resume_snapshot requires `since` (ISO datetime)")
+    pks = primary_keys or {}
+    tables = resolve_tables(
+        payload,
+        discover_tables_local(
+            root, payload.database_name, payload.schema_name, payload.s3_prefix
+        ),
+    )
+    results: dict[str, str] = {}
+    for table in tables:
+        files = build_manifest(
+            mode="date-aware",
+            root=root,
+            database=payload.database_name,
+            schema=payload.schema_name,
+            table=table,
+            s3_prefix=payload.s3_prefix,
+            start_date=since,
+        )
+        cdc_files = [f for f in files if not f.is_load_file()]
+        if not cdc_files:
+            continue
+        cdc = read_manifest(spark, root, cdc_files)
+        path = os.path.join(target.root, payload.schema_name, table)
+        state = spark.read.parquet(path)
+        merged = merge_full_load_with_cdc(state, cdc, pks.get(table, []))
+        tmp = f"{path}.resume"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+        results[table] = path
+    return results

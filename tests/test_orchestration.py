@@ -220,3 +220,62 @@ def test_conn_config_tls_properties():
     )
     got = override.jdbc_properties()
     assert got["sslfactory"] == "custom.Factory" and got["user"] == "u"
+
+
+def test_resume_snapshot_incremental(spark, tmp_path):
+    """Initial snapshot up to a cutoff + resume_snapshot(since=cutoff)
+    must equal one full replay — and the resume must only read the new
+    CDC files (LOAD excluded, untouched tables skipped)."""
+    import calendar
+    import os
+    from datetime import datetime
+
+    from rust_dms_cdc_operator_spark.snapshot import resume_snapshot
+
+    root, tgt_full, tgt_inc = (
+        str(tmp_path / "drop"), str(tmp_path / "full"), str(tmp_path / "inc")
+    )
+    fx = _drop(root)
+    pks = {t: f["pk"] for t, f in fx.items()}
+
+    # pin file mtimes: LOAD + first-day CDC old, second-day CDC new
+    def _epoch(y):
+        return calendar.timegm(datetime(y, 1, 1).timetuple())
+
+    old, new = _epoch(2001), _epoch(2003)
+    for dirpath, _dn, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            ts = new if "/2026/08/02/" in p.replace(os.sep, "/") else old
+            os.utime(p, (ts, ts))
+
+    base = dict(
+        bucket_name="local",
+        schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB,
+        mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    full = snapshot(
+        spark, CdcSnapshotPayload(**base), ParquetTarget(tgt_full), root, pks
+    )
+    snapshot(
+        spark, CdcSnapshotPayload(**base, stop_date="2002-01-01"),
+        ParquetTarget(tgt_inc), root, pks,
+    )
+    resumed = resume_snapshot(
+        spark, CdcSnapshotPayload(**base), ParquetTarget(tgt_inc), root,
+        pks, since="2002-01-01",
+    )
+    # only customers_cdc has a second-day CDC file in the fixtures
+    assert "customers_cdc" in resumed
+    for t in fx:
+        want = {
+            r["id" if "id" in pks[t] else pks[t][0]]: r
+            for r in spark.read.parquet(f"{tgt_full}/{cdc_fixtures.SCHEMA}/{t}").collect()
+        }
+        got = {
+            r["id" if "id" in pks[t] else pks[t][0]]: r
+            for r in spark.read.parquet(f"{tgt_inc}/{cdc_fixtures.SCHEMA}/{t}").collect()
+        }
+        assert got == want, t
