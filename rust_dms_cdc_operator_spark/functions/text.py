@@ -113,3 +113,26 @@ def repetition_ratio_expr(text: Column, n: int = 3) -> Column:
             6,
         )
     )
+
+
+# conservative character-class patterns that parse identically under
+# Java regex (Spark) and RE2 (DuckDB) — no \w, no lookarounds
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[A-Za-z0-9./_%+#?&=:@~-]+"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def redact_pii_expr(
+    text: Column,
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """PII/URL scrubbing for pre-training text: emails, URLs, and
+    phone-shaped digit runs replaced by stable tokens. Order matters
+    (URLs first — an email-looking userinfo inside a URL must not
+    split it). Pure regexp_replace chain — codegen, linear, and the
+    patterns are dialect-portable so the DuckDB oracle replays them."""
+    out = F.regexp_replace(text, URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    return F.regexp_replace(out, PHONE_RE, phone_token)

@@ -274,6 +274,27 @@ def test_embedding_neardup_no_block_is_not_cartesian(spark):
     assert got == want
 
 
+def test_redact_pii(spark):
+    from rust_dms_cdc_operator_spark.functions.text import redact_pii_expr
+
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org today"),
+        (2, "see https://a.example.com/p?q=1#frag for docs"),
+        (3, "call +1 (555) 010-7788 or 0030 210 1234567 now"),
+        (4, "userinfo url http://u@host.example/x stays one URL"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.t for r in df.select(
+        "doc_id", redact_pii_expr(F.col("text")).alias("t")
+    ).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "see <URL> for docs"
+    assert got[3] == "call <PHONE> or <PHONE> now"
+    assert "@" not in got[4] and "<URL>" in got[4]
+    assert got[5] == "nothing sensitive here"
+
+
 def test_batch_cosine_topk_matches_per_query(spark):
     """The batched two-stage ranking must equal k independent
     cosine_topk scans, per query, including tie order."""
