@@ -119,3 +119,46 @@ def pack_sequences(
         .withColumn(offset_col, F.pmod(F.col("_pre"), F.lit(budget)).cast("long"))
         .drop(RANK_COL, "_pre")
     )
+
+
+def rebalance_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    token_col: str,
+    target_shares: Mapping[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixing: downsample strata so the surviving TOKEN mass
+    approximates the requested share per stratum (the data-mixing
+    recipe step of a pre-training pipeline — e.g. cap web text at 60%,
+    keep all code). Strata absent from ``target_shares`` are dropped;
+    a stratum whose target exceeds its current share keeps everything
+    (rates cap at 1 — this operator never upsamples).
+
+    Two passes: one partial-agged groupBy collects per-stratum token
+    totals (≤ #strata rows on the driver), then the keep-rates enter
+    the plan as a literal CASE over the same deterministic md5 buckets
+    as :func:`stratified_sample` — scan-local filter, no join, exactly
+    reproducible in the SQL oracle (rates are ratios of exact integer
+    sums; thresholds use floor, which both engines share).
+    """
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(stratum_col).agg(F.sum(token_col)).collect()
+        if r[1] is not None
+    }
+    grand = sum(totals.values())
+    bucket = split_bucket(F.col(id_col), salt)
+    thr: Column | None = None
+    for stratum, tok in totals.items():
+        share = target_shares.get(stratum)
+        if share is None or tok <= 0:
+            continue
+        rate = min(1.0, (share * grand) / tok)
+        t = int(rate * SPLIT_GRAIN)  # floor, engine-portable
+        cond = F.col(stratum_col) == F.lit(stratum)
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    if thr is None:
+        return df.filter(F.lit(False))
+    return df.filter(bucket < thr.otherwise(0))

@@ -133,6 +133,34 @@ def test_repetition_ratio_edges(spark):
     assert abs(got[1] - round(1 - 3 / 7, 6)) < 1e-9
 
 
+def test_rebalance_mix_token_shares(spark):
+    """Kept token mass per stratum lands near the requested share of
+    the corpus; over-target strata cap at keep-all; unlisted strata
+    drop; deterministic under repartition."""
+    from rust_dms_cdc_operator_spark.operators.split import rebalance_mix
+
+    rows = []
+    for i in range(3000):
+        src = ("web", "code", "junk")[i % 3]
+        rows.append((i, src, 100))  # equal thirds of token mass
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = rebalance_mix(
+        df, "doc_id", "source", "n_tokens",
+        {"web": 0.10, "code": 0.50},  # code target > its 1/3 share -> cap
+    )
+    kept = {r["source"]: r["tok"] for r in out.groupBy("source")
+            .agg(F.sum("n_tokens").alias("tok")).collect()}
+    grand = 3000 * 100
+    assert "junk" not in kept
+    assert kept["code"] == grand // 3  # capped at everything it has
+    assert abs(kept["web"] / grand - 0.10) < 0.02
+    again = rebalance_mix(
+        df.repartition(7), "doc_id", "source", "n_tokens",
+        {"web": 0.10, "code": 0.50},
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
 def test_sample_filter_is_scan_local(spark):
     """The sampling predicate must stay a row-local filter — no
     shuffle, no join in the plan."""
