@@ -162,3 +162,45 @@ def rebalance_mix(
     if thr is None:
         return df.filter(F.lit(False))
     return df.filter(bucket < thr.otherwise(0))
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    rows_per_shard: int,
+    fmt: str = "parquet",
+) -> int:
+    """Materialize a curated dataset as bounded, key-ordered shards —
+    the output hygiene a downstream tokenizer/loader wants: files of
+    predictable size, rows in ``order_col`` order within and across
+    shards (shard N's keys all precede shard N+1's).
+
+    Uses the exact global rank to derive the shard id, range-shuffles
+    on it (one shuffle; each writer task owns whole shards), sorts
+    within partitions, and bounds files with ``maxRecordsPerFile`` as
+    the belt-and-braces limit. Returns the shard count."""
+    from rust_dms_cdc_operator_spark.operators.chunk import (  # noqa: PLC0415
+        RANK_COL,
+        with_global_rank,
+    )
+
+    ranked = with_global_rank(df, [order_col])
+    sharded = ranked.withColumn(
+        "shard_id",
+        F.floor((F.col(RANK_COL) - 1) / F.lit(rows_per_shard)).cast("long"),
+    ).drop(RANK_COL)
+    (
+        sharded.repartitionByRange("shard_id")
+        .sortWithinPartitions("shard_id", order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .partitionBy("shard_id")
+        .format(fmt)
+        .save(path)
+    )
+    import os  # noqa: PLC0415
+
+    return sum(
+        1 for d in os.listdir(path) if d.startswith("shard_id=")
+    )

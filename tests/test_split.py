@@ -161,6 +161,34 @@ def test_rebalance_mix_token_shares(spark):
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
 
 
+def test_write_sharded(spark, tmp_path):
+    """Shards are bounded, ordered, and key-disjoint: shard N's keys
+    all precede shard N+1's; no file exceeds rows_per_shard."""
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    from rust_dms_cdc_operator_spark.operators.split import write_sharded
+
+    df = spark.range(0, 1050).withColumnRenamed("id", "doc_id") \
+        .withColumn("payload", F.col("doc_id") * 2)
+    path = str(tmp_path / "shards")
+    n = write_sharded(df, path, "doc_id", rows_per_shard=200)
+    assert n == 6  # ceil(1050/200)
+    back = spark.read.parquet(path)
+    assert back.count() == 1050
+    ranges = {
+        r.shard_id: (r.lo, r.hi)
+        for r in back.groupBy("shard_id")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    }
+    for s in range(5):
+        assert ranges[s][1] < ranges[s + 1][0]
+    for f in glob.glob(f"{path}/shard_id=*/*.parquet"):
+        assert pq_mod.read_metadata(f).num_rows <= 200
+
+
 def test_sample_filter_is_scan_local(spark):
     """The sampling predicate must stay a row-local filter — no
     shuffle, no join in the plan."""
