@@ -50,7 +50,7 @@ def main() -> None:
         "sf": sf,
     }
 
-    sf1 = _sf1_section(spark, sf, timings)
+    sf1 = _sf1_section(spark, sf, sf_dir, timings)
     if sf1:
         out["sf1"] = sf1
     print(json.dumps(out))
@@ -76,7 +76,7 @@ SCALE_QUERIES = [
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1")
 
 
-def _sf1_section(spark, sf, sf01_timings) -> dict | None:
+def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
     """Scale check: run the headline subset at a 10x
     replication-scaled copy of sf0.1 (generated once into SF1_DIR by
     tools/gen_scaled_sf.py — timing-only data; correctness is the
@@ -91,7 +91,7 @@ def _sf1_section(spark, sf, sf01_timings) -> dict | None:
         from tools.gen_scaled_sf import generate
 
         t0 = time.time()
-        generate(spark, "/root/testdata/sf0.1", SF1_DIR, 10)
+        generate(spark, sf_dir, SF1_DIR, 10)
         gen_secs = round(time.time() - t0, 3)
     else:
         gen_secs = 0.0

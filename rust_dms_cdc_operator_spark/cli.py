@@ -191,9 +191,6 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if not args.only_snapshot and args.target_parquet_root and args.local_root:
-        from rust_dms_cdc_operator_spark.snapshot import (  # noqa: PLC0415
-            discover_tables_local,
-        )
         from rust_dms_cdc_operator_spark.validate import validate  # noqa: PLC0415
 
         vp = CdcValidatePayload(

@@ -212,7 +212,12 @@ def with_global_rank(
         idx = (F.col(BUCKET_COL) + 1).cast("int")
         out: Column | None = None
         for g, offs in offset_arrays.items():
-            pick = F.element_at(F.array(*[F.lit(o) for o in offs]), idx)
+            # long literals: a python int < 2^31 would otherwise become
+            # IntegerType and the later `offset + row_number` addition
+            # would wrap in 32-bit past ~2e9 rows, before any cast
+            pick = F.element_at(
+                F.array(*[F.lit(o).cast("long") for o in offs]), idx
+            )
             if not group_cols:
                 return pick
             cond = reduce(
@@ -230,16 +235,15 @@ def with_global_rank(
         (_offset_lookup(_prefix_arrays("_cnt")) + F.col("_local_rn")).cast("long"),
     )
     if weight_col:
-        running = F.sum(F.col(weight_col)).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
+        # null weights count as 0 (a bare `- weight` would null the
+        # whole prefix for that row, silently dropping its assignment)
+        wt = F.coalesce(F.col(weight_col).cast("long"), F.lit(0).cast("long"))
+        running = F.sum(wt).over(w.rowsBetween(Window.unboundedPreceding, 0))
         result = result.withColumn(
             prefix_col,
-            (
-                _offset_lookup(_prefix_arrays("_wsum"))
-                + running
-                - F.col(weight_col)
-            ).cast("long"),
+            (_offset_lookup(_prefix_arrays("_wsum")) + running - wt).cast(
+                "long"
+            ),
         )
     return result.drop(BUCKET_COL, "_local_rn")
 

@@ -259,6 +259,10 @@ def contamination_hits(
     b = bench.select(grams(F.col(text_col)).alias("gram")).distinct()
     if broadcast_bench:
         b = F.broadcast(b)
+    # (doc_id, gram) pairs are already unique — the corpus side is
+    # array_distinct per doc and the bench side is globally distinct —
+    # so a plain count equals count_distinct without the second
+    # dedup aggregation pass
     return d.join(b, "gram").groupBy("doc_id").agg(
-        F.count_distinct("gram").alias("n_hits")
+        F.count(F.lit(1)).alias("n_hits")
     )

@@ -120,7 +120,8 @@ def connected_components(
         if n2 == 0:
             return labels
         spark = edges.sparkSession
-        if n2 <= driver_threshold or max_iter <= 0:
+        use_driver_uf = n2 <= driver_threshold or max_iter <= 0
+        if use_driver_uf:
             # bounded driver union-find over label-edges (≤ a few MB)
             parent: dict[int, int] = {}
 
@@ -150,7 +151,7 @@ def connected_components(
             )
         # broadcast only the bounded driver mapping; the recursive
         # branch's mapping is label-graph-sized and joins normally
-        if n2 <= driver_threshold or max_iter <= 0:
+        if use_driver_uf:
             map_df = F.broadcast(map_df)
         resolved = labels.join(map_df, "comp", "left").select(
             "node", F.coalesce(F.col("_root"), F.col("comp")).alias("comp")

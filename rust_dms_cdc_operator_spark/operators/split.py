@@ -199,8 +199,12 @@ def write_sharded(
         .format(fmt)
         .save(path)
     )
-    import os  # noqa: PLC0415
-
-    return sum(
-        1 for d in os.listdir(path) if d.startswith("shard_id=")
+    # count shards by reading back through Spark — works on any
+    # filesystem the write targeted (s3a/hdfs/local), unlike os.listdir
+    mx = (
+        df.sparkSession.read.format(fmt)
+        .load(path)
+        .agg(F.max("shard_id"))
+        .first()[0]
     )
+    return int(mx) + 1 if mx is not None else 0

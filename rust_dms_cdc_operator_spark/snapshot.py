@@ -192,16 +192,30 @@ def resume_snapshot(
             s3_prefix=payload.s3_prefix,
             start_date=since,
         )
+        path = os.path.join(target.root, payload.schema_name, table)
+        tmp, old = f"{path}.resume", f"{path}.old"
+        # heal a previous crash first (even if this run brings no new
+        # files): live dir missing means we died between the
+        # rename-aside and the rename-in — whichever complete copy
+        # exists (tmp with _SUCCESS, else the set-aside old) is restored
+        if not os.path.exists(path):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, path)
+            elif os.path.exists(old):
+                os.rename(old, path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         cdc_files = [f for f in files if not f.is_load_file()]
         if not cdc_files:
             continue
         cdc = read_manifest(spark, root, cdc_files)
-        path = os.path.join(target.root, payload.schema_name, table)
         state = spark.read.parquet(path)
         merged = merge_full_load_with_cdc(state, cdc, pks.get(table, []))
-        tmp = f"{path}.resume"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
+        # commit: set the live dir aside, move the new one in, then
+        # drop the old — at no point is the only complete copy deleted
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
         results[table] = path
     return results

@@ -13,6 +13,7 @@ locally; on a cluster the same function body targets Delta
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -98,7 +99,52 @@ class BucketedParquetState:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Full current state (no DMS/bookkeeping columns)."""
+        self._recover()
         return spark.read.parquet(self.path).drop(BUCKET_COL)
+
+    # -------------------------------------------------- commit protocol
+    # The swap is write-ahead: staging parquet completes, then a tiny
+    # _touched.json is atomically dropped into the staging dir (the
+    # COMMIT POINT — it records both the touched buckets and which of
+    # them have staged replacements), then buckets swap via renames,
+    # then staging is removed. Recovery is unambiguous at every crash
+    # point: staging without the marker → the write never committed →
+    # roll BACK (drop staging; the checkpoint will replay the batch);
+    # staging with the marker → roll FORWARD (finish exactly the
+    # renames/removes the marker prescribes — idempotent, and the
+    # replayed batch then re-applies onto the committed state, which
+    # the anti-join merge absorbs).
+    def _staging(self) -> str:
+        return f"{self.path}.staging"
+
+    def _recover(self) -> None:
+        staging = self._staging()
+        if not os.path.exists(staging):
+            return
+        marker = os.path.join(staging, "_touched.json")
+        if not os.path.exists(marker):
+            shutil.rmtree(staging, ignore_errors=True)  # never committed
+            return
+        with open(marker) as fh:
+            rec = json.load(fh)
+        self._apply_swap(rec["touched"], set(rec["staged"]))
+
+    def _apply_swap(self, touched: list[int], staged_set: set[int]) -> None:
+        staging = self._staging()
+        os.makedirs(self.path, exist_ok=True)
+        for b in touched:
+            live = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            staged = os.path.join(staging, f"{BUCKET_COL}={b}")
+            if b in staged_set:
+                if os.path.exists(staged):  # not yet swapped
+                    shutil.rmtree(live, ignore_errors=True)
+                    os.rename(staged, live)
+                # else: already swapped on a previous attempt
+            else:
+                # every key in this bucket was deleted: removing the
+                # live dir IS the commit (idempotent)
+                shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def merge_batch(
         self,
@@ -107,6 +153,7 @@ class BucketedParquetState:
         op_col: str = DMS_OP_COL,
     ) -> None:
         spark = batch.sparkSession
+        self._recover()  # heal any interrupted swap before reading state
         data_cols = [
             c
             for c in batch.columns
@@ -133,32 +180,33 @@ class BucketedParquetState:
             # staging write is a fully-completed job before any byte of
             # the live state moves, so the plan reading self.path can
             # never observe its own overwrite — lineage is broken by
-            # materialization, not by best-effort caching. Then swap
-            # each touched bucket in with a same-filesystem rename.
-            # A crash mid-swap leaves a mix of old/new buckets; the
-            # checkpoint replays the batch and the merge is idempotent
-            # per bucket (anti-join + upserts re-derive the same rows),
-            # so at-least-once replay converges. On an object store this
-            # whole method maps to a transactional MERGE (Delta/Iceberg)
-            # instead — renames are the local-parquet commit protocol.
-            staging = f"{self.path}.staging"
-            shutil.rmtree(staging, ignore_errors=True)
+            # materialization, not by best-effort caching. The swap
+            # itself follows the write-ahead commit protocol documented
+            # at _recover(): parquet write → atomic _touched.json
+            # marker (commit point) → per-bucket renames → drop
+            # staging. Any crash rolls back (no marker) or forward
+            # (marker present) without losing a bucket. On an object
+            # store this whole method maps to a transactional MERGE
+            # (Delta/Iceberg) — renames are the local-parquet protocol.
+            staging = self._staging()
             # align write tasks with buckets: one task → one bucket →
             # one file, instead of every shuffle partition spraying a
             # file into every touched bucket directory
             merged.repartition(
                 min(self.num_buckets, len(touched)), BUCKET_COL
             ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-            os.makedirs(self.path, exist_ok=True)
-            for b in touched:
-                live = os.path.join(self.path, f"{BUCKET_COL}={b}")
-                staged = os.path.join(staging, f"{BUCKET_COL}={b}")
-                shutil.rmtree(live, ignore_errors=True)
-                # a bucket whose every key was deleted this batch has no
-                # staged dir — removing the live dir above is the commit
-                if os.path.exists(staged):
-                    os.rename(staged, live)
-            shutil.rmtree(staging, ignore_errors=True)
+            staged_set = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(staging)
+                if d.startswith(f"{BUCKET_COL}=")
+            }
+            marker_tmp = os.path.join(staging, "_touched.json.tmp")
+            with open(marker_tmp, "w") as fh:
+                json.dump(
+                    {"touched": list(touched), "staged": sorted(staged_set)}, fh
+                )
+            os.replace(marker_tmp, os.path.join(staging, "_touched.json"))
+            self._apply_swap(list(touched), staged_set)
         finally:
             last.unpersist()
 

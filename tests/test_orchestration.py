@@ -201,6 +201,44 @@ def test_cli_interactive_mode_builds_reference_payload():
     assert args.only_datadiff and not args.only_snapshot
 
 
+def test_resume_snapshot_heals_crashed_swap(spark, tmp_path):
+    """Crash between rename-aside and rename-in leaves no live dir;
+    the next resume run must restore from the complete copy instead of
+    failing on a missing directory (round-2 review finding)."""
+    import os
+    import shutil
+
+    from rust_dms_cdc_operator_spark.snapshot import resume_snapshot
+
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    pks = {t: f["pk"] for t, f in fx.items()}
+    base = dict(
+        bucket_name="local", schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB, mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    snapshot(spark, CdcSnapshotPayload(**base), ParquetTarget(tgt), root, pks)
+    path = os.path.join(tgt, cdc_fixtures.SCHEMA, "customers_cdc")
+    want = spark.read.parquet(path).count()
+    # simulate the crash: live state renamed aside, new copy not in
+    os.rename(path, f"{path}.old")
+    resumed = resume_snapshot(
+        spark, CdcSnapshotPayload(**base), ParquetTarget(tgt), root, pks,
+        since="2100-01-01",  # no new files: pure heal pass
+    )
+    assert resumed == {}
+    assert spark.read.parquet(path).count() == want
+    assert not os.path.exists(f"{path}.old")
+    # other crash flavor: only the .resume copy (with _SUCCESS) exists
+    shutil.move(path, f"{path}.resume")
+    resume_snapshot(
+        spark, CdcSnapshotPayload(**base), ParquetTarget(tgt), root, pks,
+        since="2100-01-01",
+    )
+    assert spark.read.parquet(path).count() == want
+
+
 def test_conn_config_tls_properties():
     """X3 parity: accept_invalid_certs maps to the pg-JDBC
     non-validating TLS factory; explicit properties win."""

@@ -166,6 +166,63 @@ def test_bucketed_merge_is_idempotent_on_replay(spark, tmp_path):
     assert (5, "u5") in second and not any(i == 6 for i, _ in second)
 
 
+def test_bucketed_swap_crash_recovery(spark, tmp_path):
+    """Kill the process at the worst swap moment — marker committed,
+    only SOME buckets renamed, live dirs of the rest already deleted —
+    then replay the batch: no key may be lost (round-2 review finding:
+    the old rmtree-then-rename order lost whole buckets)."""
+    import json as _json
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BUCKET_COL,
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "cr" / "state"), ["id"], 4)
+    base = spark.createDataFrame(
+        [("I", i, f"v{i}", i) for i in range(1, 40)], schema=SCHEMA
+    )
+    store.merge_batch(base, order_cols=["seq"])
+    before = {(r.id, r.val) for r in store.read(spark).collect()}
+
+    delta = spark.createDataFrame(
+        [("U", 5, "u5", 100), ("I", 99, "n", 101)], schema=SCHEMA
+    )
+    # simulate the crash: run the real staging write + marker, then
+    # destroy live dirs as _apply_swap would have, but 'die' before
+    # any rename by reconstructing that exact on-disk situation
+    orig_apply = store._apply_swap
+    staged_state = {}
+
+    def crash_apply(touched, staged_set):
+        staged_state["args"] = (touched, staged_set)
+        # delete every touched live dir (the destructive first half),
+        # rename nothing — worst case of the OLD protocol
+        for b in touched:
+            import shutil as _sh
+
+            _sh.rmtree(
+                os.path.join(store.path, f"{BUCKET_COL}={b}"),
+                ignore_errors=True,
+            )
+        raise RuntimeError("simulated crash mid-swap")
+
+    store._apply_swap = crash_apply
+    try:
+        store.merge_batch(delta, order_cols=["seq"])
+    except RuntimeError:
+        pass
+    store._apply_swap = orig_apply
+    # the staging dir + marker survived the crash
+    assert os.path.exists(os.path.join(store._staging(), "_touched.json"))
+    # checkpoint replays the same batch: recovery must roll forward
+    # then the merge applies idempotently
+    store.merge_batch(delta, order_cols=["seq"])
+    after = {(r.id, r.val) for r in store.read(spark).collect()}
+    want = (before - {(5, "v5")}) | {(5, "u5"), (99, "n")}
+    assert after == want
+
+
 def test_bucketed_state_clears_fully_deleted_bucket(spark, tmp_path):
     """Dynamic partition overwrite only writes partitions present in
     the output — a bucket whose every key is deleted must still be
