@@ -36,15 +36,32 @@ def _absolute(root: str, key: str) -> str:
     return os.path.join(root, key)
 
 
-def _max_partition_bytes(spark: SparkSession) -> int:
+def _conf_bytes(spark: SparkSession, jgetter: str, key: str, default: int) -> int:
     try:
-        return int(
-            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
-        )
+        return int(getattr(spark._jsparkSession.sessionState().conf(), jgetter)())
     except Exception:  # noqa: BLE001 - conf string fallback ("134217728b")
-        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        raw = spark.conf.get(key, str(default))
         digits = "".join(ch for ch in raw if ch.isdigit())
-        return int(digits or "134217728")
+        return int(digits or str(default))
+
+
+def _effective_max_split_bytes(spark: SparkSession, sizes: list[int]) -> int:
+    """Reproduce FilePartition.maxSplitBytes: splits are NOT simply
+    bounded by maxPartitionBytes — a small scan on a parallel cluster
+    splits at max(openCostInBytes, totalBytes/defaultParallelism), so
+    a 10 MB file on local[8] with defaults splits at 4 MB."""
+    max_part = _conf_bytes(
+        spark, "filesMaxPartitionBytes",
+        "spark.sql.files.maxPartitionBytes", 134_217_728,
+    )
+    open_cost = _conf_bytes(
+        spark, "filesOpenCostInBytes",
+        "spark.sql.files.openCostInBytes", 4_194_304,
+    )
+    total = sum(s + open_cost for s in sizes)
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    bytes_per_core = total // parallelism
+    return min(max_part, max(open_cost, bytes_per_core))
 
 
 def _check_csv_unsplit(spark: SparkSession, paths: list[str]) -> None:
@@ -53,18 +70,27 @@ def _check_csv_unsplit(spark: SparkSession, paths: list[str]) -> None:
     row order if the file maps to ONE input split (Spark orders splits
     by size, not offset, so a split file scrambles ``_cdc_row_seq`` and
     with it last-writer-wins compaction). Gzipped CSV is unsplittable;
-    plain CSV must fit in ``spark.sql.files.maxPartitionBytes``."""
-    limit = _max_partition_bytes(spark)
+    plain CSV must fit in the EFFECTIVE split size Spark will actually
+    use (min(maxPartitionBytes, max(openCost, bytesPerCore))) — not
+    just maxPartitionBytes (round-2 review finding)."""
+    sizes = [
+        os.path.getsize(p)
+        for p in paths
+        if not p.endswith(".gz") and os.path.exists(p)
+    ]
+    if not sizes:
+        return
+    limit = _effective_max_split_bytes(spark, sizes)
     for p in paths:
         if p.endswith(".gz") or not os.path.exists(p):
-            continue  # unsplittable / remote (checked server-side sizes n/a)
+            continue  # unsplittable / remote (server-side sizes n/a)
         size = os.path.getsize(p)
         if size > limit:
             raise ValueError(
-                f"CSV file {p} is {size} bytes > "
-                f"spark.sql.files.maxPartitionBytes={limit}: it would be "
-                "split and its replay order scrambled. Raise the conf "
-                "above the largest CSV file (or gzip the drop)."
+                f"CSV file {p} is {size} bytes > effective maxSplitBytes="
+                f"{limit}: Spark would split it and scramble replay order. "
+                "Raise spark.sql.files.maxPartitionBytes/openCostInBytes "
+                "so one split covers the largest CSV (or gzip the drop)."
             )
 
 

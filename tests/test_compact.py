@@ -201,7 +201,7 @@ def test_csv_replay_rejects_splittable_oversize_file(spark, tmp_path, monkeypatc
     p.write_text("I,2026-01-01 00:00:00,1,alice\n" * 100)
     schema = T.StructType([T.StructField("Op", T.StringType())])
     monkeypatch.setattr(
-        reader_mod, "_max_partition_bytes", lambda _s: 64
+        reader_mod, "_effective_max_split_bytes", lambda _s, _sizes: 64
     )
     with pytest.raises(ValueError, match="maxPartitionBytes"):
         reader_mod.read_manifest(
