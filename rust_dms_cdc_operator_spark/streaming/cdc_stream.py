@@ -6,22 +6,27 @@ equivalent: ``readStream`` over the DMS drop directory, per-microbatch
 window compaction, and a ``foreachBatch`` MERGE into the target state
 table — the incremental form of ``operators.compact``.
 
-Exactly-once: foreachBatch + an atomically-swapped parquet state dir
-locally; on a cluster the same function body targets Delta
-``MERGE INTO`` or a JDBC staging upsert.
+Exactly-once: foreachBatch + a manifest-committed bucketed parquet
+state table (immutable data files, a numbered manifest file as the
+single commit point) — a protocol that is atomic on local disk, HDFS,
+and object stores alike. The reference's native habitat is S3
+(``/root/reference/src/s3/s3_operator.rs:210-317``), so the commit
+protocol deliberately never renames a directory and never overwrites
+a file.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
+import re
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rust_dms_cdc_operator_spark import fsio
 from rust_dms_cdc_operator_spark.functions.dmscols import DMS_OP_COL
 from rust_dms_cdc_operator_spark.operators.compact import compact_cdc
 
@@ -58,93 +63,94 @@ def apply_cdc_batch(
 BUCKET_COL = "_state_bucket"
 
 
-class BucketedParquetState:
-    """Incremental state table: parquet partitioned by a stable hash
-    bucket of the PK. A microbatch only rewrites the buckets its keys
-    touch (dynamic partition overwrite + partition-pruned state read),
-    so per-batch cost is O(touched buckets), not O(total state) — the
-    property that keeps a 24/7 CDC stream viable when the state is
-    100 TB and a batch touches a few GB.
+_MANIFEST_RE = re.compile(r"^(\d{20})\.json$")
 
-    Exactly-once: the merge is idempotent (re-applying the same batch
-    to an already-merged state is a no-op), so the streaming
-    checkpoint's at-least-once replay after a crash converges; a
-    partially overwritten partition is fully rewritten on retry.
+
+class BucketedParquetState:
+    """Incremental state table: parquet hash-bucketed by PK, committed
+    through a manifest log. A microbatch only rewrites the buckets its
+    keys touch, so per-batch cost is O(touched buckets), not O(total
+    state) — the property that keeps a 24/7 CDC stream viable when the
+    state is 100 TB and a batch touches a few GB.
+
+    Layout::
+
+        <path>/_manifests/<epoch, 20 digits>.json   # commit log
+        <path>/data/e<epoch>-<uuid8>/_state_bucket=<b>/part-*.parquet
+
+    Commit protocol (object-store safe — the design constraint is that
+    s3a has no atomic directory rename and no POSIX ``os.*``):
+
+    1. every data file is IMMUTABLE and lives in a generation directory
+       with a unique, never-reused name; nothing is ever renamed or
+       overwritten in ``data/``;
+    2. the COMMIT POINT is publishing manifest ``N+1`` — a single small
+       JSON mapping bucket → current generation directory — under a
+       fresh monotonically numbered key (atomic everywhere: os.rename
+       locally, FileSystem.rename on HDFS, single COPY-object PUT on
+       s3a; see :func:`fsio.publish_text`);
+    3. readers take the highest-numbered manifest; a crash before the
+       manifest publish leaves only invisible orphan generation dirs —
+       the streaming checkpoint replays the batch and the idempotent
+       merge converges;
+    4. GC runs after a successful commit and deletes only generation
+       dirs referenced by NO retained manifest (last
+       ``keep_manifests``), so a reader of the previous manifest never
+       loses files mid-scan.
+
+    All filesystem metadata goes through :mod:`fsio`, so a
+    ``s3a://bucket/state`` path uses the session's Hadoop connector
+    end-to-end.
     """
 
-    def __init__(self, path: str, pk_cols: Sequence[str], num_buckets: int = 64):
+    def __init__(
+        self,
+        path: str,
+        pk_cols: Sequence[str],
+        num_buckets: int = 64,
+        keep_manifests: int = 2,
+    ):
         self.path = path
         self.pk_cols = list(pk_cols)
         self.num_buckets = num_buckets
+        self.keep_manifests = max(1, keep_manifests)
 
-    def _bucket(self) -> F.Column:
+    def _bucket(self, num_buckets: int) -> F.Column:
         return F.pmod(
-            F.xxhash64(*[F.col(c) for c in self.pk_cols]), F.lit(self.num_buckets)
+            F.xxhash64(*[F.col(c) for c in self.pk_cols]), F.lit(num_buckets)
         ).cast("int")
 
-    def exists(self) -> bool:
-        return os.path.exists(self.path)
+    def _manifest_dir(self) -> str:
+        return fsio.join(self.path, "_manifests")
 
-    def _live_buckets(self) -> set[int]:
-        """Bucket partitions currently on disk. A state dir can exist
-        with zero buckets (every key deleted) — reading it as parquet
-        would fail schema inference, so callers gate on this."""
-        if not self.exists():
-            return set()
-        return {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.path)
-            if d.startswith(f"{BUCKET_COL}=")
-        }
+    def _manifest_epochs(self) -> list[int]:
+        out = []
+        for name in fsio.listdir(self._manifest_dir()):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _load_manifest(self) -> dict | None:
+        epochs = self._manifest_epochs()
+        if not epochs:
+            return None
+        path = fsio.join(self._manifest_dir(), f"{epochs[-1]:020d}.json")
+        return json.loads(fsio.read_text(path))
+
+    def exists(self) -> bool:
+        return bool(self._manifest_epochs())
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Full current state (no DMS/bookkeeping columns)."""
-        self._recover()
-        return spark.read.parquet(self.path).drop(BUCKET_COL)
-
-    # -------------------------------------------------- commit protocol
-    # The swap is write-ahead: staging parquet completes, then a tiny
-    # _touched.json is atomically dropped into the staging dir (the
-    # COMMIT POINT — it records both the touched buckets and which of
-    # them have staged replacements), then buckets swap via renames,
-    # then staging is removed. Recovery is unambiguous at every crash
-    # point: staging without the marker → the write never committed →
-    # roll BACK (drop staging; the checkpoint will replay the batch);
-    # staging with the marker → roll FORWARD (finish exactly the
-    # renames/removes the marker prescribes — idempotent, and the
-    # replayed batch then re-applies onto the committed state, which
-    # the anti-join merge absorbs).
-    def _staging(self) -> str:
-        return f"{self.path}.staging"
-
-    def _recover(self) -> None:
-        staging = self._staging()
-        if not os.path.exists(staging):
-            return
-        marker = os.path.join(staging, "_touched.json")
-        if not os.path.exists(marker):
-            shutil.rmtree(staging, ignore_errors=True)  # never committed
-            return
-        with open(marker) as fh:
-            rec = json.load(fh)
-        self._apply_swap(rec["touched"], set(rec["staged"]))
-
-    def _apply_swap(self, touched: list[int], staged_set: set[int]) -> None:
-        staging = self._staging()
-        os.makedirs(self.path, exist_ok=True)
-        for b in touched:
-            live = os.path.join(self.path, f"{BUCKET_COL}={b}")
-            staged = os.path.join(staging, f"{BUCKET_COL}={b}")
-            if b in staged_set:
-                if os.path.exists(staged):  # not yet swapped
-                    shutil.rmtree(live, ignore_errors=True)
-                    os.rename(staged, live)
-                # else: already swapped on a previous attempt
-            else:
-                # every key in this bucket was deleted: removing the
-                # live dir IS the commit (idempotent)
-                shutil.rmtree(live, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+        man = self._load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed state at {self.path}")
+        if not man["buckets"]:  # every key deleted: empty, typed
+            schema = T.StructType.fromJson(json.loads(man["schema"]))
+            return spark.createDataFrame([], schema)
+        dirs = [fsio.join(self.path, rel) for rel in man["buckets"].values()]
+        return spark.read.parquet(*dirs)
 
     def merge_batch(
         self,
@@ -153,62 +159,100 @@ class BucketedParquetState:
         op_col: str = DMS_OP_COL,
     ) -> None:
         spark = batch.sparkSession
-        self._recover()  # heal any interrupted swap before reading state
+        man = self._load_manifest()
+        num_buckets = man["num_buckets"] if man else self.num_buckets
+        epoch = man["epoch"] if man else 0
+        buckets: dict[str, str] = dict(man["buckets"]) if man else {}
         data_cols = [
             c
             for c in batch.columns
             if c != op_col and not (c in order_cols and c.startswith("_cdc"))
         ]
         last = compact_cdc(batch, self.pk_cols, order_cols=order_cols, op_col="__keep_d__")
-        last = last.withColumn(BUCKET_COL, self._bucket()).persist()
+        last = last.withColumn(BUCKET_COL, self._bucket(num_buckets)).persist()
         try:
-            touched = [r[BUCKET_COL] for r in last.select(BUCKET_COL).distinct().collect()]
+            touched = sorted(
+                r[BUCKET_COL] for r in last.select(BUCKET_COL).distinct().collect()
+            )
             if not touched:  # empty microbatch
                 return
-            upserts = last.filter(F.col(op_col) != "D").select(*data_cols, BUCKET_COL)
-            if self._live_buckets() & set(touched):
-                state = spark.read.parquet(self.path).filter(
-                    F.col(BUCKET_COL).isin(touched)  # partition-pruned read
-                )
+            upserts = last.filter(F.col(op_col) != "D").select(*data_cols)
+            live_dirs = [
+                fsio.join(self.path, buckets[str(b)])
+                for b in touched
+                if str(b) in buckets
+            ]
+            if live_dirs:
+                # path-level pruning: ONLY the touched buckets' current
+                # generation dirs are listed/scanned — no filter over
+                # the full state is ever planned
+                state = spark.read.parquet(*live_dirs)
                 survivors = state.join(
                     last.select(*self.pk_cols), self.pk_cols, "left_anti"
                 )
                 merged = survivors.unionByName(upserts)
             else:
                 merged = upserts
-            # Stage the merged buckets in a sibling directory FIRST: the
-            # staging write is a fully-completed job before any byte of
-            # the live state moves, so the plan reading self.path can
-            # never observe its own overwrite — lineage is broken by
-            # materialization, not by best-effort caching. The swap
-            # itself follows the write-ahead commit protocol documented
-            # at _recover(): parquet write → atomic _touched.json
-            # marker (commit point) → per-bucket renames → drop
-            # staging. Any crash rolls back (no marker) or forward
-            # (marker present) without losing a bucket. On an object
-            # store this whole method maps to a transactional MERGE
-            # (Delta/Iceberg) — renames are the local-parquet protocol.
-            staging = self._staging()
-            # align write tasks with buckets: one task → one bucket →
-            # one file, instead of every shuffle partition spraying a
-            # file into every touched bucket directory
+            merged = merged.withColumn(BUCKET_COL, self._bucket(num_buckets))
+            # one task → one bucket → one file, instead of every shuffle
+            # partition spraying a file into every bucket directory
+            gen = f"e{epoch + 1}-{uuid.uuid4().hex[:8]}"
+            gen_dir = fsio.join(self.path, "data", gen)
             merged.repartition(
-                min(self.num_buckets, len(touched)), BUCKET_COL
-            ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-            staged_set = {
+                min(num_buckets, len(touched)), BUCKET_COL
+            ).write.partitionBy(BUCKET_COL).parquet(gen_dir)
+            staged = {
                 int(d.split("=", 1)[1])
-                for d in os.listdir(staging)
+                for d in fsio.listdir_dirs(gen_dir)
                 if d.startswith(f"{BUCKET_COL}=")
             }
-            marker_tmp = os.path.join(staging, "_touched.json.tmp")
-            with open(marker_tmp, "w") as fh:
-                json.dump(
-                    {"touched": list(touched), "staged": sorted(staged_set)}, fh
-                )
-            os.replace(marker_tmp, os.path.join(staging, "_touched.json"))
-            self._apply_swap(list(touched), staged_set)
+            for b in touched:
+                # a touched bucket with no staged dir lost its every
+                # key: dropping it from the mapping IS the delete
+                buckets.pop(str(b), None)
+            for b in staged:
+                buckets[str(b)] = f"data/{gen}/{BUCKET_COL}={b}"
+            schema_json = merged.drop(BUCKET_COL).schema.json()
+            fsio.mkdirs(self._manifest_dir())
+            fsio.publish_text(
+                fsio.join(self._manifest_dir(), f"{epoch + 1:020d}.json"),
+                json.dumps(
+                    {
+                        "epoch": epoch + 1,
+                        "num_buckets": num_buckets,
+                        "schema": schema_json,
+                        "buckets": buckets,
+                    }
+                ),
+                tmp_suffix=f".tmp-{uuid.uuid4().hex[:8]}",
+            )
+            self._gc()
         finally:
             last.unpersist()
+
+    def _gc(self) -> None:
+        """Post-commit cleanup: drop manifests beyond the retention
+        window, then any generation dir no retained manifest references
+        (replaced generations AND orphans from pre-commit crashes).
+        Best-effort — a crash mid-GC just leaves garbage for the next
+        commit."""
+        epochs = self._manifest_epochs()
+        retained, stale = epochs[-self.keep_manifests :], epochs[: -self.keep_manifests]
+        referenced: set[str] = set()
+        for e in retained:
+            man = json.loads(
+                fsio.read_text(fsio.join(self._manifest_dir(), f"{e:020d}.json"))
+            )
+            for rel in man["buckets"].values():
+                referenced.add(rel.split("/")[1])  # data/<gen>/<bucket>
+        for e in stale:
+            fsio.delete(
+                fsio.join(self._manifest_dir(), f"{e:020d}.json"), recursive=False
+            )
+        data_dir = fsio.join(self.path, "data")
+        for gen in fsio.listdir_dirs(data_dir):
+            if gen not in referenced:
+                fsio.delete(fsio.join(data_dir, gen))
 
 
 def stream_replay_bucketed(
@@ -226,7 +270,7 @@ def stream_replay_bucketed(
     """``stream_replay`` with the bucketed incremental state table —
     same contract, per-batch cost proportional to touched buckets."""
     store = BucketedParquetState(
-        os.path.join(state_dir, "state"), pk_cols, num_buckets
+        fsio.join(state_dir, "state"), pk_cols, num_buckets
     )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -240,7 +284,7 @@ def stream_replay_bucketed(
 
     q = (
         stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .option("checkpointLocation", fsio.join(state_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )

@@ -122,19 +122,15 @@ def test_bucketed_state_rewrites_only_touched_buckets(spark, tmp_path):
         [("I", i, f"v{i}", i) for i in range(1, 200)], schema=SCHEMA
     )
     store.merge_batch(base, order_cols=["seq"])
-    before = {
-        p: os.path.getmtime(p)
-        for p in _glob.glob(str(tmp_path / "bstate" / "state" / "*" / "*.parquet"))
-    }
+    pat = str(tmp_path / "bstate" / "state" / "data" / "*" / "*" / "*.parquet")
+    before = {p: os.path.getmtime(p) for p in _glob.glob(pat)}
     delta = spark.createDataFrame([("U", 7, "седем", 1000)], schema=SCHEMA)
     store.merge_batch(delta, order_cols=["seq"])
-    after = {
-        p: os.path.getmtime(p)
-        for p in _glob.glob(str(tmp_path / "bstate" / "state" / "*" / "*.parquet"))
-    }
+    after = {p: os.path.getmtime(p) for p in _glob.glob(pat)}
     untouched_same = [p for p in before if p in after and before[p] == after[p]]
     # at 16 buckets, a single-key batch touches exactly one bucket: the
-    # other buckets' files must be byte-for-byte the same files
+    # other buckets' files must be byte-for-byte the same files (the
+    # manifest protocol never rewrites or renames a committed file)
     assert len(untouched_same) >= len(before) - 2, (len(untouched_same), len(before))
     assert {r.val for r in store.read(spark).filter("id = 7").collect()} == {"седем"}
 
@@ -166,15 +162,16 @@ def test_bucketed_merge_is_idempotent_on_replay(spark, tmp_path):
     assert (5, "u5") in second and not any(i == 6 for i, _ in second)
 
 
-def test_bucketed_swap_crash_recovery(spark, tmp_path):
-    """Kill the process at the worst swap moment — marker committed,
-    only SOME buckets renamed, live dirs of the rest already deleted —
-    then replay the batch: no key may be lost (round-2 review finding:
-    the old rmtree-then-rename order lost whole buckets)."""
-    import json as _json
+def test_manifest_crash_before_publish(spark, tmp_path, monkeypatch):
+    """Kill the process at the worst commit moment — the staged
+    generation dir is fully written but the manifest publish never
+    happened. The state must be EXACTLY the previous commit (orphan
+    generations are invisible), the replayed batch must converge, and
+    the next successful commit must GC the orphan."""
+    import pytest as _pytest
 
+    from rust_dms_cdc_operator_spark import fsio
     from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
-        BUCKET_COL,
         BucketedParquetState,
     )
 
@@ -184,43 +181,106 @@ def test_bucketed_swap_crash_recovery(spark, tmp_path):
     )
     store.merge_batch(base, order_cols=["seq"])
     before = {(r.id, r.val) for r in store.read(spark).collect()}
+    data_dir = os.path.join(str(tmp_path / "cr" / "state"), "data")
+    gens_before = set(os.listdir(data_dir))
 
     delta = spark.createDataFrame(
         [("U", 5, "u5", 100), ("I", 99, "n", 101)], schema=SCHEMA
     )
-    # simulate the crash: run the real staging write + marker, then
-    # destroy live dirs as _apply_swap would have, but 'die' before
-    # any rename by reconstructing that exact on-disk situation
-    orig_apply = store._apply_swap
-    staged_state = {}
 
-    def crash_apply(touched, staged_set):
-        staged_state["args"] = (touched, staged_set)
-        # delete every touched live dir (the destructive first half),
-        # rename nothing — worst case of the OLD protocol
-        for b in touched:
-            import shutil as _sh
+    def boom(*_a, **_k):
+        raise RuntimeError("simulated crash before manifest publish")
 
-            _sh.rmtree(
-                os.path.join(store.path, f"{BUCKET_COL}={b}"),
-                ignore_errors=True,
-            )
-        raise RuntimeError("simulated crash mid-swap")
-
-    store._apply_swap = crash_apply
-    try:
+    monkeypatch.setattr(fsio, "publish_text", boom)
+    with _pytest.raises(RuntimeError):
         store.merge_batch(delta, order_cols=["seq"])
-    except RuntimeError:
-        pass
-    store._apply_swap = orig_apply
-    # the staging dir + marker survived the crash
-    assert os.path.exists(os.path.join(store._staging(), "_touched.json"))
-    # checkpoint replays the same batch: recovery must roll forward
-    # then the merge applies idempotently
+    monkeypatch.undo()
+
+    # the orphan generation was written but is NOT visible
+    orphans = set(os.listdir(data_dir)) - gens_before
+    assert orphans, "staging write should have produced a generation dir"
+    assert {(r.id, r.val) for r in store.read(spark).collect()} == before
+
+    # checkpoint replays the same batch: plain re-merge converges
     store.merge_batch(delta, order_cols=["seq"])
     after = {(r.id, r.val) for r in store.read(spark).collect()}
     want = (before - {(5, "v5")}) | {(5, "u5"), (99, "n")}
     assert after == want
+    # the successful commit's GC removed the orphan generation
+    assert not (orphans & set(os.listdir(data_dir)))
+
+
+def test_manifest_partial_tmp_files_invisible(spark, tmp_path):
+    """A crash mid-manifest-write leaves a ``.tmp-*`` sibling; readers
+    must ignore it (only fully renamed ``<epoch>.json`` names count)."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "tm" / "state"), ["id"], 4)
+    base = spark.createDataFrame([("I", 1, "a", 1), ("I", 2, "b", 2)], schema=SCHEMA)
+    store.merge_batch(base, order_cols=["seq"])
+    mdir = os.path.join(store.path, "_manifests")
+    junk = os.path.join(mdir, f"{99:020d}.json.tmp-dead")
+    with open(junk, "w") as fh:
+        fh.write("{ partial")
+    assert store._manifest_epochs() == [1]
+    assert {r.id: r.val for r in store.read(spark).collect()} == {1: "a", 2: "b"}
+    delta = spark.createDataFrame([("U", 1, "a2", 10)], schema=SCHEMA)
+    store.merge_batch(delta, order_cols=["seq"])
+    assert {r.id: r.val for r in store.read(spark).collect()} == {1: "a2", 2: "b"}
+
+
+def test_bucketed_state_on_file_uri(spark, tmp_path):
+    """The same state protocol over a scheme-qualified URI: every
+    metadata operation routes through the JVM Hadoop FileSystem (the
+    exact code path an ``s3a://`` deployment takes), not ``os.*``."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(
+        "file://" + str(tmp_path / "uri" / "state"), ["id"], 4
+    )
+    base = spark.createDataFrame(
+        [("I", i, f"v{i}", i) for i in range(1, 30)], schema=SCHEMA
+    )
+    store.merge_batch(base, order_cols=["seq"])
+    delta = spark.createDataFrame(
+        [("U", 5, "u5", 100), ("D", 6, "x", 101), ("I", 77, "n", 102)],
+        schema=SCHEMA,
+    )
+    store.merge_batch(delta, order_cols=["seq"])
+    got = {(r.id, r.val) for r in store.read(spark).collect()}
+    assert (5, "u5") in got and (77, "n") in got
+    assert not any(i == 6 for i, _ in got)
+    assert len(got) == 29  # 28 survivors + 1 insert
+    # and the layout on disk is the manifest layout (no POSIX calls hit
+    # the URI — this asserts the protocol committed through Hadoop FS)
+    local = str(tmp_path / "uri" / "state")
+    assert os.path.isdir(os.path.join(local, "_manifests"))
+    # Hadoop's checksummed local FS adds .crc sidecars — count manifests
+    assert store._manifest_epochs() == [1, 2]
+
+
+def test_state_fully_deleted_reads_typed_empty(spark, tmp_path):
+    """Deleting EVERY key leaves a committed manifest with zero
+    buckets; read() must return a 0-row frame with the data schema
+    (not fail parquet schema inference)."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "fd" / "state"), ["id"], 4)
+    base = spark.createDataFrame([("I", 1, "a", 1), ("I", 2, "b", 2)], schema=SCHEMA)
+    store.merge_batch(base, order_cols=["seq"])
+    kill = spark.createDataFrame(
+        [("D", 1, "a", 10), ("D", 2, "b", 11)], schema=SCHEMA
+    )
+    store.merge_batch(kill, order_cols=["seq"])
+    out = store.read(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "val", "seq"}
 
 
 def test_bucketed_state_clears_fully_deleted_bucket(spark, tmp_path):
