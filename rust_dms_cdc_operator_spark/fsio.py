@@ -44,7 +44,9 @@ def join(base: str, *parts: str) -> str:
 
 
 def _hfs(path: str):
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is thread-local; fan-out worker threads (e.g.
+    # snapshot's per-table pool) fall back to the process-wide session
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
         raise RuntimeError(
             f"no active SparkSession to resolve remote path {path!r}"
@@ -124,6 +126,44 @@ def delete(path: str, recursive: bool = True) -> None:
         shutil.rmtree(path, ignore_errors=True)
     elif os.path.exists(path):
         os.remove(path)
+
+
+def qualified(path: str) -> str:
+    """Fully-qualified form of a URI as Hadoop renders it (e.g.
+    ``file:///x`` → ``file:/x``) — the prefix to strip when deriving
+    relative keys from listing results. Local paths pass through."""
+    if is_uri(path):
+        fs, jpath, _ = _hfs(path)
+        return fs.makeQualified(jpath).toString()
+    return path
+
+
+def walk_files(path: str) -> list[tuple[str, int, float]]:
+    """Recursive file listing: (full path, size bytes, mtime seconds).
+    Remote URIs use one ``listFiles(recursive)`` call — on s3a that is
+    a flat paginated ListObjectsV2, the same shape the reference's
+    lister drives (s3_operator.rs:210-248) — not a per-directory walk."""
+    out: list[tuple[str, int, float]] = []
+    if is_uri(path):
+        fs, jpath, _ = _hfs(path)
+        if not fs.exists(jpath):
+            return out
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            out.append(
+                (
+                    st.getPath().toString(),
+                    int(st.getLen()),
+                    st.getModificationTime() / 1000.0,
+                )
+            )
+        return out
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for name in filenames:
+            full = os.path.join(dirpath, name)
+            out.append((full, os.path.getsize(full), os.path.getmtime(full)))
+    return out
 
 
 def read_text(path: str) -> str:

@@ -14,13 +14,13 @@ here) or ``sinks.postgres.PostgresSink`` (JDBC; gated on a driver).
 
 from __future__ import annotations
 
-import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rust_dms_cdc_operator_spark import fsio
 from rust_dms_cdc_operator_spark.operators.compact import replay_manifest
 from rust_dms_cdc_operator_spark.payloads import CdcSnapshotPayload, TableMode
 from rust_dms_cdc_operator_spark.sources.manifest import build_manifest
@@ -35,7 +35,7 @@ class ParquetTarget:
     root: str
 
     def write(self, df: DataFrame, schema: str, table: str, pk: list[str]) -> str:
-        path = os.path.join(self.root, schema, table)
+        path = fsio.join(self.root, schema, table)
         df.write.mode("overwrite").parquet(path)
         return path
 
@@ -75,15 +75,12 @@ class JdbcTarget:
 def discover_tables_local(
     root: str, database: str, schema: str, s3_prefix: str = ""
 ) -> list[str]:
-    """Local stand-in for the S15 catalog scan: table = directory under
-    {root}/{prefix}/{db}/{schema}/ — the same key layout the manifest
-    listers use (manifest.table_prefix)."""
-    base = os.path.join(root, *(p for p in (s3_prefix, database, schema) if p))
-    if not os.path.isdir(base):
-        return []
-    return sorted(
-        d for d in os.listdir(base) if os.path.isdir(os.path.join(base, d))
-    )
+    """Filesystem stand-in for the S15 catalog scan: table = directory
+    under {root}/{prefix}/{db}/{schema}/ — the same key layout the
+    manifest listers use (manifest.table_prefix). Works for local paths
+    AND scheme-qualified roots (s3a://, file://, …) via :mod:`fsio`."""
+    base = fsio.join(root, *(p for p in (s3_prefix, database, schema) if p))
+    return sorted(fsio.listdir_dirs(base))
 
 
 def resolve_tables(payload: CdcSnapshotPayload, discovered: list[str]) -> list[str]:
@@ -164,9 +161,14 @@ def resume_snapshot(
     omitted from the result. The merged state is written to a sibling
     temp dir and swapped in (the plan reads the directory it replaces,
     so an in-place overwrite would consume its own output).
-    """
-    import shutil  # noqa: PLC0415
 
+    Filesystem ops route through :mod:`fsio`, so the swap also runs on
+    scheme-qualified roots. Caveat: directory rename is atomic on local
+    FS/HDFS; on s3a it is the connector's copy+delete — the ``_SUCCESS``
+    heal still converges, but the manifest-committed
+    ``streaming.BucketedParquetState`` is the recommended continuously-
+    updated state on object stores.
+    """
     from rust_dms_cdc_operator_spark.operators.compact import (  # noqa: PLC0415
         merge_full_load_with_cdc,
     )
@@ -192,19 +194,19 @@ def resume_snapshot(
             s3_prefix=payload.s3_prefix,
             start_date=since,
         )
-        path = os.path.join(target.root, payload.schema_name, table)
+        path = fsio.join(target.root, payload.schema_name, table)
         tmp, old = f"{path}.resume", f"{path}.old"
         # heal a previous crash first (even if this run brings no new
         # files): live dir missing means we died between the
         # rename-aside and the rename-in — whichever complete copy
         # exists (tmp with _SUCCESS, else the set-aside old) is restored
-        if not os.path.exists(path):
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                os.rename(tmp, path)
-            elif os.path.exists(old):
-                os.rename(old, path)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not fsio.exists(path):
+            if fsio.exists(fsio.join(tmp, "_SUCCESS")):
+                fsio.rename(tmp, path)
+            elif fsio.exists(old):
+                fsio.rename(old, path)
+        fsio.delete(old)
+        fsio.delete(tmp)
         cdc_files = [f for f in files if not f.is_load_file()]
         if not cdc_files:
             continue
@@ -214,8 +216,8 @@ def resume_snapshot(
         merged.write.mode("overwrite").parquet(tmp)
         # commit: set the live dir aside, move the new one in, then
         # drop the old — at no point is the only complete copy deleted
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        fsio.rename(path, old)
+        fsio.rename(tmp, path)
+        fsio.delete(old)
         results[table] = path
     return results

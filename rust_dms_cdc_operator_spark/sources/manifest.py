@@ -132,6 +132,30 @@ def list_local(root: str, prefix: str) -> list[ParquetFile]:
     return sorted(out, key=lambda f: f.key)
 
 
+def list_hadoop(root: str, prefix: str) -> list[ParquetFile]:
+    """Lister for scheme-qualified roots (``s3a://``, ``hdfs://``,
+    ``file://`` …) through the active session's Hadoop FileSystem —
+    the connector Spark itself scans with, so the same credentials and
+    endpoints apply. One recursive ``listFiles`` call (on s3a: flat
+    paginated ListObjectsV2, the reference's exact listing shape,
+    s3_operator.rs:210-248). Same filter semantics as ``list_local``."""
+    from rust_dms_cdc_operator_spark import fsio  # noqa: PLC0415
+
+    base = fsio.join(root, prefix) if prefix else root
+    qroot = fsio.qualified(root).rstrip("/")
+    out: list[ParquetFile] = []
+    for full, _size, mtime in fsio.walk_files(base):
+        if not full.endswith((".parquet", ".csv", ".csv.gz")):
+            continue
+        rel = full[len(qroot) :].lstrip("/") if full.startswith(qroot) else full
+        out.append(
+            ParquetFile(
+                key=rel, last_modified=datetime.utcfromtimestamp(mtime)
+            )
+        )
+    return sorted(out, key=lambda f: f.key)
+
+
 def list_s3(bucket: str, prefix: str, start_after: str | None = None) -> list[ParquetFile]:
     """Paginated ListObjectsV2 with optional start_after, matching
     s3_operator.rs:210-248. Requires boto3 (gated import)."""
@@ -180,12 +204,15 @@ def build_manifest(
     """
     from rust_dms_cdc_operator_spark.payloads import LoadMode  # noqa: PLC0415
 
+    from rust_dms_cdc_operator_spark.fsio import is_uri  # noqa: PLC0415
+
     mode = LoadMode(mode) if isinstance(mode, str) else mode
-    lister = (
-        (lambda p, sa=None: list_s3(bucket, p, sa))
-        if bucket
-        else (lambda p, sa=None: list_local(root, p))
-    )
+    if bucket:
+        lister = lambda p, sa=None: list_s3(bucket, p, sa)  # noqa: E731
+    elif is_uri(root):
+        lister = lambda p, sa=None: list_hadoop(root, p)  # noqa: E731
+    else:
+        lister = lambda p, sa=None: list_local(root, p)  # noqa: E731
 
     if mode is LoadMode.ABSOLUTE_PATH:
         if not absolute_path:

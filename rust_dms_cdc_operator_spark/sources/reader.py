@@ -19,10 +19,12 @@ pushdown), and recover per-file replay order from Spark's hidden
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_dms_cdc_operator_spark import fsio
 from rust_dms_cdc_operator_spark.sources.manifest import ParquetFile
 
 FILE_SEQ_COL = "_cdc_file_seq"
@@ -31,9 +33,21 @@ IS_LOAD_COL = "_cdc_is_load"
 
 
 def _absolute(root: str, key: str) -> str:
-    if key.startswith(("s3://", "s3a://", "file:", "/")):
+    if fsio.is_uri(key) or key.startswith("/"):
         return key
-    return os.path.join(root, key)
+    return fsio.join(root, key)
+
+
+def _norm_path(p: str) -> str:
+    """The exact normalization applied to ``_metadata.file_path`` on
+    the Spark side, so the python-side rank map joins against it:
+    ``file:`` URIs collapse to plain absolute paths, other URI schemes
+    pass through verbatim, relative local paths become absolute."""
+    if p.startswith("file:"):
+        return re.sub("^file:/+", "/", p)
+    if fsio.is_uri(p):
+        return p
+    return os.path.abspath(p)
 
 
 def _conf_bytes(spark: SparkSession, jgetter: str, key: str, default: int) -> int:
@@ -72,19 +86,21 @@ def _check_csv_unsplit(spark: SparkSession, paths: list[str]) -> None:
     with it last-writer-wins compaction). Gzipped CSV is unsplittable;
     plain CSV must fit in the EFFECTIVE split size Spark will actually
     use (min(maxPartitionBytes, max(openCost, bytesPerCore))) — not
-    just maxPartitionBytes (round-2 review finding)."""
+    just maxPartitionBytes (round-2 review finding). Sizes resolve
+    through :mod:`fsio`, so remote (s3a/hdfs) drops are enforced too,
+    not skipped."""
     sizes = [
-        os.path.getsize(p)
+        fsio.getsize(p)
         for p in paths
-        if not p.endswith(".gz") and os.path.exists(p)
+        if not p.endswith(".gz") and fsio.exists(p)
     ]
     if not sizes:
         return
     limit = _effective_max_split_bytes(spark, sizes)
     for p in paths:
-        if p.endswith(".gz") or not os.path.exists(p):
-            continue  # unsplittable / remote (server-side sizes n/a)
-        size = os.path.getsize(p)
+        if p.endswith(".gz") or not fsio.exists(p):
+            continue  # unsplittable / not yet visible
+        size = fsio.getsize(p)
         if size > limit:
             raise ValueError(
                 f"CSV file {p} is {size} bytes > effective maxSplitBytes="
@@ -157,9 +173,7 @@ def read_manifest(
         raise ValueError(f"unsupported manifest format: {fmt!r}")
 
     rank_rows = [
-        (os.path.abspath(p) if not p.startswith(("s3://", "s3a://", "file:")) else p,
-         i, files[i].is_load_file())
-        for i, p in enumerate(paths)
+        (_norm_path(p), i, files[i].is_load_file()) for i, p in enumerate(paths)
     ]
     rank_df = spark.createDataFrame(
         rank_rows, schema=f"_file_path string, {FILE_SEQ_COL} long, {IS_LOAD_COL} boolean"

@@ -67,6 +67,37 @@ def test_snapshot_include_exclude(spark, tmp_path):
     assert set(exc) == {"customers_cdc", "orders_cdc"}
 
 
+def test_snapshot_over_file_uri_matches_local(spark, tmp_path):
+    """The S3 read-path contract: the same drop snapshotted through a
+    scheme-qualified root (``file://`` → JVM Hadoop FileSystem — the
+    identical code path an ``s3a://`` run takes for listing, sizing,
+    discovery, and the rank join) must produce byte-identical state to
+    the plain local-path run."""
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    payload = CdcSnapshotPayload(
+        bucket_name="local",
+        schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB,
+        mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    pks = {t: f["pk"] for t, f in fx.items()}
+    local = snapshot(spark, payload, ParquetTarget(tgt), root, pks)
+    uri = snapshot(
+        spark,
+        payload,
+        ParquetTarget("file://" + str(tmp_path / "state_uri")),
+        "file://" + root,
+        pks,
+    )
+    assert set(local) == set(uri) == set(fx)
+    for t in fx:
+        a = sorted(str(r) for r in spark.read.parquet(local[t]).collect())
+        b = sorted(str(r) for r in spark.read.parquet(uri[t]).collect())
+        assert a == b, t
+
+
 def test_validate_reports(spark, tmp_path):
     root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
     fx = _drop(root)
