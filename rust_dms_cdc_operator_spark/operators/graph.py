@@ -23,11 +23,27 @@ round count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 DRIVER_UF_THRESHOLD = 200_000
+
+
+def _make_ckpt(
+    spark: SparkSession, checkpoint_dir: str | None
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-round lineage cut. Default: ``localCheckpoint`` (fast,
+    executor-local — but NON-replicated: losing an executor mid-run
+    kills the job). With ``checkpoint_dir``: reliable ``checkpoint()``
+    to that path (HDFS/object store on a cluster), so a multi-hour CC
+    over billions of edges survives executor loss (r2 verdict #2)."""
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint()
 
 
 def connected_components(
@@ -36,6 +52,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     driver_threshold: int = DRIVER_UF_THRESHOLD,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, comp) for every node in ``edges``; ``comp`` is the
     smallest node id in the component (deterministic, engine-portable
@@ -55,6 +72,7 @@ def connected_components(
     # the edge list is consumed once per round — persist it, or the
     # whole upstream pair computation (minhash, cosine, ...) re-runs
     # every iteration
+    ckpt = _make_ckpt(edges.sparkSession, checkpoint_dir)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -64,37 +82,41 @@ def connected_components(
         # level-0 round: node's label = min(self, direct neighbors).
         # This is a FOREST: following comp pointers always ends at a
         # local-minimum node (comp(r) == r).
-        labels = (
+        labels = ckpt(
             sym.groupBy("a")
             .agg(F.min("b").alias("_mb"))
             .select(
                 F.col("a").alias("node"),
                 F.least(F.col("a"), F.col("_mb")).alias("comp"),
             )
-            .localCheckpoint()
         )
         # pointer-jump the forest to its roots: comp ← comp(comp)
         # doubles the resolved pointer depth per round, so this takes
-        # O(log depth) self-joins (localCheckpoint per round keeps the
+        # O(log depth) self-joins (the per-round checkpoint keeps the
         # plan flat). Afterwards every node is labeled by a local
         # minimum, and the contracted graph below connects those
         # minima — each of which is smaller than all its neighbors, so
         # the node count shrinks geometrically per level.
-        prev = labels.agg(F.sum("comp")).first()[0]
+        # Convergence rides ON the join itself: the round computes a
+        # _chg flag, and the only extra action is an early-terminating
+        # take(1) over the just-materialized frame — not a full
+        # agg(sum) scan per round (r2 verdict #8).
         for _ in range(max_iter):
             x, y = labels.alias("x"), labels.alias("y")
-            labels = (
+            nxt = ckpt(
                 x.join(y, F.col("x.comp") == F.col("y.node"), "left")
                 .select(
                     F.col("x.node").alias("node"),
                     F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+                    (
+                        F.coalesce(F.col("y.comp"), F.col("x.comp"))
+                        != F.col("x.comp")
+                    ).alias("_chg"),
                 )
-                .localCheckpoint()
             )
-            cur = labels.agg(F.sum("comp")).first()[0]
-            if cur == prev:
+            labels = nxt.select("node", "comp")
+            if not nxt.filter("_chg").take(1):
                 break
-            prev = cur
         # contract: edges between LABELS (self-loops dropped). For a
         # near-dup corpus this is the tiny inter-cluster remainder.
         la = labels.select(
@@ -103,18 +125,17 @@ def connected_components(
         lb = labels.select(
             F.col("node").alias("b"), F.col("comp").alias("cb")
         )
-        # localCheckpoint: each contraction level must start from a
-        # leaf plan — recursion over lazy frames otherwise NESTS the
-        # whole lower-level plan per level (exponential planning cost,
+        # checkpoint: each contraction level must start from a leaf
+        # plan — recursion over lazy frames otherwise NESTS the whole
+        # lower-level plan per level (exponential planning cost,
         # driver OOM). The checkpointed frame is the label-edge list,
         # orders of magnitude smaller than the input pairs.
-        contracted = (
+        contracted = ckpt(
             sym.join(la, "a")
             .join(lb, "b")
             .filter(F.col("ca") != F.col("cb"))
             .select("ca", "cb")
             .distinct()
-            .localCheckpoint()
         )
         n2 = contracted.count()
         if n2 == 0:
@@ -145,6 +166,7 @@ def connected_components(
                 contracted, "ca", "cb",
                 max_iter=max_iter - 1,
                 driver_threshold=driver_threshold,
+                checkpoint_dir=checkpoint_dir,
             )
             map_df = sub.select(
                 F.col("node").alias("comp"), F.col("comp").alias("_root")
@@ -166,12 +188,16 @@ def dedup_groups(
     id_col: str = "id_a",
     other_col: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs → (doc_id, group_id): transitive duplicate
     groups keyed by their minimum member. Downstream keeps
     ``doc_id == group_id`` rows (the canonical representative) and
-    drops the rest."""
-    cc = connected_components(pairs, id_col, other_col, max_iter)
+    drops the rest. ``checkpoint_dir`` selects reliable checkpoints
+    (survives executor loss on long runs)."""
+    cc = connected_components(
+        pairs, id_col, other_col, max_iter, checkpoint_dir=checkpoint_dir
+    )
     return cc.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
     )

@@ -75,3 +75,24 @@ def test_dedup_groups_column_contract(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
     rows = {(r.doc_id, r.group_id) for r in dedup_groups(pairs).collect()}
     assert rows == {(3, 3), (7, 3), (9, 3)}
+
+
+def test_cc_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir routes every lineage cut through reliable
+    checkpoint() — the executor-loss-safe mode for multi-hour runs.
+    Same answers as the localCheckpoint default, including through the
+    distributed-recursion branch (driver_threshold=2 forces it), and
+    the checkpoint dir is actually used."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    chain = [(i, i + 1) for i in range(60)]
+    got = _cc(spark, chain, max_iter=12, checkpoint_dir=ckdir,
+              driver_threshold=2)
+    assert set(got.values()) == {0} and len(got) == 61
+    # reliable checkpoints wrote RDD files under the requested dir
+    found = [f for root, _d, fs in os.walk(ckdir) for f in fs]
+    assert found, "no reliable checkpoint files written"
+    # mixed graph through the default driver-UF branch as well
+    got2 = _cc(spark, [(1, 2), (2, 3), (10, 11)], checkpoint_dir=ckdir)
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
