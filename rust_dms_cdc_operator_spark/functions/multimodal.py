@@ -165,20 +165,33 @@ def sample_frames(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
         for pdf in it:
-            ids, idxs, frames = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
-                    continue
-                for i in range(max_frames):
-                    off = i * every_n_bytes
-                    if off >= len(payload):
-                        break
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(bytes(payload[off : off + every_n_bytes]))
+            valid = pdf[pdf["payload"].notna()]
+            # vectorized fan-out arithmetic (repeat/cumsum — no Python
+            # loop over rows): per blob, frames = ceil(len/stride)
+            # capped at max_frames; the per-blob byte slice below is
+            # the only per-item step, standing in for the codec call
+            lens = valid["payload"].str.len().to_numpy(dtype="int64")
+            n_frames = np.minimum(
+                max_frames, -(-lens // every_n_bytes)
+            ).astype("int64")
+            ids = np.repeat(valid["media_id"].to_numpy(dtype="int64"), n_frames)
+            group_starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            idxs = np.arange(int(n_frames.sum()), dtype="int64") - group_starts
+            offs = idxs * every_n_bytes
+            payloads = np.repeat(valid["payload"].to_numpy(), n_frames)
+            frames = [
+                bytes(p[o : o + every_n_bytes])
+                for p, o in zip(payloads, offs)
+            ]
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs.astype("int32"),
+                    "frame": frames,
+                }
             )
 
     return media.mapInPandas(batches, out_schema)

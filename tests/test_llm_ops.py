@@ -408,3 +408,45 @@ def test_multimodal_resize_and_frame_sampling(spark, docs):
     # doc 1 text is 22 bytes -> frames at offsets 0, 8, 16
     assert [f.frame_idx for f in sorted(by_doc[1], key=lambda f: f.frame_idx)] == [0, 1, 2]
     assert by_doc[1][0].frame == b"the cat "
+
+
+def test_frame_sampling_edges(spark):
+    """Vectorized offset arithmetic edge cases: null payload (no
+    rows), empty payload (no rows), exact-multiple length (no phantom
+    frame), cap at max_frames."""
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.functions.multimodal import sample_frames
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (1, None, ("x", 0)),
+        (2, b"", ("x", 0)),
+        (3, b"12345678", ("x", 8)),        # exactly one stride
+        (4, b"123456789", ("x", 9)),       # one byte over: 2 frames
+        (5, b"a" * 100, ("x", 100)),       # capped at max_frames
+    ]
+    out = sample_frames(
+        spark.createDataFrame(rows, schema), every_n_bytes=8, max_frames=3
+    ).collect()
+    got = {}
+    for f in out:
+        got.setdefault(f.media_id, []).append((f.frame_idx, bytes(f.frame)))
+    assert 1 not in got and 2 not in got
+    assert got[3] == [(0, b"12345678")]
+    assert sorted(got[4]) == [(0, b"12345678"), (1, b"9")]
+    assert len(got[5]) == 3
