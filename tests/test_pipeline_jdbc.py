@@ -95,6 +95,32 @@ assert reports["customer"].ok, vars(reports["customer"])
 assert not reports["account"].ok, vars(reports["account"])
 assert len(reports["account"].mismatched_chunks) == 1, reports["account"]
 
+# catalog-driven composition (S15 discovery + injected PK resolver +
+# PK-partitioned source reads): same verdicts, parallel source scans
+from rust_dms_cdc_operator_spark.sources.jdbc_source import (
+    catalog_validate,
+    read_table_partitioned,
+)
+
+part = read_table_partitioned(
+    spark, sink.url, "public", "customer", ["id"],
+    properties=sink.properties, num_partitions=4,
+)
+assert part.rdd.getNumPartitions() == 4, part.rdd.getNumPartitions()
+assert part.count() == 50
+
+reports = catalog_validate(
+    spark, sink.url, "public",
+    targets={t: engine_state(t) for t in pks},
+    properties=sink.properties,
+    payload=CdcValidatePayload(schema_name="public", chunk_size=10),
+    pk_resolver=lambda s, u, sc, t, p: ["id"],  # DuckDB has no pg_index
+    num_partitions=4,
+)
+assert set(reports) == {"customer", "account"}, reports
+assert reports["customer"].ok, vars(reports["customer"])
+assert not reports["account"].ok, vars(reports["account"])  # still corrupted
+
 print("PIPELINE-JDBC-IT-PASS")
 """
 

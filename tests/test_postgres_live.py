@@ -142,6 +142,35 @@ def test_s13_s15_catalog_queries(pg):
     assert rest == "t1"
 
 
+def test_catalog_to_partitioned_scan_bounds(pg):
+    """Catalog→diff composition, the PG-specific half: S14 resolves
+    the PK live, then the partition-bounds query (jdbc_source.py —
+    what spark.read.jdbc's range partitions are derived from) runs
+    against the same live table, mixed-case PK included. (The Spark
+    read itself is exercised against DuckDB JDBC in
+    test_pipeline_jdbc.py — no Postgres JDBC jar ships here.)"""
+    from rust_dms_cdc_operator_spark.sources.jdbc_source import (
+        partition_bounds_sql,
+    )
+
+    _psql(pg, create_schema_sql("cat3"))
+    _psql(pg, create_table_sql(
+        {"Seq": "bigint", "v": "text"}, ["Seq"], "cat3", "Events",
+    ))
+    _psql(
+        pg,
+        'INSERT INTO "cat3"."Events" SELECT g, g::text FROM '
+        "generate_series(10, 500) AS g",
+    )
+    pk = _psql(pg, primary_key_sql("cat3", "Events")).splitlines()
+    assert pk == ["Seq"]
+    bounds = _psql(pg, partition_bounds_sql("cat3", "Events", pk[0]))
+    assert bounds == "10|500"
+    # empty table: NULL bounds (jdbc_source falls back to one reader)
+    _psql(pg, create_table_sql({"id": "bigint"}, ["id"], "cat3", "empty"))
+    assert _psql(pg, partition_bounds_sql("cat3", "empty", "id")) == "|"
+
+
 def test_s8_staging_merge_and_delete(pg):
     """The full staged upsert+delete flow (sinks/postgres.py order of
     operations) with mixed-case columns — the exact combination the
