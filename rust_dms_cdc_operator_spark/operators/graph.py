@@ -5,20 +5,18 @@ emit near-duplicate PAIRS; a training pipeline needs the transitive
 closure of those pairs — duplicate GROUPS — so it can keep one
 canonical document per group. That closure is connected components.
 
-Implementation: distributed min-label propagation. Every node starts
-labeled with itself; each round pushes labels across edges and keeps
-the minimum; a fixpoint (detected by the invariant sum of labels — a
-min-propagation label can only decrease, so an unchanged sum IS the
-fixpoint) means every node carries its component's minimum id.
+Implementation: local-min labeling + a fixed budget of pointer-jump
+rounds + contraction. Convergence is never probed — the contraction's
+union-find (bounded driver) or recursion (distributed) resolves
+whatever label connectivity the jumps left, so jump rounds are purely
+a size optimization and every round is exactly one checkpoint job
+with zero extra driver actions.
 
-Scale: each round is one equi-join (edges ⋈ labels, both shuffled on
-the join key) + one groupBy — AQE-planned, no driver data. Rounds =
-graph diameter; LSH dup graphs are unions of near-cliques, so 2-4
-rounds in practice, with ``max_iter`` as the guard. For adversarial
-long-chain graphs swap the body for large-star/small-star (same loop
-shape, fewer rounds); labels are persisted per round and the previous
-round unpersisted, so memory stays one labels-frame regardless of
-round count.
+Scale: labeling is one groupBy; each jump is one equi-join over the
+(node, comp) frame — orders of magnitude smaller than the input
+pairs; contraction joins the edge list once per level. LSH dup graphs
+(unions of near-cliques) finish in one level; adversarial chains
+contract ~4× per level, O(log n) levels, ``max_iter`` as the guard.
 """
 
 from __future__ import annotations
@@ -53,6 +51,7 @@ def connected_components(
     max_iter: int = 20,
     driver_threshold: int = DRIVER_UF_THRESHOLD,
     checkpoint_dir: str | None = None,
+    jump_rounds: int = 2,
 ) -> DataFrame:
     """(node, comp) for every node in ``edges``; ``comp`` is the
     smallest node id in the component (deterministic, engine-portable
@@ -90,33 +89,26 @@ def connected_components(
                 F.least(F.col("a"), F.col("_mb")).alias("comp"),
             )
         )
-        # pointer-jump the forest to its roots: comp ← comp(comp)
-        # doubles the resolved pointer depth per round, so this takes
-        # O(log depth) self-joins (the per-round checkpoint keeps the
-        # plan flat). Afterwards every node is labeled by a local
-        # minimum, and the contracted graph below connects those
-        # minima — each of which is smaller than all its neighbors, so
-        # the node count shrinks geometrically per level.
-        # Convergence rides ON the join itself: the round computes a
-        # _chg flag, and the only extra action is an early-terminating
-        # take(1) over the just-materialized frame — not a full
-        # agg(sum) scan per round (r2 verdict #8).
-        for _ in range(max_iter):
+        # pointer-jump comp ← comp(comp) a FIXED small number of
+        # rounds — no convergence probe at all (r2 verdict #8, taken
+        # further): convergence is not a correctness requirement,
+        # because the contraction below plus the driver union-find /
+        # recursion resolves whatever label connectivity remains.
+        # Jump rounds only SHRINK the contracted graph, so two rounds
+        # (pointer depth 4 resolved) cover LSH near-clique graphs in
+        # one level, and adversarial chains still contract ~4× per
+        # recursion level — O(log n) levels total. Fixed rounds = zero
+        # per-round driver actions (no agg, no take(1)): each round is
+        # exactly one checkpoint job over the tiny labels frame.
+        for _ in range(jump_rounds):
             x, y = labels.alias("x"), labels.alias("y")
-            nxt = ckpt(
+            labels = ckpt(
                 x.join(y, F.col("x.comp") == F.col("y.node"), "left")
                 .select(
                     F.col("x.node").alias("node"),
                     F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
-                    (
-                        F.coalesce(F.col("y.comp"), F.col("x.comp"))
-                        != F.col("x.comp")
-                    ).alias("_chg"),
                 )
             )
-            labels = nxt.select("node", "comp")
-            if not nxt.filter("_chg").take(1):
-                break
         # contract: edges between LABELS (self-loops dropped). For a
         # near-dup corpus this is the tiny inter-cluster remainder.
         la = labels.select(
@@ -167,6 +159,7 @@ def connected_components(
                 max_iter=max_iter - 1,
                 driver_threshold=driver_threshold,
                 checkpoint_dir=checkpoint_dir,
+                jump_rounds=jump_rounds,
             )
             map_df = sub.select(
                 F.col("node").alias("comp"), F.col("comp").alias("_root")
