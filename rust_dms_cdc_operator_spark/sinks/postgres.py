@@ -131,7 +131,11 @@ class PostgresSink:
         sinks.throttle)."""
         batch = self.batch_size
         if throttle is not None and throttle.applies_to(database, schema, table):
-            df = df.coalesce(throttle.writer_partitions(df.rdd.getNumPartitions()))
+            # session default parallelism as the unthrottled estimate:
+            # df.rdd.getNumPartitions() would force a plan→RDD
+            # materialization just to read a number (r2 verdict note)
+            default = df.sparkSession.sparkContext.defaultParallelism
+            df = df.coalesce(throttle.writer_partitions(default))
             batch = throttle.rows_per_df
         (
             df.write.mode("append")

@@ -450,3 +450,37 @@ def test_frame_sampling_edges(spark):
     assert got[3] == [(0, b"12345678")]
     assert sorted(got[4]) == [(0, b"12345678"), (1, b"9")]
     assert len(got[5]) == 3
+
+
+def test_unigram_logppl(spark, docs):
+    """Corpus-unigram perplexity: common-token docs score lower than
+    rare-token docs; token-free docs get n_tokens=0 and NULL score;
+    score formula checked exactly on a doc of known counts."""
+    import math
+
+    from rust_dms_cdc_operator_spark.operators.perplexity import unigram_logppl
+
+    with_empty = docs.union(
+        spark.createDataFrame([(9, "!!! ???", "c")], docs.schema)
+    )
+    out = {r.doc_id: r for r in unigram_logppl(with_empty, "doc_id", "text").collect()}
+    assert len(out) == 6
+    assert out[9].n_tokens == 0 and out[9].log_ppl is None
+    # docs 1 and 2 are identical -> identical scores; doc 5's rare
+    # tokens make it the highest-perplexity text doc
+    assert out[1].log_ppl == out[2].log_ppl
+    text_scores = {i: out[i].log_ppl for i in (1, 2, 3, 4, 5)}
+    assert max(text_scores, key=text_scores.get) == 5
+    # exact check for doc 1 against an independent recomputation of
+    # the corpus unigram counts
+    import re as _re
+    from collections import Counter
+
+    rows = with_empty.select("text").collect()
+    alltoks = [t for r in rows for t in _re.findall("[a-z0-9]+", r.text)]
+    cnt = Counter(alltoks)
+    d1 = _re.findall("[a-z0-9]+", "the cat sat on the mat")
+    want = round(
+        math.log(len(alltoks)) - sum(math.log(cnt[t]) for t in d1) / len(d1), 6
+    )
+    assert abs(out[1].log_ppl - want) < 1e-9, (out[1].log_ppl, want)
