@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write state tables as parquet under this directory")
     p.add_argument("--primary-keys", default="{}",
                    help='JSON: {"table": ["pk1", ...]} when no source catalog')
+    p.add_argument("--source-jdbc-url", default=None,
+                   help="JDBC URL of the live source database: datadiff "
+                        "reads it catalog-driven (S15 discovery, S14 PKs) "
+                        "with PK-partitioned parallel scans")
+    p.add_argument("--jdbc-properties", default="{}",
+                   help='JSON JDBC properties, e.g. {"driver": '
+                        '"org.postgresql.Driver"}')
     return p
 
 
@@ -190,7 +197,9 @@ def main(argv: list[str] | None = None) -> int:
             args.local_root, pks,
         )
 
-    if not args.only_snapshot and args.target_parquet_root and args.local_root:
+    if not args.only_snapshot and args.target_parquet_root and (
+        args.local_root or args.source_jdbc_url
+    ):
         from rust_dms_cdc_operator_spark.validate import validate  # noqa: PLC0415
 
         vp = CdcValidatePayload(
@@ -201,12 +210,42 @@ def main(argv: list[str] | None = None) -> int:
             start_position=args.start_position,
             max_connections=args.max_connections,
         )
-        tables = {}
-        for t, path in results.get("snapshot", {}).items():
-            # self-check: replayed state vs what was just written
-            tgt = spark.read.parquet(path)
-            tables[t] = (tgt, tgt, pks.get(t, []))
-        reports = validate(spark, vp, tables)
+        if args.source_jdbc_url:
+            # the reference's primary validate shape: live source DB vs
+            # the engine's state tables — catalog-driven (S15+S14),
+            # source scans PK-partitioned (jdbc_source.py)
+            from rust_dms_cdc_operator_spark import fsio  # noqa: PLC0415
+            from rust_dms_cdc_operator_spark.sources.catalog import (  # noqa: PLC0415
+                get_primary_key,
+            )
+            from rust_dms_cdc_operator_spark.sources.jdbc_source import (  # noqa: PLC0415
+                catalog_validate,
+            )
+
+            props = json.loads(args.jdbc_properties)
+            state_base = fsio.join(
+                args.target_parquet_root, args.database_schema
+            )
+            targets = {
+                t: spark.read.parquet(fsio.join(state_base, t))
+                for t in fsio.listdir_dirs(state_base)
+            }
+
+            def resolve_pk(s, u, sc, t, p):  # CLI map wins, catalog fallback
+                return pks.get(t) or get_primary_key(s, u, sc, t, p)
+
+            reports = catalog_validate(
+                spark, args.source_jdbc_url, args.database_schema,
+                targets, properties=props, payload=vp,
+                pk_resolver=resolve_pk,
+            )
+        else:
+            tables = {}
+            for t, path in results.get("snapshot", {}).items():
+                # self-check: replayed state vs what was just written
+                tgt = spark.read.parquet(path)
+                tables[t] = (tgt, tgt, pks.get(t, []))
+            reports = validate(spark, vp, tables)
         results["validate"] = {
             t: {"source_rows": r.source_rows, "target_rows": r.target_rows,
                 "ok": r.ok}

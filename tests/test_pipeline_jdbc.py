@@ -121,6 +121,31 @@ assert set(reports) == {"customer", "account"}, reports
 assert reports["customer"].ok, vars(reports["customer"])
 assert not reports["account"].ok, vars(reports["account"])  # still corrupted
 
+# CLI surface: `validate --only-datadiff --source-jdbc-url` = the
+# reference's live-DB datadiff against the engine's parquet state
+from rust_dms_cdc_operator_spark.snapshot import ParquetTarget
+from rust_dms_cdc_operator_spark.cli import main as cli_main
+import io, json as _json
+from contextlib import redirect_stdout
+
+state_root = os.path.join(work, "state")
+snapshot(spark, payload, ParquetTarget(state_root), root, primary_keys=pks)
+buf = io.StringIO()
+with redirect_stdout(buf):
+    rc = cli_main([
+        "validate", "--only-datadiff",
+        "--source-jdbc-url", sink.url,
+        "--jdbc-properties", _json.dumps(sink.properties),
+        "--target-parquet-root", state_root,
+        "--database-schema", "public",
+        "--primary-keys", _json.dumps(pks),
+        "--chunk-size", "10",
+    ])
+assert rc == 0, rc
+out = _json.loads(buf.getvalue())
+assert out["validate"]["customer"]["ok"] is True, out
+assert out["validate"]["account"]["ok"] is False, out  # corrupted above
+
 print("PIPELINE-JDBC-IT-PASS")
 """
 
