@@ -74,6 +74,8 @@ SCALE_QUERIES = [
     "c1_chunk_sizes",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_groups",
+    "docs_unigram_logppl",
     "text_fingerprint",
     "events_sessionize",
     "sim_cosine_topk",
