@@ -194,11 +194,31 @@ def write_text(path: str, text: str) -> None:
 
 
 def rename(src: str, dst: str) -> bool:
-    """Rename src onto a FRESH dst (no overwrite semantics assumed)."""
+    """Rename src to dst. NOTE: the local branch has POSIX semantics
+    (an existing FILE at dst is replaced); commit paths that need
+    no-clobber atomicity use :func:`rename_noclobber`."""
     if is_uri(src):
         fs, jsrc, jvm = _hfs(src)
         return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
     os.rename(src, dst)
+    return True
+
+
+def rename_noclobber(src: str, dst: str) -> bool:
+    """Move a FILE to a destination that must not exist; returns False
+    (src left in place) if it does. Local: ``os.link`` + unlink —
+    link(2) fails with EEXIST, so two racing committers cannot both
+    win (POSIX ``os.rename`` would silently replace). Hadoop:
+    ``FileSystem.rename`` already returns false on an existing
+    destination (HDFS metadata op; s3a checks the destination before
+    its COPY)."""
+    if is_uri(src):
+        return rename(src, dst)
+    try:
+        os.link(src, dst)
+    except FileExistsError:
+        return False
+    os.remove(src)
     return True
 
 
@@ -216,10 +236,15 @@ def publish_text(path: str, text: str, tmp_suffix: str) -> None:
 
     This is why the commit protocol never needs overwrite-rename or
     PUT-if-absent: each commit targets a new, monotonically numbered
-    key, and readers take the highest complete one.
+    key, and readers take the highest complete one. A zombie writer
+    (or a concurrent committer) that lost the race finds the key
+    already present and FAILS here instead of clobbering the winner.
     """
     tmp = path + tmp_suffix
     write_text(tmp, text)
-    if not rename(tmp, path):
+    if not rename_noclobber(tmp, path):
         delete(tmp, recursive=False)
-        raise OSError(f"rename {tmp!r} -> {path!r} failed (already committed?)")
+        raise OSError(
+            f"commit key {path!r} already exists — lost a commit race "
+            "(zombie writer?); this batch will be replayed"
+        )

@@ -453,3 +453,68 @@ def test_apply_in_pandas_with_state_running_profile(spark, tmp_path):
     # key 1 appeared in both microbatches: its state really accumulated
     key1_emits = [r.events_n for _e, r in emitted if r.key == 1]
     assert key1_emits == [2, 3]
+
+
+def test_manifest_publish_collision_raises(spark, tmp_path):
+    """Zombie-writer guard: the commit targets a FRESH numbered key;
+    if that key already exists (a second writer or a replayed zombie
+    committed first), the publish must fail loudly instead of
+    silently clobbering the other commit."""
+    import pytest as _pytest
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "zz" / "state"), ["id"], 4)
+    base = spark.createDataFrame([("I", 1, "a", 1)], schema=SCHEMA)
+    store.merge_batch(base, order_cols=["seq"])
+    # model the race: this writer loaded manifest 1, then a faster
+    # writer committed manifest 2 before our publish
+    man1 = store._load_manifest()
+    store._load_manifest = lambda: man1
+    mdir = os.path.join(store.path, "_manifests")
+    with open(os.path.join(mdir, f"{2:020d}.json"), "w") as fh:
+        fh.write('{"epoch": 2, "num_buckets": 4, "schema": "{}", "buckets": {}}')
+    delta = spark.createDataFrame([("U", 1, "a2", 5)], schema=SCHEMA)
+    with _pytest.raises(OSError):
+        store.merge_batch(delta, order_cols=["seq"])
+
+
+def test_manifest_crash_before_publish_on_file_uri(spark, tmp_path, monkeypatch):
+    """The pre-publish crash point exercised through the Hadoop-FS
+    branch (file:// — the s3a-shaped code path): state unchanged,
+    replay converges, orphan generation GC'd."""
+    import pytest as _pytest
+
+    from rust_dms_cdc_operator_spark import fsio
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    local = str(tmp_path / "ucr" / "state")
+    store = BucketedParquetState("file://" + local, ["id"], 4)
+    base = spark.createDataFrame(
+        [("I", i, f"v{i}", i) for i in range(1, 20)], schema=SCHEMA
+    )
+    store.merge_batch(base, order_cols=["seq"])
+    before = {(r.id, r.val) for r in store.read(spark).collect()}
+    gens_before = set(os.listdir(os.path.join(local, "data")))
+
+    delta = spark.createDataFrame([("U", 3, "u3", 99)], schema=SCHEMA)
+
+    def boom(*_a, **_k):
+        raise RuntimeError("crash before publish (uri)")
+
+    monkeypatch.setattr(fsio, "publish_text", boom)
+    with _pytest.raises(RuntimeError):
+        store.merge_batch(delta, order_cols=["seq"])
+    monkeypatch.undo()
+
+    orphans = set(os.listdir(os.path.join(local, "data"))) - gens_before
+    assert orphans
+    assert {(r.id, r.val) for r in store.read(spark).collect()} == before
+    store.merge_batch(delta, order_cols=["seq"])
+    after = {(r.id, r.val) for r in store.read(spark).collect()}
+    assert after == (before - {(3, "v3")}) | {(3, "u3")}
+    assert not (orphans & set(os.listdir(os.path.join(local, "data"))))
