@@ -131,3 +131,21 @@ def test_q5_join_chain_broadcasts_and_pushes_date(spark):
     assert count_broadcast_joins(df) >= 2
     pushed = " ".join(pushed_filters(df))
     assert "o_orderdate" in pushed  # date range reaches the orders scan
+
+
+def test_unigram_logppl_plan_shape(spark):
+    """Perplexity scoring stays linear: no cartesian product, no
+    SinglePartition exchange over data, and the text column is pruned
+    out of everything downstream of tokenization (the joins/aggs carry
+    (id, tok) and counts only)."""
+    from rust_dms_cdc_operator_spark.operators.perplexity import unigram_logppl
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = unigram_logppl(docs, "doc_id", "text")
+    plan = formatted_plan(out)
+    assert "Cartesian" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # every scan prunes to the two used columns
+    for rs in read_schemas(out):
+        assert "meta" not in rs and "source" not in rs, plan
