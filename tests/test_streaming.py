@@ -518,3 +518,32 @@ def test_manifest_crash_before_publish_on_file_uri(spark, tmp_path, monkeypatch)
     after = {(r.id, r.val) for r in store.read(spark).collect()}
     assert after == (before - {(3, "v3")}) | {(3, "u3")}
     assert not (orphans & set(os.listdir(os.path.join(local, "data"))))
+
+
+def test_manifest_gc_bounds_history(spark, tmp_path):
+    """State disk is O(live buckets + retention), not O(history):
+    after N commits only the last keep_manifests manifests survive,
+    and every generation dir on disk is referenced by one of them."""
+    import json as _json
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "gc" / "state"), ["id"], 4)
+    for i in range(1, 5):
+        batch = spark.createDataFrame(
+            [("I", i * 10 + j, f"v{i}", i * 100 + j) for j in range(3)],
+            schema=SCHEMA,
+        )
+        store.merge_batch(batch, order_cols=["seq"])
+    assert store._manifest_epochs() == [3, 4]
+    referenced = set()
+    for e in (3, 4):
+        with open(os.path.join(store.path, "_manifests", f"{e:020d}.json")) as fh:
+            for rel in _json.load(fh)["buckets"].values():
+                referenced.add(rel.split("/")[1])
+    on_disk = set(os.listdir(os.path.join(store.path, "data")))
+    assert on_disk == referenced, (on_disk, referenced)
+    # and the state is complete despite the pruned history
+    assert store.read(spark).count() == 12
