@@ -168,6 +168,21 @@ class BucketedParquetState:
             for c in batch.columns
             if c != op_col and not (c in order_cols and c.startswith("_cdc"))
         ]
+        if man is not None:
+            # P3 parity for the stream (compact.py:161-167): surface
+            # drift as a clear error before any state byte is staged,
+            # not as a union failure mid-merge
+            committed = {
+                f["name"]
+                for f in json.loads(man["schema"]).get("fields", [])
+            }
+            drift = set(data_cols) ^ committed
+            if drift:
+                raise ValueError(
+                    f"schema drift between batch and committed state at "
+                    f"{self.path}: differing columns {sorted(drift)} "
+                    "(recreate the state or align the source schema)"
+                )
         last = compact_cdc(batch, self.pk_cols, order_cols=order_cols, op_col="__keep_d__")
         last = last.withColumn(BUCKET_COL, self._bucket(num_buckets)).persist()
         try:

@@ -547,3 +547,35 @@ def test_manifest_gc_bounds_history(spark, tmp_path):
     assert on_disk == referenced, (on_disk, referenced)
     # and the state is complete despite the pruned history
     assert store.read(spark).count() == 12
+
+
+def test_stream_schema_drift_raises(spark, tmp_path):
+    """P3 parity on the stream: a batch whose data columns differ from
+    the committed state schema fails fast with the drift named, before
+    any state is staged."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "dr" / "state"), ["id"], 4)
+    store.merge_batch(
+        spark.createDataFrame([("I", 1, "a", 1)], schema=SCHEMA),
+        order_cols=["seq"],
+    )
+    drifted = T.StructType(
+        [
+            T.StructField("Op", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame([("U", 1, "a2", 5, "x")], schema=drifted)
+    with _pytest.raises(ValueError, match="schema drift.*extra"):
+        store.merge_batch(batch, order_cols=["seq"])
+    # state untouched
+    assert {r.id: r.val for r in store.read(spark).collect()} == {1: "a"}
