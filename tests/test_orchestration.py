@@ -270,6 +270,69 @@ def test_resume_snapshot_heals_crashed_swap(spark, tmp_path):
     assert spark.read.parquet(path).count() == want
 
 
+def test_resume_snapshot_over_file_uri(spark, tmp_path):
+    """Incremental resume through a scheme-qualified root: discovery,
+    the exclusive `since` window, and the rename-aside swap all run
+    through the Hadoop FileSystem branch (fsio), including directory
+    renames — the piece plain os.* cannot do on s3a."""
+    import os
+
+    from rust_dms_cdc_operator_spark.snapshot import resume_snapshot
+    from tests.cdc_fixtures import write_customers_cdc
+
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = {"customers_cdc": write_customers_cdc(root)}
+    pks = {t: f["pk"] for t, f in fx.items()}
+    base = dict(
+        bucket_name="local", schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB, mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    snapshot(
+        spark, CdcSnapshotPayload(**base),
+        ParquetTarget("file://" + tgt), "file://" + root, pks,
+    )
+    path = os.path.join(tgt, cdc_fixtures.SCHEMA, "customers_cdc")
+    before = {str(r) for r in spark.read.parquet(path).collect()}
+    # age every existing file, then drop one new CDC event
+    table_dir = os.path.join(
+        root, cdc_fixtures.DB, cdc_fixtures.SCHEMA, "customers_cdc"
+    )
+    for dirpath, _d, files in os.walk(table_dir):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (1000, 1000))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    new_dir = os.path.join(table_dir, "2031", "01", "01")
+    os.makedirs(new_dir, exist_ok=True)
+    any_row = spark.read.parquet(path).first().asDict()
+    cols = {
+        "Op": ["D"],
+        "_dms_ingestion_timestamp": ["2031-01-01 00:00:00"],
+    }
+    for k, v in any_row.items():
+        if k not in cols:
+            cols[k] = [v]
+    new_file = os.path.join(new_dir, "20310101-1.parquet")
+    pq.write_table(pa.table(cols), new_file)
+    # the date window filters on last_modified: place it after `since`
+    t2031 = 1_925_000_000  # 2031-01-02
+    os.utime(new_file, (t2031, t2031))
+
+    resumed = resume_snapshot(
+        spark, CdcSnapshotPayload(**base),
+        ParquetTarget("file://" + tgt), "file://" + root, pks,
+        since="2030-01-01",
+    )
+    assert set(resumed) == {"customers_cdc"}
+    after = {str(r) for r in spark.read.parquet(path).collect()}
+    assert len(after) == len(before) - 1  # the delete applied
+    assert not os.path.exists(f"{path}.old") and not os.path.exists(
+        f"{path}.resume"
+    )
+
+
 def test_conn_config_tls_properties():
     """X3 parity: accept_invalid_certs maps to the pg-JDBC
     non-validating TLS factory; explicit properties win."""
