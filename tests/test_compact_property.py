@@ -52,3 +52,51 @@ def test_window_compaction_equals_sequential_replay(spark, scenarios):
     out = compact_cdc(df, ["sc", "k"], order_cols=["seq"])
     got = {(r.sc, r.k): r.v for r in out.collect()}
     assert got == expected
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(  # 2-3 microbatches of events over a small key space
+        st.lists(
+            st.tuples(OPS, st.integers(0, 5), st.text("ab", max_size=2)),
+            min_size=1, max_size=8,
+        ),
+        min_size=2, max_size=3,
+    )
+)
+def test_bucketed_state_machine_equals_sequential_replay(spark, tmp_path_factory, batches):
+    """The manifest-committed state machine, driven with random
+    microbatch sequences, must equal the reference's sequential
+    row-by-row apply. Exercises multi-epoch commits, bucket deletes,
+    and GC under arbitrary op interleavings."""
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("Op", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    store = BucketedParquetState(
+        str(tmp_path_factory.mktemp("prop") / "state"), ["id"], 4
+    )
+    seq = 0
+    flat: list[tuple[str, int, str]] = []
+    for batch in batches:
+        rows = []
+        for op, key, val in batch:
+            rows.append((op, key, val, seq))
+            flat.append((op, key, val))
+            seq += 1
+        store.merge_batch(
+            spark.createDataFrame(rows, schema=schema), order_cols=["seq"]
+        )
+    want = python_replay(flat)
+    got = {r.id: r.val for r in store.read(spark).collect()}
+    assert got == want, (got, want, flat)
