@@ -141,11 +141,28 @@ class BucketedParquetState:
     def exists(self) -> bool:
         return bool(self._manifest_epochs())
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Full current state (no DMS/bookkeeping columns)."""
-        man = self._load_manifest()
-        if man is None:
-            raise FileNotFoundError(f"no committed state at {self.path}")
+    def read(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
+        """Full state (no DMS/bookkeeping columns) at the latest
+        commit, or — time travel — at a specific retained ``epoch``
+        (the manifest log keeps the last ``keep_manifests`` commits;
+        generation dirs referenced by any retained manifest are never
+        GC'd, so a pinned read stays consistent)."""
+        if epoch is None:
+            man = self._load_manifest()
+            if man is None:
+                raise FileNotFoundError(f"no committed state at {self.path}")
+        else:
+            retained = self._manifest_epochs()
+            if epoch not in retained:
+                raise ValueError(
+                    f"epoch {epoch} not retained at {self.path} "
+                    f"(retained: {retained})"
+                )
+            man = json.loads(
+                fsio.read_text(
+                    fsio.join(self._manifest_dir(), f"{epoch:020d}.json")
+                )
+            )
         if not man["buckets"]:  # every key deleted: empty, typed
             schema = T.StructType.fromJson(json.loads(man["schema"]))
             return spark.createDataFrame([], schema)

@@ -579,3 +579,38 @@ def test_stream_schema_drift_raises(spark, tmp_path):
         store.merge_batch(batch, order_cols=["seq"])
     # state untouched
     assert {r.id: r.val for r in store.read(spark).collect()} == {1: "a"}
+
+
+def test_read_at_retained_epoch_time_travel(spark, tmp_path):
+    """The manifest log is a commit history: a read pinned to a
+    retained epoch sees exactly that commit's state, concurrent with
+    the newer commit; non-retained epochs refuse."""
+    import pytest as _pytest
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "tt" / "state"), ["id"], 4)
+    store.merge_batch(
+        spark.createDataFrame(
+            [("I", 1, "a", 1), ("I", 2, "b", 2)], schema=SCHEMA
+        ),
+        order_cols=["seq"],
+    )
+    store.merge_batch(
+        spark.createDataFrame(
+            [("U", 1, "a2", 10), ("D", 2, "b", 11)], schema=SCHEMA
+        ),
+        order_cols=["seq"],
+    )
+    now = {r.id: r.val for r in store.read(spark).collect()}
+    then = {r.id: r.val for r in store.read(spark, epoch=1).collect()}
+    assert now == {1: "a2"}
+    assert then == {1: "a", 2: "b"}
+    store.merge_batch(
+        spark.createDataFrame([("I", 3, "c", 20)], schema=SCHEMA),
+        order_cols=["seq"],
+    )
+    with _pytest.raises(ValueError, match="not retained"):
+        store.read(spark, epoch=1)  # GC'd out of the retention window
