@@ -149,3 +149,47 @@ def test_unigram_logppl_plan_shape(spark):
     # every scan prunes to the two used columns
     for rs in read_schemas(out):
         assert "meta" not in rs and "source" not in rs, plan
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides written bucketed on the join key => the join plans
+    with ZERO shuffles (the 100 TB repeated-join contract): bucketed
+    scans satisfy the join distribution directly. An unbucketed
+    baseline on the same data shuffles both sides."""
+    from rust_dms_cdc_operator_spark.operators.bucketing import (
+        join_cobucketed,
+        write_bucketed,
+    )
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the fixture tables are broadcast-small; disable that so the gate
+    # exercises the sort-merge path a 100 TB fact-fact join takes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            orders, "bk_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bk_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        )
+        joined = join_cobucketed(
+            spark, "bk_orders", "bk_lineitem", ["o_orderkey"]
+        )
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        # baseline sanity: the same join over plain parquet shuffles
+        base = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            ["o_orderkey"],
+        )
+        assert "Exchange" in formatted_plan(base)
+        # and the answers agree
+        assert joined.count() == base.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
