@@ -67,3 +67,25 @@ def running_profile(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    stream,
+    key_cols,
+    event_time_col: str,
+    delay: str = "10 minutes",
+):
+    """Streaming exact-dedup: emit the FIRST arrival of each key and
+    drop re-deliveries within the watermark horizon — the streaming
+    form of operators.dedup.exact_dedup for documents/events arriving
+    continuously (at-least-once sources re-deliver; this bounds the
+    dedup state by time instead of holding every key forever).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store by
+    ``key_cols`` and expires entries once the watermark passes their
+    event time + delay — state stays O(keys per horizon), the property
+    that keeps 24/7 dedup viable at firehose rates.
+    """
+    return stream.withWatermark(
+        event_time_col, delay
+    ).dropDuplicatesWithinWatermark([*key_cols])

@@ -614,3 +614,55 @@ def test_read_at_retained_epoch_time_travel(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="not retained"):
         store.read(spark, epoch=1)  # GC'd out of the retention window
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """Streaming exact-dedup: a key re-delivered in a later microbatch
+    within the watermark horizon is emitted exactly once; distinct keys
+    all pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.streaming.stateful import stream_dedup
+
+    src = tmp_path / "ddsrc"
+    out_dir = tmp_path / "ddout"
+    os.makedirs(src)
+    f1 = [(1, "2026-01-01 00:00:00", "a"), (2, "2026-01-01 00:01:00", "b")]
+    f2 = [(1, "2026-01-01 00:02:00", "a-redelivered"),
+          (3, "2026-01-01 00:03:00", "c")]
+    for name, rows, mt in (("a.parquet", f1, 1000), ("b.parquet", f2, 2000)):
+        pq.write_table(
+            pa.table({
+                "doc_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }),
+            str(src / name),
+        )
+        os.utime(str(src / name), (mt, mt))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_dedup(stream, ["doc_id"], "ts", delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ddck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.text for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # first arrival wins, once each
