@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rust_dms_cdc_operator_spark.fixtures import read_events
 from rust_dms_cdc_operator_spark.functions.dmscols import geometry_rewrite_expr
 from rust_dms_cdc_operator_spark.operators.chunk import with_chunk_id
 from rust_dms_cdc_operator_spark.operators.compact import (
@@ -51,12 +52,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries nanosecond timestamps, which Spark's parquet
-    reader rejects; read them as long and truncate to microseconds with
-    integer division (== DuckDB's ns→us coercion)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events table with ``ts`` normalized to TimestampType regardless
+    of the fixture's physical encoding (int64-nanos in early driver
+    versions, timestamp[us] now) — see fixtures.read_events."""
+    return read_events(spark, sf_dir)
 
 
 # ---------------------------------------------------------------- S1/P1/P2
