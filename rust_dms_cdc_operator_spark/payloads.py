@@ -110,6 +110,11 @@ class CdcValidatePayload:
     chunk_size: int = 1000
     start_position: int = 0
     max_connections: int = 100
+    # pgdatadiff surface parity: the reference pins only_sequences(false)
+    # (cdc_operator.rs:271-272) but the option exists in its dependency's
+    # DiffPayload; when true, validate compares sequence last_value
+    # instead of table data (validate.sequence_diff)
+    only_sequences: bool = False
     source: ConnConfig | None = None
     target: ConnConfig | None = None
 

@@ -67,6 +67,19 @@ def tables_in_schema_sql(
     return base
 
 
+def sequences_sql(schema: str) -> str:
+    """Sequence name → last_value for a schema (``pg_sequences``,
+    PG10+). Surface parity with the reference's pgdatadiff dependency:
+    its DiffPayload exposes ``only_sequences`` (pinned false at
+    cdc_operator.rs:271-272) whose implementation compares sequence
+    last_value between the two databases; ``last_value`` is NULL until
+    the sequence's first ``nextval``."""
+    return (
+        "SELECT sequencename AS sequence_name, last_value "
+        f"FROM pg_sequences WHERE schemaname = {quote_literal(schema)}"
+    )
+
+
 def _jdbc_query(spark: SparkSession, url: str, query: str, properties: dict):
     reader = (
         spark.read.format("jdbc")
@@ -95,6 +108,22 @@ def get_primary_key(
     """S14."""
     rows = _jdbc_query(spark, url, primary_key_sql(schema, table), properties).collect()
     return [r["attname"] for r in rows]
+
+
+def get_schema_sequences(
+    spark: SparkSession,
+    url: str,
+    schema: str,
+    properties: dict | None = None,
+) -> dict[str, int | None]:
+    """Sequence name → last_value (None while never advanced)."""
+    rows = _jdbc_query(spark, url, sequences_sql(schema), properties).collect()
+    return {
+        r["sequence_name"]: (
+            None if r["last_value"] is None else int(r["last_value"])
+        )
+        for r in rows
+    }
 
 
 def get_tables_in_schema(

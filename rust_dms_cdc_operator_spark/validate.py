@@ -95,3 +95,69 @@ def drill_down(
 ) -> DataFrame:
     """V3: per-row diff for the tables a report flagged."""
     return row_diff(source, target, pk_cols).orderBy(*pk_cols)
+
+
+# ------------------------------------------------------------- sequences
+@dataclass
+class SequenceReport:
+    """One sequence's last_value on each side. Mirrors the
+    ``only_sequences`` half of the reference's pgdatadiff surface
+    (DiffPayload, pinned false at cdc_operator.rs:271-272) — off by
+    default here too (``CdcValidatePayload.only_sequences``)."""
+
+    sequence: str
+    source_last_value: int | None
+    target_last_value: int | None
+    in_source: bool = True
+    in_target: bool = True
+
+    @property
+    def ok(self) -> bool:
+        """Equal last_values AND present on both sides — a
+        never-advanced sequence (NULL last_value) must not compare
+        equal to a missing one."""
+        return (
+            self.in_source
+            and self.in_target
+            and self.source_last_value == self.target_last_value
+        )
+
+
+def sequence_diff_maps(
+    source: dict[str, int | None], target: dict[str, int | None]
+) -> dict[str, SequenceReport]:
+    """Pure comparison half (unit-testable without a database): a
+    sequence present on only one side is never ok, even when the
+    present side's last_value is NULL (never advanced)."""
+    out: dict[str, SequenceReport] = {}
+    for name in sorted(set(source) | set(target)):
+        out[name] = SequenceReport(
+            sequence=name,
+            source_last_value=source.get(name),
+            target_last_value=target.get(name),
+            in_source=name in source,
+            in_target=name in target,
+        )
+    return out
+
+
+def sequence_diff(
+    spark: SparkSession,
+    source_url: str,
+    target_url: str,
+    schema: str,
+    source_properties: dict | None = None,
+    target_properties: dict | None = None,
+) -> dict[str, SequenceReport]:
+    """Compare every sequence's last_value between two live databases
+    (catalog query ``sources/catalog.sequences_sql``). Driver-side by
+    design: a schema has O(tables) sequences — catalog metadata, not
+    data movement."""
+    from rust_dms_cdc_operator_spark.sources.catalog import (  # noqa: PLC0415
+        get_schema_sequences,
+    )
+
+    return sequence_diff_maps(
+        get_schema_sequences(spark, source_url, schema, source_properties),
+        get_schema_sequences(spark, target_url, schema, target_properties),
+    )

@@ -197,6 +197,51 @@ def test_s8_staging_merge_and_delete(pg):
     assert got.splitlines() == ["2", "3"]
 
 
+def test_sequence_diff_live(pg):
+    """pgdatadiff's only_sequences surface (reference pins it false,
+    cdc_operator.rs:271-272): the pg_sequences catalog query against a
+    real sequence — NULL last_value before first nextval, advanced
+    value after — composed with the pure comparison half
+    (validate.sequence_diff_maps)."""
+    from rust_dms_cdc_operator_spark.sources.catalog import sequences_sql
+    from rust_dms_cdc_operator_spark.validate import sequence_diff_maps
+
+    _psql(pg, create_schema_sql("seqs"))
+    _psql(pg, 'CREATE SEQUENCE "seqs"."order_id_seq"')
+    _psql(pg, 'CREATE SEQUENCE "seqs"."Mixed_Seq"')
+    # never-advanced sequences report NULL last_value
+    got = dict(
+        line.split("|")
+        for line in _psql(pg, sequences_sql("seqs")).splitlines()
+    )
+    assert got == {"order_id_seq": "", "Mixed_Seq": ""}
+
+    _psql(pg, "SELECT nextval('\"seqs\".\"order_id_seq\"')")
+    _psql(pg, "SELECT nextval('\"seqs\".\"order_id_seq\"')")
+    got = dict(
+        line.split("|")
+        for line in _psql(pg, sequences_sql("seqs")).splitlines()
+    )
+    assert got["order_id_seq"] == "2"
+
+    def parse(raw: dict[str, str]) -> dict[str, int | None]:
+        return {k: (int(v) if v else None) for k, v in raw.items()}
+
+    # source = this cluster; simulate a lagging target
+    reports = sequence_diff_maps(
+        parse(got), {"order_id_seq": 1, "Mixed_Seq": None}
+    )
+    assert not reports["order_id_seq"].ok
+    assert reports["order_id_seq"].source_last_value == 2
+    assert reports["order_id_seq"].target_last_value == 1
+    assert reports["Mixed_Seq"].ok  # both never-advanced
+    # one-sided sequence is never ok — even never-advanced (NULL
+    # last_value must not compare equal to absence)
+    lonely = sequence_diff_maps({"s": 5}, {})
+    assert not lonely["s"].ok and lonely["s"].target_last_value is None
+    assert not sequence_diff_maps({"s": None}, {})["s"].ok
+
+
 def test_row_dml_statements_execute(pg):
     """upsert_sql / delete_sql (the row-parameterized forms) and
     schema drop execute cleanly."""
