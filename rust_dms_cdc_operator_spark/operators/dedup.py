@@ -266,3 +266,66 @@ def contamination_hits(
     return d.join(b, "gram").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-ingested corpus —
+    the CDC-incremental form of :func:`exact_dedup`.
+
+    Both sides reduce to content digests before anything shuffles: the
+    corpus contributes ONE narrow distinct-digest column (its text
+    payload never moves), the batch anti-joins on digest, then keeps
+    the smallest id per digest within itself (one agg, no window).
+    At 100 TB the corpus digest set is the only state carried between
+    ingests — materialize it once as a parquet side table and this
+    costs O(batch) + a digest-key shuffle, independent of corpus
+    payload width.
+
+    Returns (id_col, digest) for the batch rows that are genuinely
+    new: not in the corpus, first of their content within the batch.
+    """
+    nd = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias(digest_col)
+    )
+    seen = existing_df.select(
+        F.md5(F.col(text_col)).alias(digest_col)
+    ).distinct()
+    return (
+        nd.join(seen, digest_col, "left_anti")
+        .groupBy(digest_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, digest_col)
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level top-k word n-grams by occurrence count (every
+    occurrence counts, not once per doc) — the standard corpus-health
+    report (boilerplate detection, template spam, over-represented
+    headers).
+
+    One linear explode + one gram-key shuffle; the top-k is a
+    TakeOrderedAndProject (per-partition heaps, no global sort
+    materialization). Ties break on the gram string, so the cut at
+    ``k`` is deterministic across engines and partitionings.
+    """
+    grams = df.select(
+        F.explode(sliding_word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )

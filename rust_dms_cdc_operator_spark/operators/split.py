@@ -208,3 +208,34 @@ def write_sharded(
         .first()[0]
     )
     return int(mx) + 1 if mx is not None else 0
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "42",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Reproducible global permutation for training-data ordering:
+    rank rows by ``md5(seed || ':' || id)``. The same seed gives the
+    same permutation on any engine, cluster size, or partitioning
+    (``F.rand`` gives none of that — per-partition seeding), and
+    changing the seed is a full independent reshuffle.
+
+    The rank comes from ``chunk.with_global_rank`` — per-bucket windows
+    plus a broadcast bucket-offset lookup, ONE shuffle, no
+    single-partition window — so the permutation is exact (1-based,
+    gap-free), which downstream shard writers rely on.
+    """
+    from rust_dms_cdc_operator_spark.operators.chunk import (  # noqa: PLC0415
+        with_global_rank,
+    )
+
+    key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("_shuffle_key", key)
+    ranked = with_global_rank(
+        keyed, ["_shuffle_key", id_col], rank_col=rank_col
+    )
+    return ranked.drop("_shuffle_key")

@@ -484,3 +484,39 @@ def test_unigram_logppl(spark, docs):
         math.log(len(alltoks)) - sum(math.log(cnt[t]) for t in d1) / len(d1), 6
     )
     assert abs(out[1].log_ppl - want) < 1e-9, (out[1].log_ppl, want)
+
+
+def test_incremental_dedup(spark):
+    from rust_dms_cdc_operator_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(10, "a"), (12, "a"), (14, "b"), (16, "c")],
+        "doc_id long, text string",
+    )
+    old = spark.createDataFrame(
+        [(1, "b"), (2, "z")], "doc_id long, text string"
+    )
+    out = incremental_dedup(new, old, "doc_id", "text")
+    # 'a': first-of-batch (10, not 12); 'b': already ingested; 'c': new
+    assert {r.doc_id for r in out.collect()} == {10, 16}
+    # empty corpus degrades to within-batch exact dedup
+    out2 = incremental_dedup(new, old.limit(0), "doc_id", "text")
+    assert {r.doc_id for r in out2.collect()} == {10, 14, 16}
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from rust_dms_cdc_operator_spark.operators.dedup import top_ngrams
+
+    df = spark.createDataFrame(
+        [("x y z x y z",), ("x y z",), ("a b c",)], "text string"
+    )
+    out = top_ngrams(df, "text", n=3, k=3).collect()
+    # "x y z" occurs 2x in doc1 (overlapping) + 1x in doc2
+    assert (out[0].gram, out[0].n_occurrences) == ("x y z", 3)
+    # count ties break on the gram string ascending
+    assert [(r.gram, r.n_occurrences) for r in out[1:]] == [
+        ("a b c", 1), ("y z x", 1),
+    ]
+    # short texts (<n words) contribute nothing, not a crash
+    short = spark.createDataFrame([("one two",), ("",)], "text string")
+    assert top_ngrams(short, "text", n=3, k=5).count() == 0

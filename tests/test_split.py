@@ -198,3 +198,20 @@ def test_sample_filter_is_scan_local(spark):
     out = stratified_sample(df, "doc_id", "lang", {"en": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_deterministic_shuffle_permutation(spark, ids):
+    from rust_dms_cdc_operator_spark.operators.split import (
+        deterministic_shuffle,
+    )
+
+    out = deterministic_shuffle(ids, "doc_id", seed="7")
+    pairs = {(r.doc_id, r.shuffle_rank) for r in out.collect()}
+    # exact gap-free 1..n permutation
+    assert sorted(r for _i, r in pairs) == list(range(1, 5001))
+    # partition-invariant: same permutation from any physical layout
+    again = deterministic_shuffle(ids.repartition(13), "doc_id", seed="7")
+    assert {(r.doc_id, r.shuffle_rank) for r in again.collect()} == pairs
+    # a different seed is a genuinely different permutation
+    other = deterministic_shuffle(ids, "doc_id", seed="8")
+    assert {(r.doc_id, r.shuffle_rank) for r in other.collect()} != pairs
