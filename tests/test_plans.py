@@ -193,3 +193,44 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_top_ngrams_topk_not_global_sort(spark):
+    """The top-k must be TakeOrderedAndProject (per-partition heaps +
+    one bounded merge), never a full global Sort materialization of
+    the gram counts."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["docs_top_ngrams"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly the gram-count aggregation shuffle; no rangepartitioning
+    # sort exchange for the ordering
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_incremental_dedup_corpus_prunes_to_text(spark):
+    """The corpus side must scan only the digest input column — its
+    payload never reaches the shuffle — and the anti-join must not be
+    a cartesian."""
+    from rust_dms_cdc_operator_spark.plans.inspect import (
+        formatted_plan,
+        read_schemas,
+    )
+
+    df = QUERIES["docs_incremental_dedup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Cartesian" not in plan, plan
+    # both scans read (doc_id, text) at most — never lang/source/n_chars
+    for schema in read_schemas(df):
+        assert "lang" not in schema and "n_chars" not in schema
+
+
+def test_deterministic_shuffle_no_single_partition(spark):
+    """The permutation rank must keep the global-rank scale shape:
+    no SinglePartition exchange over the data."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["docs_shuffle"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
