@@ -520,3 +520,29 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     # short texts (<n words) contribute nothing, not a crash
     short = spark.createDataFrame([("one two",), ("",)], "text string")
     assert top_ngrams(short, "text", n=3, k=5).count() == 0
+
+
+def test_quantized_topk_semantics(spark):
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        cosine_topk,
+        quantize_vec,
+        quantized_topk,
+    )
+    from pyspark.sql import functions as F
+
+    # clipping + floor semantics: out-of-range values saturate
+    df = spark.createDataFrame(
+        [(1, [2.0, -3.0, 0.5, -0.5, 0.0])], "vec_id long, embedding array<float>"
+    )
+    (qv,) = df.select(quantize_vec(F.col("embedding")).alias("q")).first()
+    assert qv == [127, -127, 63, -64, 0]  # floor(0.5*127)=63, floor(-0.5*127)=-64
+
+    # ranking sanity: on well-separated clustered vectors, quantized
+    # MIPS finds the same neighborhood as exact cosine
+    rows, query = _clustered_vectors(n_clusters=4, per_cluster=25, dim=16)
+    data = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    exact = {r.vec_id for r in cosine_topk(data, query, k=10).collect()}
+    quant = {r.vec_id for r in quantized_topk(data, query, k=10).collect()}
+    assert len(exact & quant) >= 7  # high agreement, not bit-identity
