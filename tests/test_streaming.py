@@ -666,3 +666,89 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     q.awaitTermination()
     got = {r.doc_id: r.text for r in spark.read.parquet(str(out_dir)).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}  # first arrival wins, once each
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Streaming sessionization (session_window + watermark, append
+    mode): sessions CLOSED by the final watermark are emitted and
+    match the batch session_window answer; a session still extendable
+    at the final watermark is withheld. This is the streaming form of
+    the batch `events_sessionize` oracle query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    src = tmp_path / "sessrc"
+    os.makedirs(src)
+    # user 1: two bursts 40 min apart (two sessions); user 2: one
+    # burst, then a very late final event to push the watermark
+    rows = [
+        (1, "2026-01-01 00:00:00"),
+        (1, "2026-01-01 00:05:00"),
+        (1, "2026-01-01 00:45:00"),  # > 30-min gap: new session
+        (2, "2026-01-01 00:10:00"),
+        (2, "2026-01-01 00:20:00"),
+        (2, "2026-01-01 03:00:00"),  # drives watermark far forward
+    ]
+    pq.write_table(
+        pa.table({
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+        }),
+        str(src / "s1.parquet"),
+    )
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+    ])
+
+    def sessions(df):
+        return (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("events_n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "events_n",
+            )
+        )
+
+    out_dir = tmp_path / "sesout"
+    q = (
+        sessions(
+            spark.readStream.schema(schema).parquet(str(src))
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "sesck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_start.isoformat()): r.events_n
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # batch reference on the same data (watermark is a no-op in batch)
+    batch = sessions(spark.read.schema(schema).parquet(str(src)))
+    want = {
+        (r.user_id, r.session_start.isoformat()): r.events_n
+        for r in batch.collect()
+    }
+    # final watermark = 03:00 - 10 min = 02:50: every session except
+    # user 2's 03:00 burst is closed (gap end < watermark) and emitted
+    withheld = (2, "2026-01-01T03:00:00")
+    assert withheld in want and withheld not in got
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want.get(k))
+    assert (1, "2026-01-01T00:00:00") in got  # 2 events
+    assert (1, "2026-01-01T00:45:00") in got  # separate session
+    assert (2, "2026-01-01T00:10:00") in got
+    assert got[(1, "2026-01-01T00:00:00")] == 2
