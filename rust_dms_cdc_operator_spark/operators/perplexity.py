@@ -69,3 +69,66 @@ def unigram_logppl(
             ).alias("log_ppl"),
         )
     )
+
+
+def source_token_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    token_pattern: str = TOKEN_PATTERN,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    unigram token distribution —
+
+        KL_s = Σ_t (c_s(t)/N_s) · [ln c_s(t) − ln N_s − ln c(t) + ln N]
+
+    The corpus-health companion to :func:`unigram_logppl`: a source
+    whose token mix diverges from the rest of the corpus (template
+    spam, scraped boilerplate, wrong language) shows up as a KL
+    outlier before any per-document scoring runs.
+
+    Scale shape: tokenize once, ONE (group, token)-key shuffle for the
+    joint counts; per-token corpus totals re-aggregate those joint
+    counts (vocabulary-sized input, not the corpus), join back on the
+    token key (AQE broadcasts the vocab side when it fits), one final
+    group agg. All JVM-side; exact integer counts, one rounded double
+    at the very end (ulp-level summation-order noise sits far below
+    the rounding step — same argument as unigram_logppl).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), 0)
+        ).alias("tok"),
+    )
+    joint = toks.groupBy("grp", "tok").agg(F.count("*").alias("c_gt"))
+    joint = joint.persist()  # consumed 3x: corpus totals, group totals, terms
+    corpus = joint.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
+    group_n = joint.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
+    # bounded driver scalar: total corpus tokens (one number)
+    total = group_n.agg(F.sum("n_g")).first()[0] or 0
+    terms = (
+        joint.join(corpus, "tok")
+        .join(group_n, "grp")
+        .select(
+            "grp",
+            "n_g",
+            (
+                (F.col("c_gt") / F.col("n_g"))
+                * (
+                    F.log(F.col("c_gt").cast("double"))
+                    - F.log(F.col("n_g").cast("double"))
+                    - F.log(F.col("c_t").cast("double"))
+                    + F.log(F.lit(float(total)))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n_g").alias("n_tokens"),
+            F.round(F.sum("term"), round_digits).alias("kl_vs_corpus"),
+        )
+    )

@@ -546,3 +546,27 @@ def test_quantized_topk_semantics(spark):
     exact = {r.vec_id for r in cosine_topk(data, query, k=10).collect()}
     quant = {r.vec_id for r in quantized_topk(data, query, k=10).collect()}
     assert len(exact & quant) >= 7  # high agreement, not bit-identity
+
+
+def test_source_token_drift_semantics(spark):
+    from rust_dms_cdc_operator_spark.operators.perplexity import (
+        source_token_drift,
+    )
+
+    rows = [
+        # two sources with IDENTICAL token distributions -> equal,
+        # near-zero KL; one source of pure out-of-distribution tokens
+        (1, "alpha beta gamma alpha", "a"),
+        (2, "alpha beta gamma alpha", "b"),
+        # mostly-exclusive vocabulary, one shared token: clearly OOD
+        (3, "alpha zzz zzz zzz", "weird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_token_drift(df).collect()}
+    assert out["a"].n_tokens == 4 and out["b"].n_tokens == 4
+    assert out["a"].kl_vs_corpus == out["b"].kl_vs_corpus
+    # the OOD source diverges far more than the twins
+    assert out["weird"].kl_vs_corpus > out["a"].kl_vs_corpus + 0.3
+    assert out["weird"].kl_vs_corpus > 0.5
+    # KL >= 0 always (within rounding)
+    assert all(r.kl_vs_corpus >= -1e-6 for r in out.values())
