@@ -130,6 +130,29 @@ def interactive_args(ask=input) -> list[str]:
     return argv
 
 
+def snapshot_payload_from_args(args):
+    """The CdcSnapshotPayload the parsed argv resolves to — shared by
+    ``main`` and the interactive-vs-flags parity test (both entry paths
+    must construct the SAME payload, like the reference's inquire and
+    clap mains feed one CDCOperatorPayload, main.rs:119-165,289-301)."""
+    from rust_dms_cdc_operator_spark.payloads import (  # noqa: PLC0415
+        CdcSnapshotPayload,
+        LoadMode,
+    )
+
+    return CdcSnapshotPayload(
+        bucket_name=args.bucket_name or "",
+        schema_name=args.database_schema,
+        included_tables=[t for t in args.included_tables.split(",") if t],
+        excluded_tables=[t for t in args.excluded_tables.split(",") if t],
+        mode=LoadMode(args.mode),
+        start_date=args.start_date,
+        stop_date=args.stop_date,
+        database_name=args.database_name,
+        s3_prefix=args.s3_prefix,
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command is None:
@@ -156,9 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     from rust_dms_cdc_operator_spark.payloads import (  # noqa: PLC0415
-        CdcSnapshotPayload,
         CdcValidatePayload,
-        LoadMode,
     )
     from rust_dms_cdc_operator_spark.session import get_spark  # noqa: PLC0415
 
@@ -181,17 +202,7 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        payload = CdcSnapshotPayload(
-            bucket_name=args.bucket_name or "",
-            schema_name=args.database_schema,
-            included_tables=included,
-            excluded_tables=excluded,
-            mode=LoadMode(args.mode),
-            start_date=args.start_date,
-            stop_date=args.stop_date,
-            database_name=args.database_name,
-            s3_prefix=args.s3_prefix,
-        )
+        payload = snapshot_payload_from_args(args)
         results["snapshot"] = snapshot(
             spark, payload, ParquetTarget(args.target_parquet_root),
             args.local_root, pks,
