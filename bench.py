@@ -79,6 +79,10 @@ SCALE_QUERIES = [
     "text_fingerprint",
     "events_sessionize",
     "sim_cosine_topk",
+    "docs_shuffle",
+    "docs_source_drift",
+    "docs_incremental_dedup",
+    "sim_quantized_topk",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1")

@@ -570,3 +570,43 @@ def test_source_token_drift_semantics(spark):
     assert out["weird"].kl_vs_corpus > 0.5
     # KL >= 0 always (within rounding)
     assert all(r.kl_vs_corpus >= -1e-6 for r in out.values())
+
+
+def test_incremental_dedup_property(spark):
+    """Property check vs a python set-based reference on random
+    batch/corpus splits: output ids are exactly the min-id per fresh
+    digest."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_dms_cdc_operator_spark.operators.dedup import incremental_dedup
+
+    texts = st.sampled_from(["a", "b", "c", "d", "e"])
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(texts, min_size=0, max_size=8),
+        st.lists(texts, min_size=0, max_size=8),
+    )
+    def check(batch, corpus):
+        new = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)] or [(0, "x")],
+            "doc_id long, text string",
+        )
+        if not batch:
+            new = new.limit(0)
+        old = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(corpus)] or [(0, "x")],
+            "doc_id long, text string",
+        )
+        if not corpus:
+            old = old.limit(0)
+        got = {r.doc_id for r in incremental_dedup(new, old, "doc_id", "text").collect()}
+        seen = set(corpus)
+        want = {}
+        for i, t in enumerate(batch):
+            if t not in seen and t not in want:
+                want[t] = i
+        assert got == set(want.values())
+
+    check()
