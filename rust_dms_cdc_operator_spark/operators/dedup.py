@@ -329,3 +329,37 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification stage for LSH candidate pairs — the
+    second half of the production two-stage near-dup pipeline (LSH
+    proposes, exact similarity disposes; candidates that collided by
+    hash luck get filtered by the caller on the returned exact
+    integer sizes).
+
+    Scale shape: the candidate stream joins the narrow per-doc shingle
+    table twice on the id key — two id-key shuffles, both linear in
+    |pairs| + |docs|; nothing quadratic, no re-tokenization per pair
+    (shingle arrays are computed once per doc).
+    """
+    s = docs.select(
+        F.col(id_col), shingle_set(F.col(text_col), n).alias("sh")
+    )
+    a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("inter_size"),
+        union.cast("long").alias("union_size"),
+    )

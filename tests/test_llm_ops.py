@@ -610,3 +610,26 @@ def test_incremental_dedup_property(spark):
         assert got == set(want.values())
 
     check()
+
+
+def test_jaccard_verify_pairs(spark, docs):
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        jaccard_verify_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): (r.inter_size, r.union_size)
+        for r in jaccard_verify_pairs(pairs, docs).collect()
+    }
+    # identical docs: full overlap
+    inter, union = out[(1, 2)]
+    assert inter == union > 0
+    # near dup: partial overlap
+    inter, union = out[(1, 3)]
+    assert 0 < inter < union
+    # LSH hash-luck collision of unrelated docs: verification kills it
+    inter, union = out[(4, 5)]
+    assert inter == 0
