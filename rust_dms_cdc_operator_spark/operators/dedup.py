@@ -331,35 +331,81 @@ def top_ngrams(
     )
 
 
+def hashed_shingle_set(text: Column, n: int = 3) -> Column:
+    """Distinct shingles as 32-bit hashes (first 8 md5 hex chars):
+    8-byte array elements instead of ~20-byte strings cut the
+    candidate-join shuffle ~3x, and long equality beats string
+    equality inside array_intersect. Collisions (~|S|²/2³² per doc,
+    ~1e-5 at 150 shingles) are reproduced bit-for-bit by the oracle's
+    identical construction, so cross-engine parity is exact even when
+    a collision fires."""
+    return F.array_distinct(
+        F.transform(shingle_set(text, n), lambda s: hex_to_long(F.md5(s), 8))
+    )
+
+
 def jaccard_verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    min_jaccard: float | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification stage for LSH candidate pairs — the
     second half of the production two-stage near-dup pipeline (LSH
     proposes, exact similarity disposes; candidates that collided by
-    hash luck get filtered by the caller on the returned exact
-    integer sizes).
+    hash luck get filtered on the exact integer sizes).
+
+    With ``min_jaccard`` set, a SIZE PREPASS runs before any array
+    moves: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose shingle
+    counts alone cap Jaccard below the threshold is dropped from a
+    narrow (id, size) join — semantics-preserving for the thresholded
+    output, and it keeps hash-luck candidates from ever shuffling the
+    wide shingle arrays (the dominant cost when LSH selectivity is
+    poor).
 
     Scale shape: the candidate stream joins the narrow per-doc shingle
     table twice on the id key — two id-key shuffles, both linear in
-    |pairs| + |docs|; nothing quadratic, no re-tokenization per pair
-    (shingle arrays are computed once per doc).
+    |surviving pairs| + |docs|; nothing quadratic, no re-tokenization
+    per pair (shingle arrays are computed once per doc).
     """
+    mk = hashed_shingle_set if hash_shingles else shingle_set
     s = docs.select(
-        F.col(id_col), shingle_set(F.col(text_col), n).alias("sh")
-    )
+        F.col(id_col), mk(F.col(text_col), n).alias("sh")
+    ).persist()  # consumed by both join sides (and the size prepass)
+    if min_jaccard is not None:
+        sizes = s.select(F.col(id_col), F.size("sh").alias("sz"))
+        pa = sizes.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+        )
+        pb = sizes.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+        )
+        pairs = (
+            pairs.join(pa, "id_a")
+            .join(pb, "id_b")
+            .filter(
+                F.least("sz_a", "sz_b")
+                >= F.greatest("sz_a", "sz_b") * F.lit(min_jaccard)
+            )
+            .select("id_a", "id_b")
+        )
     a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return j.select(
+    out = j.select(
         "id_a",
         "id_b",
         inter.cast("long").alias("inter_size"),
         union.cast("long").alias("union_size"),
     )
+    if min_jaccard is not None:
+        out = out.filter(
+            F.col("inter_size")
+            >= F.col("union_size") * F.lit(min_jaccard)
+        )
+    return out

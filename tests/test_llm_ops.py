@@ -633,3 +633,13 @@ def test_jaccard_verify_pairs(spark, docs):
     # LSH hash-luck collision of unrelated docs: verification kills it
     inter, union = out[(4, 5)]
     assert inter == 0
+
+    # hashed-shingle fast path + threshold/prepass: identical pair
+    # survives, near-dup and unrelated pairs are cut at 0.8
+    thr = {
+        (r.id_a, r.id_b)
+        for r in jaccard_verify_pairs(
+            pairs, docs, min_jaccard=0.8, hash_shingles=True
+        ).collect()
+    }
+    assert thr == {(1, 2)}
