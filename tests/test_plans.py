@@ -234,3 +234,38 @@ def test_deterministic_shuffle_no_single_partition(spark):
     df = QUERIES["docs_shuffle"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_salted_join_is_equi_join(spark):
+    """Salting must keep the join an equi-join (hash/sort-merge on
+    (key, salt)) — a salt expressed wrong degrades to a nested-loop
+    cross product."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["skew_salted_join"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_source_drift_prunes_and_no_cartesian(spark):
+    """The KL drift scan must read only (source, text) — the corpus
+    never re-shuffles for the per-token totals — and the token join
+    must not degrade to a cartesian."""
+    from rust_dms_cdc_operator_spark.plans.inspect import (
+        formatted_plan,
+        read_schemas,
+    )
+
+    df = QUERIES["docs_source_drift"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Cartesian" not in plan, plan
+    for schema in read_schemas(df):
+        assert "n_chars" not in schema and "doc_id" not in schema
+
+
+def test_quantized_topk_uses_topk_operator(spark):
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["sim_quantized_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
