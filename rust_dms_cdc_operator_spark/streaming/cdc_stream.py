@@ -262,6 +262,62 @@ class BucketedParquetState:
         finally:
             last.unpersist()
 
+    def compact(
+        self, spark: SparkSession, new_num_buckets: int | None = None
+    ) -> None:
+        """Maintenance OPTIMIZE: rewrite every live bucket into ONE
+        fresh generation and commit it as the next epoch. Long-running
+        streams scatter state across one generation dir per batch;
+        compaction collapses the listing back to a single generation
+        (and lets GC reap the old ones at the retention horizon).
+
+        ``new_num_buckets`` additionally RE-BUCKETS the state — the
+        scale knob that is otherwise frozen at table creation: as state
+        grows, re-bucket upward so each bucket stays executor-sized
+        (subsequent ``merge_batch`` calls read the bucket count from
+        the manifest, so the change is transparent to the stream).
+
+        Same commit protocol as a merge: immutable generation dir
+        first, numbered manifest publish as the commit point, GC after
+        — a crash mid-compact leaves an invisible orphan generation
+        and the old manifest intact.
+        """
+        man = self._load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed state at {self.path}")
+        num_buckets = new_num_buckets or man["num_buckets"]
+        epoch = man["epoch"]
+        buckets: dict[str, str] = {}
+        if man["buckets"]:
+            state = spark.read.parquet(
+                *[fsio.join(self.path, rel) for rel in man["buckets"].values()]
+            )
+            gen = f"e{epoch + 1}-compact-{uuid.uuid4().hex[:8]}"
+            gen_dir = fsio.join(self.path, "data", gen)
+            state.withColumn(
+                BUCKET_COL, self._bucket(num_buckets)
+            ).repartition(num_buckets, BUCKET_COL).write.partitionBy(
+                BUCKET_COL
+            ).parquet(gen_dir)
+            buckets = {
+                d.split("=", 1)[1]: f"data/{gen}/{BUCKET_COL}={d.split('=', 1)[1]}"
+                for d in fsio.listdir_dirs(gen_dir)
+                if d.startswith(f"{BUCKET_COL}=")
+            }
+        fsio.publish_text(
+            fsio.join(self._manifest_dir(), f"{epoch + 1:020d}.json"),
+            json.dumps(
+                {
+                    "epoch": epoch + 1,
+                    "num_buckets": num_buckets,
+                    "schema": man["schema"],
+                    "buckets": buckets,
+                }
+            ),
+            tmp_suffix=f".tmp-{uuid.uuid4().hex[:8]}",
+        )
+        self._gc()
+
     def _gc(self) -> None:
         """Post-commit cleanup: drop manifests beyond the retention
         window, then any generation dir no retained manifest references

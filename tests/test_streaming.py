@@ -752,3 +752,50 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert (1, "2026-01-01T00:45:00") in got  # separate session
     assert (2, "2026-01-01T00:10:00") in got
     assert got[(1, "2026-01-01T00:00:00")] == 2
+
+
+def test_compact_collapses_generations_and_rebuckets(spark, tmp_path):
+    """Maintenance OPTIMIZE: after many small batches the state spans
+    many generation dirs; compact() collapses the live state into ONE
+    generation (same rows), and new_num_buckets re-buckets — the knob
+    otherwise frozen at creation — transparently to later merges."""
+    import glob as _glob
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(
+        str(tmp_path / "cstate" / "state"), ["id"], 16, keep_manifests=2
+    )
+    for i in range(5):  # 5 batches -> up to 5 live generations
+        b = spark.createDataFrame(
+            [("I", i * 40 + k, f"v{i}-{k}", i) for k in range(40)],
+            schema=SCHEMA,
+        )
+        store.merge_batch(b, order_cols=["seq"])
+    want = {(r.id, r.val) for r in store.read(spark).collect()}
+    gen_glob = str(tmp_path / "cstate" / "state" / "data" / "*")
+
+    store.compact(spark, new_num_buckets=4)
+    got = {(r.id, r.val) for r in store.read(spark).collect()}
+    assert got == want
+    # the new manifest references exactly one generation, with 4 buckets
+    man = store._load_manifest()
+    assert man["num_buckets"] == 4
+    gens = {rel.split("/")[1] for rel in man["buckets"].values()}
+    assert len(gens) == 1 and next(iter(gens)).startswith("e6-compact-")
+    assert len({rel.split("=", 1)[1] for rel in man["buckets"].values()}) <= 4
+
+    # one more commit pushes pre-compact manifests past retention: GC
+    # reaps their generations, leaving compact's + the new one
+    store.merge_batch(
+        spark.createDataFrame([("U", 3, "bump", 99)], schema=SCHEMA),
+        order_cols=["seq"],
+    )
+    live_gens = {os.path.basename(p) for p in _glob.glob(gen_glob)}
+    assert len(live_gens) == 2, live_gens
+    # and the re-bucketed state keeps serving merges correctly
+    assert {r.val for r in store.read(spark).filter("id = 3").collect()} == {
+        "bump"
+    }
