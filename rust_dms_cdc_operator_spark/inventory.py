@@ -272,6 +272,91 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: orders in a quarter with at
+    least one returned lineitem, counted per priority (the fixture has
+    no commit/receipt dates, so `l_returnflag = 'R'` stands in for the
+    late-line predicate — the semi-join + agg SHAPE is the point:
+    Catalyst plans a LeftSemi that never duplicates orders rows)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan-only aggregate: every predicate pushes to
+    the parquet scan, the answer is one exact integer-cent sum. The
+    discount window filters on exact recovered cents (disc_c BETWEEN
+    5 AND 7), not raw doubles, for engine parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(disc_c.between(5, 7))
+        .agg((F.sum(cents * disc_c).cast("double") / 10000).alias("revenue"))
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped 4-table join + top-k: revenue lost to returns
+    per customer in a quarter. nation broadcasts (true dimension);
+    customer/orders/lineitem are fact-proportional and stay AQE-planned."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        (F.sum(rev).cast("double") / 10000).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional aggregation: per line status (the
+    fixture's stand-in for ship mode), how many lines belong to
+    high-priority vs other orders — the CASE-inside-SUM shape that
+    must stay one pass, one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped 6-table join: revenue per ASIA nation from
     orders supplied locally (customer and supplier share a nation).
@@ -514,6 +599,53 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,
+    "q4_priority_check": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                    AS DOUBLE) / 10000 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_quantity < 24
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q12_shipmode_priority": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+    """,
 }
 
 from rust_dms_cdc_operator_spark.inventory_llm import (  # noqa: E402
@@ -535,6 +667,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p9_geometry_rewrite": q_p9_geometry_rewrite,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_customers": q_q3_top_customers,
+    "q4_priority_check": q_q4_priority_check,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q10_returned_items": q_q10_returned_items,
+    "q12_shipmode_priority": q_q12_shipmode_priority,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "orders_rollup": q_orders_rollup,
 }

@@ -269,3 +269,32 @@ def test_quantized_topk_uses_topk_operator(spark):
     df = QUERIES["sim_quantized_topk"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q6_scan_only_aggregate(spark):
+    """Q6 is the pushdown poster child: date + quantity predicates
+    reach the parquet scan, ReadSchema carries only the 4 needed
+    columns, and the whole pipeline is codegen."""
+    from rust_dms_cdc_operator_spark.plans.inspect import (
+        has_whole_stage_codegen,
+        pushed_filters,
+        read_schemas,
+    )
+
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    (schema,) = read_schemas(df)
+    for col in ("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"):
+        assert col in schema
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+    assert has_whole_stage_codegen(df)
+
+
+def test_q4_semi_join_shape(spark):
+    """The EXISTS must plan as a semi-join (orders rows never
+    duplicated by multiple matching lineitems)."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q4_priority_check"](spark, SF_DIR)
+    assert "LeftSemi" in formatted_plan(df)
