@@ -357,6 +357,25 @@ def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned window analytics (lag + row_number): each
+    customer's first two orders with the exact-cent delta to the
+    previous order — the sequential-analysis shape (windows partition
+    by a key, so the shuffle is one hash exchange on o_custkey; no
+    single-partition window anywhere)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    out = o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("price_cents"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        (cents - F.lag(cents).over(w)).alias("delta_cents"),
+    )
+    return out.filter(F.col("order_seq") <= 2)
+
+
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped 6-table join: revenue per ASIA nation from
     orders supplied locally (customer and supplier share a nation).
@@ -635,6 +654,22 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
     """,
+    "orders_window_analytics": """
+        WITH t AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 row_number() OVER w AS order_seq,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+                   - lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                   AS delta_cents
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey, o_orderkey, price_cents,
+               CAST(order_seq AS BIGINT) AS order_seq, delta_cents
+        FROM t WHERE order_seq <= 2
+    """,
     "q12_shipmode_priority": """
         SELECT l_linestatus,
                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -671,6 +706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,
     "q12_shipmode_priority": q_q12_shipmode_priority,
+    "orders_window_analytics": q_orders_window_analytics,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "orders_rollup": q_orders_rollup,
 }
