@@ -262,6 +262,40 @@ class BucketedParquetState:
         finally:
             last.unpersist()
 
+    def lookup(self, spark: SparkSession, keys: list[tuple]) -> DataFrame:
+        """Point lookup: current state rows for the given PK tuples,
+        reading ONLY the buckets those keys hash to. The bucket
+        assignment runs through the SAME JVM expression the writer
+        uses (xxhash64 — not reimplementable driver-side in Python),
+        on a tiny keys frame; the state scan then lists just the
+        matched buckets' generation dirs and semi-joins. Cost:
+        O(|keys| + touched buckets), never O(total state) — the state
+        inspection path for a 100 TB table.
+        """
+        man = self._load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed state at {self.path}")
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        pk_fields = [f for f in schema.fields if f.name in self.pk_cols]
+        keys_df = spark.createDataFrame(keys, T.StructType(pk_fields))
+        num_buckets = man["num_buckets"]
+        wanted = {
+            r[BUCKET_COL]
+            for r in keys_df.select(
+                self._bucket(num_buckets).alias(BUCKET_COL)
+            ).distinct().collect()
+        }
+        dirs = [
+            fsio.join(self.path, rel)
+            for b, rel in man["buckets"].items()
+            if int(b) in wanted
+        ]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs).join(
+            F.broadcast(keys_df), self.pk_cols, "left_semi"
+        )
+
     def compact(
         self, spark: SparkSession, new_num_buckets: int | None = None
     ) -> None:
@@ -354,9 +388,16 @@ def stream_replay_bucketed(
     num_buckets: int = 64,
     max_files_per_trigger: int | None = None,
     transform=None,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """``stream_replay`` with the bucketed incremental state table —
-    same contract, per-batch cost proportional to touched buckets."""
+    same contract, per-batch cost proportional to touched buckets.
+
+    ``compact_every=N`` folds maintenance into the loop: after every
+    N merged batches the state is compacted to one generation
+    (``BucketedParquetState.compact``), bounding the generation-dir
+    count a 24/7 stream accretes. Compaction is itself a committed
+    epoch, so a crash between merge and compact loses nothing."""
     store = BucketedParquetState(
         fsio.join(state_dir, "state"), pk_cols, num_buckets
     )
@@ -366,9 +407,14 @@ def stream_replay_bucketed(
     stream = reader.parquet(source_dir)
     if transform is not None:
         stream = transform(stream)
+    merged_count = 0
 
     def handle(batch: DataFrame, _epoch: int) -> None:
+        nonlocal merged_count
         store.merge_batch(batch, order_cols, op_col)
+        merged_count += 1
+        if compact_every and merged_count % compact_every == 0:
+            store.compact(batch.sparkSession)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -799,3 +799,68 @@ def test_compact_collapses_generations_and_rebuckets(spark, tmp_path):
     assert {r.val for r in store.read(spark).filter("id = 3").collect()} == {
         "bump"
     }
+
+
+def test_lookup_reads_only_key_buckets(spark, tmp_path):
+    """Point lookup returns exactly the requested keys' current rows
+    and lists only the buckets those keys hash to."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(
+        str(tmp_path / "lstate" / "state"), ["id"], 16
+    )
+    base = spark.createDataFrame(
+        [("I", i, f"v{i}", i) for i in range(1, 300)], schema=SCHEMA
+    )
+    store.merge_batch(base, order_cols=["seq"])
+    got = {(r.id, r.val) for r in store.lookup(spark, [(7,), (42,), (299,)]).collect()}
+    assert got == {(7, "v7"), (42, "v42"), (299, "v299")}
+    # a deleted key simply doesn't come back
+    store.merge_batch(
+        spark.createDataFrame([("D", 42, None, 1000)], schema=SCHEMA),
+        order_cols=["seq"],
+    )
+    got = {r.id for r in store.lookup(spark, [(7,), (42,)]).collect()}
+    assert got == {7}
+    # unknown keys -> empty, typed
+    assert store.lookup(spark, [(100000,)]).count() == 0
+
+
+def test_stream_auto_compaction(spark, tmp_path):
+    """compact_every folds maintenance into the replay loop: the final
+    state matches the plain replay, and the generation count stays
+    bounded instead of one-per-batch."""
+    import glob as _glob
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        stream_replay_bucketed,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "acsrc"
+    os.makedirs(src)
+    for i in range(4):
+        _write(
+            str(src / f"b{i}.parquet"),
+            [("I", i * 10 + k, f"v{i}.{k}", i) for k in range(10)],
+            1000 + i,
+        )
+    schema = T.StructType([
+        T.StructField("Op", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ])
+    final = stream_replay_bucketed(
+        spark, str(src), schema, ["id"], ["seq"],
+        str(tmp_path / "acstate"), num_buckets=8,
+        max_files_per_trigger=1, compact_every=2,
+    )
+    assert final.count() == 40
+    gens = _glob.glob(str(tmp_path / "acstate" / "state" / "data" / "*"))
+    # 4 merge epochs + 2 compact epochs, retention 2 -> few live gens,
+    # and at least one is a compact generation
+    assert any("-compact-" in os.path.basename(g) for g in gens), gens
+    assert len(gens) <= 3, gens
