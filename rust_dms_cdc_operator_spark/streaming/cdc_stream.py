@@ -163,17 +163,21 @@ class BucketedParquetState:
                     fsio.join(self._manifest_dir(), f"{epoch:020d}.json")
                 )
             )
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
         if not man["buckets"]:  # every key deleted: empty, typed
-            schema = T.StructType.fromJson(json.loads(man["schema"]))
             return spark.createDataFrame([], schema)
         dirs = [fsio.join(self.path, rel) for rel in man["buckets"].values()]
-        return spark.read.parquet(*dirs)
+        # explicit committed schema: after additive evolution, buckets
+        # written before a column existed read it as NULL (parquet
+        # schema clipping) instead of failing a mergeSchema union
+        return spark.read.schema(schema).parquet(*dirs)
 
     def merge_batch(
         self,
         batch: DataFrame,
         order_cols: Sequence[str],
         op_col: str = DMS_OP_COL,
+        allow_schema_evolution: bool = False,
     ) -> None:
         spark = batch.sparkSession
         man = self._load_manifest()
@@ -188,17 +192,23 @@ class BucketedParquetState:
         if man is not None:
             # P3 parity for the stream (compact.py:161-167): surface
             # drift as a clear error before any state byte is staged,
-            # not as a union failure mid-merge
+            # not as a union failure mid-merge. With
+            # allow_schema_evolution, drift is instead resolved
+            # Delta-style: batch-added columns extend the state (old
+            # rows read NULL), batch-missing columns fill NULL — the
+            # unionByName(allowMissingColumns) below does both, and
+            # the committed manifest schema becomes the union.
             committed = {
                 f["name"]
                 for f in json.loads(man["schema"]).get("fields", [])
             }
             drift = set(data_cols) ^ committed
-            if drift:
+            if drift and not allow_schema_evolution:
                 raise ValueError(
                     f"schema drift between batch and committed state at "
                     f"{self.path}: differing columns {sorted(drift)} "
-                    "(recreate the state or align the source schema)"
+                    "(recreate the state, align the source schema, or "
+                    "opt in with allow_schema_evolution=True)"
                 )
         last = compact_cdc(batch, self.pk_cols, order_cols=order_cols, op_col="__keep_d__")
         last = last.withColumn(BUCKET_COL, self._bucket(num_buckets)).persist()
@@ -217,12 +227,18 @@ class BucketedParquetState:
             if live_dirs:
                 # path-level pruning: ONLY the touched buckets' current
                 # generation dirs are listed/scanned — no filter over
-                # the full state is ever planned
-                state = spark.read.parquet(*live_dirs)
+                # the full state is ever planned. The committed schema
+                # is explicit so pre-evolution buckets read added
+                # columns as NULL.
+                state = spark.read.schema(
+                    T.StructType.fromJson(json.loads(man["schema"]))
+                ).parquet(*live_dirs)
                 survivors = state.join(
                     last.select(*self.pk_cols), self.pk_cols, "left_anti"
                 )
-                merged = survivors.unionByName(upserts)
+                merged = survivors.unionByName(
+                    upserts, allowMissingColumns=allow_schema_evolution
+                )
             else:
                 merged = upserts
             merged = merged.withColumn(BUCKET_COL, self._bucket(num_buckets))
@@ -292,7 +308,7 @@ class BucketedParquetState:
         ]
         if not dirs:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*dirs).join(
+        return spark.read.schema(schema).parquet(*dirs).join(
             F.broadcast(keys_df), self.pk_cols, "left_semi"
         )
 
@@ -323,7 +339,11 @@ class BucketedParquetState:
         epoch = man["epoch"]
         buckets: dict[str, str] = {}
         if man["buckets"]:
-            state = spark.read.parquet(
+            # committed schema explicit: generations written before an
+            # additive evolution read the newer columns as NULL
+            state = spark.read.schema(
+                T.StructType.fromJson(json.loads(man["schema"]))
+            ).parquet(
                 *[fsio.join(self.path, rel) for rel in man["buckets"].values()]
             )
             gen = f"e{epoch + 1}-compact-{uuid.uuid4().hex[:8]}"

@@ -864,3 +864,50 @@ def test_stream_auto_compaction(spark, tmp_path):
     # and at least one is a compact generation
     assert any("-compact-" in os.path.basename(g) for g in gens), gens
     assert len(gens) <= 3, gens
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Opt-in Delta-style evolution: a batch ADDING a column extends
+    the state (pre-evolution rows read NULL), a batch MISSING a column
+    fills NULL; the strict default still raises; compact preserves the
+    evolved schema across mixed-schema generations."""
+    import pytest as _pytest
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(
+        str(tmp_path / "estate" / "state"), ["id"], 8
+    )
+    store.merge_batch(
+        spark.createDataFrame(
+            [("I", 1, "a", 1), ("I", 2, "b", 1)], schema=SCHEMA
+        ),
+        order_cols=["seq"],
+    )
+    widened = spark.createDataFrame(
+        [("U", 2, "b2", 2, "extra2"), ("I", 3, "c", 2, "extra3")],
+        "Op string, id long, val string, seq long, extra string",
+    )
+    # strict default: clear pre-stage error
+    with _pytest.raises(ValueError, match="schema drift"):
+        store.merge_batch(widened, order_cols=["seq"])
+    store.merge_batch(
+        widened, order_cols=["seq"], allow_schema_evolution=True
+    )
+    got = {r.id: (r.val, r.extra) for r in store.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b2", "extra2"), 3: ("c", "extra3")}
+
+    # a later batch WITHOUT the new column back-fills NULL for its rows
+    store.merge_batch(
+        spark.createDataFrame([("U", 1, "a9", 3)], schema=SCHEMA),
+        order_cols=["seq"],
+        allow_schema_evolution=True,
+    )
+    got = {r.id: (r.val, r.extra) for r in store.read(spark).collect()}
+    assert got[1] == ("a9", None) and got[3] == ("c", "extra3")
+
+    # compact across mixed-schema generations keeps the evolved schema
+    store.compact(spark)
+    got2 = {r.id: (r.val, r.extra) for r in store.read(spark).collect()}
+    assert got2 == got
