@@ -1,0 +1,112 @@
+"""Debezium-envelope CDC source (JSON Lines).
+
+The reference consumes exactly one CDC format: AWS DMS parquet drops
+(`Op` + `_dms_ingestion_timestamp` columns). The wider CDC ecosystem
+emits the Debezium change envelope instead — one JSON object per
+change with `op` (c=create, r=snapshot read, u=update, d=delete),
+`before`/`after` row images, and `ts_ms`. This adapter maps that
+envelope onto the engine's replay contract (`Op` ∈ I/U/D + data
+columns + an ordering column), so every downstream operator —
+compaction, upsert/delete, datadiff, the bucketed streaming state —
+works on Debezium streams unchanged.
+
+Mapping (the standard Debezium semantics):
+
+- ``op`` c / r → ``I`` (snapshot reads are inserts of current state);
+  u → ``U``; d → ``D``;
+- row data comes from ``after`` for c/r/u and from ``before`` for d
+  (a delete's ``after`` is null — the PK must come from the before
+  image);
+- replay order is (``ts_ms``, file order) — callers pass the result
+  straight to ``operators.compact.compact_cdc``.
+
+Scale: the JSONL scan is one distributed ``spark.read.json`` with an
+EXPLICIT envelope schema (schema inference would scan the data twice
+and type-drift between files); everything after is column projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rust_dms_cdc_operator_spark.functions.dmscols import DMS_OP_COL
+
+#: op → engine Op. Snapshot reads (r) are inserts of current state.
+_OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """The Debezium envelope for a given row schema: before/after are
+    nullable row images, op/ts_ms the change metadata. (The full
+    envelope also carries `source`/`transaction` blocks; they are
+    dropped at projection — add fields here if a pipeline needs
+    them.)"""
+    return T.StructType(
+        [
+            T.StructField("before", row_schema, True),
+            T.StructField("after", row_schema, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+def read_debezium_jsonl(
+    spark: SparkSession,
+    paths: str | list[str],
+    row_schema: T.StructType,
+    op_col: str = DMS_OP_COL,
+) -> DataFrame:
+    """One distributed scan of Debezium JSONL → the engine's CDC
+    contract: data columns (from ``after``, or ``before`` for
+    deletes), ``Op`` ∈ I/U/D, and ``ts_ms`` as the ordering column.
+    Unknown/absent ``op`` values are dropped (Debezium also emits
+    truncate/message events that carry no row)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    env = spark.read.schema(envelope_schema(row_schema)).json(list(paths))
+    op = F.col("op")
+    mapped = (
+        F.when(op.isin("c", "r"), "I")
+        .when(op == "u", "U")
+        .when(op == "d", "D")
+    )
+    img = F.when(op == "d", F.col("before")).otherwise(F.col("after"))
+    out = env.select(
+        img.alias("_row"),
+        mapped.alias(op_col),
+        F.col("ts_ms"),
+    ).filter(F.col(op_col).isNotNull() & F.col("_row").isNotNull())
+    return out.select(
+        *[F.col(f"_row.{f.name}").alias(f.name) for f in row_schema.fields],
+        op_col,
+        "ts_ms",
+    )
+
+
+def debezium_compact(
+    spark: SparkSession,
+    paths: str | list[str],
+    row_schema: T.StructType,
+    pk_cols: list[str],
+    op_col: str = DMS_OP_COL,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Convenience: read a Debezium JSONL drop and compact to final
+    keyed state (last writer wins; deletes drop the key) — the W1
+    semantics on a non-DMS source. ``order_cols`` defaults to
+    ``["ts_ms"]``; pass an additional data-column tie-break when
+    events can share a millisecond (Debezium's own total order is the
+    Kafka partition offset — include it here when it is carried)."""
+    from rust_dms_cdc_operator_spark.operators.compact import (  # noqa: PLC0415
+        compact_cdc,
+    )
+
+    cdc = read_debezium_jsonl(spark, paths, row_schema, op_col)
+    out = compact_cdc(
+        cdc, pk_cols, order_cols=order_cols or ["ts_ms"], op_col=op_col
+    )
+    # final state: deletes are applied, the envelope bookkeeping goes
+    return out.drop("ts_ms", op_col)

@@ -1,0 +1,70 @@
+"""Debezium-envelope source adapter (sources/debezium.py): envelope →
+engine CDC contract mapping on hand-built JSONL."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+ROW = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _write_jsonl(path, events):
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_envelope_mapping_and_compact(spark, tmp_path):
+    from rust_dms_cdc_operator_spark.sources.debezium import (
+        debezium_compact,
+        read_debezium_jsonl,
+    )
+
+    events = [
+        # snapshot read -> I
+        {"after": {"id": 1, "name": "a"}, "op": "r", "ts_ms": 100},
+        # create -> I
+        {"after": {"id": 2, "name": "b"}, "op": "c", "ts_ms": 200},
+        # update -> U (after image wins)
+        {"before": {"id": 2, "name": "b"},
+         "after": {"id": 2, "name": "b2"}, "op": "u", "ts_ms": 300},
+        # delete -> D, row from BEFORE image (after is null)
+        {"before": {"id": 1, "name": "a"}, "op": "d", "ts_ms": 400},
+        # truncate/message events carry no row: dropped
+        {"op": "t", "ts_ms": 500},
+        {"op": "m", "ts_ms": 600},
+    ]
+    p = str(tmp_path / "dbz.jsonl")
+    _write_jsonl(p, events)
+
+    cdc = read_debezium_jsonl(spark, p, ROW)
+    got = {(r.id, r.Op): r.name for r in cdc.collect()}
+    assert got == {(1, "I"): "a", (2, "I"): "b", (2, "U"): "b2", (1, "D"): "a"}
+
+    final = {r.id: r.name for r in
+             debezium_compact(spark, p, ROW, ["id"]).collect()}
+    # id 1 deleted last; id 2 survives with the update's after image
+    assert final == {2: "b2"}
+    assert "Op" not in debezium_compact(spark, p, ROW, ["id"]).columns
+
+
+def test_late_delete_then_reinsert(spark, tmp_path):
+    from rust_dms_cdc_operator_spark.sources.debezium import debezium_compact
+
+    events = [
+        {"after": {"id": 5, "name": "x"}, "op": "c", "ts_ms": 100},
+        {"before": {"id": 5, "name": "x"}, "op": "d", "ts_ms": 200},
+        {"after": {"id": 5, "name": "x2"}, "op": "c", "ts_ms": 300},
+    ]
+    p = str(tmp_path / "dbz2.jsonl")
+    _write_jsonl(p, events)
+    final = {r.id: r.name for r in
+             debezium_compact(spark, p, ROW, ["id"]).collect()}
+    assert final == {5: "x2"}
