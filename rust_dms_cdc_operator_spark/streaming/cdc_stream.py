@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -210,6 +211,7 @@ class BucketedParquetState:
                     "(recreate the state, align the source schema, or "
                     "opt in with allow_schema_evolution=True)"
                 )
+        t0 = time.monotonic()
         last = compact_cdc(batch, self.pk_cols, order_cols=order_cols, op_col="__keep_d__")
         last = last.withColumn(BUCKET_COL, self._bucket(num_buckets)).persist()
         try:
@@ -261,6 +263,12 @@ class BucketedParquetState:
             for b in staged:
                 buckets[str(b)] = f"data/{gen}/{BUCKET_COL}={b}"
             schema_json = merged.drop(BUCKET_COL).schema.json()
+            # per-epoch observability (the reference's self-timing log
+            # lines, cdc_operator.rs:219-229 — but queryable from the
+            # commit log): counts are two tiny jobs over the already-
+            # persisted compacted batch, never over the state
+            n_keys = last.count()
+            n_upserts = last.filter(F.col(op_col) != "D").count()
             fsio.mkdirs(self._manifest_dir())
             fsio.publish_text(
                 fsio.join(self._manifest_dir(), f"{epoch + 1:020d}.json"),
@@ -270,6 +278,13 @@ class BucketedParquetState:
                         "num_buckets": num_buckets,
                         "schema": schema_json,
                         "buckets": buckets,
+                        "stats": {
+                            "kind": "merge",
+                            "keys_upserted": n_upserts,
+                            "keys_deleted": n_keys - n_upserts,
+                            "buckets_touched": len(touched),
+                            "wall_ms": int((time.monotonic() - t0) * 1000),
+                        },
                     }
                 ),
                 tmp_suffix=f".tmp-{uuid.uuid4().hex[:8]}",
@@ -366,11 +381,27 @@ class BucketedParquetState:
                     "num_buckets": num_buckets,
                     "schema": man["schema"],
                     "buckets": buckets,
+                    "stats": {"kind": "compact", "buckets": len(buckets)},
                 }
             ),
             tmp_suffix=f".tmp-{uuid.uuid4().hex[:8]}",
         )
         self._gc()
+
+    def stats(self, epoch: int | None = None) -> dict | None:
+        """The stats block of the latest (or a retained) commit —
+        keys upserted/deleted, buckets touched, wall ms for merges;
+        kind='compact' for maintenance epochs. None for pre-stats
+        manifests."""
+        if epoch is None:
+            man = self._load_manifest()
+        else:
+            man = json.loads(
+                fsio.read_text(
+                    fsio.join(self._manifest_dir(), f"{epoch:020d}.json")
+                )
+            )
+        return (man or {}).get("stats")
 
     def _gc(self) -> None:
         """Post-commit cleanup: drop manifests beyond the retention

@@ -911,3 +911,27 @@ def test_schema_evolution_additive(spark, tmp_path):
     store.compact(spark)
     got2 = {r.id: (r.val, r.extra) for r in store.read(spark).collect()}
     assert got2 == got
+
+
+def test_merge_stats_in_manifest(spark, tmp_path):
+    """Every commit carries its stats block: merge epochs report keys
+    upserted/deleted + buckets touched + wall ms; compact epochs are
+    marked as maintenance."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "sstate" / "state"), ["id"], 8)
+    store.merge_batch(
+        spark.createDataFrame(
+            [("I", 1, "a", 1), ("I", 2, "b", 1), ("D", 3, None, 1)],
+            schema=SCHEMA,
+        ),
+        order_cols=["seq"],
+    )
+    s = store.stats()
+    assert s["kind"] == "merge"
+    assert s["keys_upserted"] == 2 and s["keys_deleted"] == 1
+    assert s["buckets_touched"] >= 1 and s["wall_ms"] >= 0
+    store.compact(spark)
+    assert store.stats()["kind"] == "compact"
