@@ -68,3 +68,49 @@ def test_late_delete_then_reinsert(spark, tmp_path):
     final = {r.id: r.name for r in
              debezium_compact(spark, p, ROW, ["id"]).collect()}
     assert final == {5: "x2"}
+
+
+def test_debezium_compact_property(spark, tmp_path):
+    """Property check vs a python dict replay over random op
+    sequences: final state == sequential apply of c/u/d in ts order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_dms_cdc_operator_spark.sources.debezium import debezium_compact
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["c", "u", "d"]),
+            st.integers(min_value=1, max_value=4),   # key
+            st.sampled_from(["a", "b", "c"]),        # value
+        ),
+        min_size=0,
+        max_size=10,
+    )
+
+    counter = iter(range(10_000))
+
+    @settings(max_examples=12, deadline=None)
+    @given(ops)
+    def check(seq):
+        events = []
+        state = {}
+        for ts, (op, k, v) in enumerate(seq, start=1):
+            row = {"id": k, "name": v}
+            if op == "d":
+                events.append({"before": row, "op": "d", "ts_ms": ts})
+                state.pop(k, None)
+            else:
+                events.append({"after": row, "op": op, "ts_ms": ts})
+                state[k] = v
+        p = str(tmp_path / f"prop{next(counter)}.jsonl")
+        _write_jsonl(p, events)
+        if not events:
+            return
+        got = {
+            r.id: r.name
+            for r in debezium_compact(spark, p, ROW, ["id"]).collect()
+        }
+        assert got == state
+
+    check()

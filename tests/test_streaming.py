@@ -935,3 +935,29 @@ def test_merge_stats_in_manifest(spark, tmp_path):
     assert s["buckets_touched"] >= 1 and s["wall_ms"] >= 0
     store.compact(spark)
     assert store.stats()["kind"] == "compact"
+
+
+def test_compact_and_lookup_on_file_uri(spark, tmp_path):
+    """The round-4 state ops (compact/lookup) must stay on the fsio
+    path: driven through a file:// URI root, where any os.* call or
+    os.path.join would break (the object-store stand-in)."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    root = "file://" + str(tmp_path / "ustate" / "state")
+    store = BucketedParquetState(root, ["id"], 8)
+    for i in range(3):
+        store.merge_batch(
+            spark.createDataFrame(
+                [("I", i * 10 + k, f"v{i}.{k}", i) for k in range(10)],
+                schema=SCHEMA,
+            ),
+            order_cols=["seq"],
+        )
+    want = {(r.id, r.val) for r in store.read(spark).collect()}
+    store.compact(spark, new_num_buckets=4)
+    assert {(r.id, r.val) for r in store.read(spark).collect()} == want
+    got = {r.id for r in store.lookup(spark, [(5,), (25,)]).collect()}
+    assert got == {5, 25}
+    assert store.stats()["kind"] == "compact"
