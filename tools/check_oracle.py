@@ -40,7 +40,16 @@ def canon_cell(v) -> str:
             return "<nan>"
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # Render Decimals distinctly from int/float so cross-engine type
+        # skew (DuckDB HUGEINT/DECIMAL vs Spark BIGINT/DOUBLE) fails
+        # loudly here instead of being masked and then failing only in
+        # the driver's canonicalization (bit us on q12_shipmode_priority:
+        # bare sum(CASE) is HUGEINT in DuckDB).  Trailing zeros are
+        # normalized so scale differences within Decimal don't matter.
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return "dec:" + s
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):
