@@ -370,6 +370,14 @@ def jaccard_verify_pairs(
     table twice on the id key — two id-key shuffles, both linear in
     |surviving pairs| + |docs|; nothing quadratic, no re-tokenization
     per pair (shingle arrays are computed once per doc).
+
+    Cache lifetime: the per-doc shingle table is ``persist()``-ed and
+    referenced by the RETURNED lazy plan, so this function cannot
+    unpersist it. The caller owns the lifetime: after materializing
+    the result, drop it with ``spark.catalog.clearCache()`` (or keep a
+    long-lived session's memory bounded by the LRU store eviction,
+    which is the default behavior). Repeated calls in one session each
+    pin a fresh shingle table until evicted.
     """
     mk = hashed_shingle_set if hash_shingles else shingle_set
     s = docs.select(

@@ -95,6 +95,13 @@ def source_token_drift(
     group agg. All JVM-side; exact integer counts, one rounded double
     at the very end (ulp-level summation-order noise sits far below
     the rounding step — same argument as unigram_logppl).
+
+    Cache lifetime: the joint (group, token) counts are
+    ``persist()``-ed and referenced by the RETURNED lazy plan (as is
+    the token table in :func:`unigram_logppl`), so the function cannot
+    unpersist them itself. Callers own the lifetime —
+    ``spark.catalog.clearCache()`` after materializing, or rely on LRU
+    block eviction in a long-lived session.
     """
     toks = docs.select(
         F.col(group_col).alias("grp"),

@@ -179,7 +179,10 @@ class BucketedParquetState:
         order_cols: Sequence[str],
         op_col: str = DMS_OP_COL,
         allow_schema_evolution: bool = False,
-    ) -> None:
+    ) -> bool:
+        """Merge one compacted microbatch into the state and commit a
+        new manifest epoch. Returns True if a commit was published,
+        False for an empty microbatch (no epoch, no state change)."""
         spark = batch.sparkSession
         man = self._load_manifest()
         num_buckets = man["num_buckets"] if man else self.num_buckets
@@ -219,7 +222,7 @@ class BucketedParquetState:
                 r[BUCKET_COL] for r in last.select(BUCKET_COL).distinct().collect()
             )
             if not touched:  # empty microbatch
-                return
+                return False
             upserts = last.filter(F.col(op_col) != "D").select(*data_cols)
             live_dirs = [
                 fsio.join(self.path, buckets[str(b)])
@@ -262,7 +265,25 @@ class BucketedParquetState:
                 buckets.pop(str(b), None)
             for b in staged:
                 buckets[str(b)] = f"data/{gen}/{BUCKET_COL}={b}"
-            schema_json = merged.drop(BUCKET_COL).schema.json()
+            # committed schema = union of the PREVIOUS committed schema
+            # and the batch schema. merged.schema alone is wrong when no
+            # touched bucket had live state (live_dirs empty ⇒ merged is
+            # batch-only): under allow_schema_evolution a column present
+            # only in the committed state would silently vanish from the
+            # manifest schema, and explicit-schema reads of untouched old
+            # buckets would drop that column's data — destructive
+            # narrowing from a feature that is documented additive-only.
+            out_schema = merged.drop(BUCKET_COL).schema
+            if man is not None:
+                committed_schema = T.StructType.fromJson(
+                    json.loads(man["schema"])
+                )
+                have = {f.name for f in committed_schema.fields}
+                out_schema = T.StructType(
+                    list(committed_schema.fields)
+                    + [f for f in out_schema.fields if f.name not in have]
+                )
+            schema_json = out_schema.json()
             # per-epoch observability (the reference's self-timing log
             # lines, cdc_operator.rs:219-229 — but queryable from the
             # commit log): counts are two tiny jobs over the already-
@@ -290,11 +311,14 @@ class BucketedParquetState:
                 tmp_suffix=f".tmp-{uuid.uuid4().hex[:8]}",
             )
             self._gc()
+            return True
         finally:
             last.unpersist()
 
     def lookup(self, spark: SparkSession, keys: list[tuple]) -> DataFrame:
-        """Point lookup: current state rows for the given PK tuples,
+        """Point lookup: current state rows for the given PK tuples
+        (each tuple's values in ``pk_cols`` order as passed to the
+        constructor),
         reading ONLY the buckets those keys hash to. The bucket
         assignment runs through the SAME JVM expression the writer
         uses (xxhash64 — not reimplementable driver-side in Python),
@@ -307,7 +331,12 @@ class BucketedParquetState:
         if man is None:
             raise FileNotFoundError(f"no committed state at {self.path}")
         schema = T.StructType.fromJson(json.loads(man["schema"]))
-        pk_fields = [f for f in schema.fields if f.name in self.pk_cols]
+        # key tuples follow self.pk_cols order, so the StructType must
+        # too — deriving it from committed-schema FIELD order binds
+        # composite-PK values to the wrong fields whenever pk_cols order
+        # differs from table column order (silently wrong/empty results
+        # when the types happen to coincide)
+        pk_fields = [schema[c] for c in self.pk_cols]
         keys_df = spark.createDataFrame(keys, T.StructType(pk_fields))
         num_buckets = man["num_buckets"]
         wanted = {
@@ -462,10 +491,13 @@ def stream_replay_bucketed(
 
     def handle(batch: DataFrame, _epoch: int) -> None:
         nonlocal merged_count
-        store.merge_batch(batch, order_cols, op_col)
-        merged_count += 1
-        if compact_every and merged_count % compact_every == 0:
-            store.compact(batch.sparkSession)
+        # count only batches that actually committed an epoch: an empty
+        # first trigger would otherwise schedule compact() before any
+        # manifest exists and kill the stream with FileNotFoundError
+        if store.merge_batch(batch, order_cols, op_col):
+            merged_count += 1
+            if compact_every and merged_count % compact_every == 0:
+                store.compact(batch.sparkSession)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -114,3 +114,31 @@ def test_debezium_compact_property(spark, tmp_path):
         assert got == state
 
     check()
+
+def test_same_millisecond_ties_break_on_file_order(spark, tmp_path):
+    """Regression (round-4 advice): same-key events within one ts_ms
+    millisecond — common in bursts — must compact deterministically by
+    TRUE file order (later line / later file wins), not nondeterministically."""
+    import json
+
+    from rust_dms_cdc_operator_spark.sources.debezium import debezium_compact
+
+    d = tmp_path / "ties"
+    d.mkdir()
+    # one file, three same-key events in the same millisecond:
+    # the LAST LINE must win
+    with open(d / "a.jsonl", "w") as f:
+        for v in ("first", "middle", "last_in_a"):
+            f.write(json.dumps(
+                {"after": {"id": 1, "name": v}, "op": "u", "ts_ms": 77}
+            ) + "\n")
+    got = {r.id: r.name for r in debezium_compact(spark, str(d), ROW, ["id"]).collect()}
+    assert got == {1: "last_in_a"}
+
+    # a lexicographically later file, same millisecond: file order wins
+    with open(d / "b.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"after": {"id": 1, "name": "last_in_b"}, "op": "u", "ts_ms": 77}
+        ) + "\n")
+    got = {r.id: r.name for r in debezium_compact(spark, str(d), ROW, ["id"]).collect()}
+    assert got == {1: "last_in_b"}

@@ -961,3 +961,94 @@ def test_compact_and_lookup_on_file_uri(spark, tmp_path):
     got = {r.id for r in store.lookup(spark, [(5,), (25,)]).collect()}
     assert got == {5, 25}
     assert store.stats()["kind"] == "compact"
+
+def test_schema_evolution_survives_fresh_bucket_batch(spark, tmp_path):
+    """Regression: with allow_schema_evolution, a batch whose touched
+    buckets have NO live state (all-new keys) must not narrow the
+    committed schema to the batch-only columns — a column present only
+    in prior state would otherwise vanish from explicit-schema reads
+    of the untouched buckets (destructive narrowing from a feature
+    documented additive-only)."""
+    from pyspark.sql import functions as F
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    nb = 8
+    store = BucketedParquetState(str(tmp_path / "nstate" / "state"), ["id"], nb)
+    store.merge_batch(
+        spark.createDataFrame(
+            [("I", 1, "a", 1, "x1")],
+            "Op string, id long, val string, seq long, extra string",
+        ),
+        order_cols=["seq"],
+    )
+
+    def bucket_of(key: int) -> int:
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key).cast("long")), F.lit(nb))
+                .cast("int")
+                .alias("b")
+            )
+            .first()
+            .b
+        )
+    other = next(k for k in range(2, 200) if bucket_of(k) != bucket_of(1))
+
+    # batch MISSING `extra`, landing in a bucket with no live state
+    store.merge_batch(
+        spark.createDataFrame([("I", other, "b", 2)], schema=SCHEMA),
+        order_cols=["seq"],
+        allow_schema_evolution=True,
+    )
+    got = {r.id: (r.val, r.extra) for r in store.read(spark).collect()}
+    assert got == {1: ("a", "x1"), other: ("b", None)}
+
+
+def test_lookup_composite_pk_follows_pk_cols_order(spark, tmp_path):
+    """Regression: lookup key tuples follow pk_cols order as passed to
+    the constructor — NOT committed-schema field order. With a
+    composite PK whose pk_cols order differs from column order and
+    whose types coincide, binding by field order silently returns the
+    wrong (empty) result."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(
+        str(tmp_path / "cstate" / "state"), ["b", "a"], 8
+    )
+    store.merge_batch(
+        spark.createDataFrame(
+            [("I", 1, 100, "r1", 1), ("I", 2, 200, "r2", 1)],
+            "Op string, a long, b long, val string, seq long",
+        ),
+        order_cols=["seq"],
+    )
+    # tuples in pk_cols order: (b, a)
+    got = {r.val for r in store.lookup(spark, [(100, 1)]).collect()}
+    assert got == {"r1"}
+    # schema-field order (a, b) must NOT match anything
+    assert store.lookup(spark, [(1, 100)]).count() == 0
+
+
+def test_merge_batch_reports_commit(spark, tmp_path):
+    """merge_batch returns True only when it commits an epoch; an
+    empty microbatch is a no-op (no manifest, no state) — the guard
+    that keeps compact_every from scheduling compact() before any
+    manifest exists."""
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+
+    store = BucketedParquetState(str(tmp_path / "gstate" / "state"), ["id"], 4)
+    empty = spark.createDataFrame([], schema=SCHEMA)
+    assert store.merge_batch(empty, order_cols=["seq"]) is False
+    assert not store.exists()
+    assert store.merge_batch(
+        spark.createDataFrame([("I", 1, "a", 1)], schema=SCHEMA),
+        order_cols=["seq"],
+    ) is True
+    assert store.exists()
