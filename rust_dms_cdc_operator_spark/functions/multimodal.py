@@ -2,10 +2,14 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct; the
 compute pattern is Arrow-batched ``mapInPandas`` so decode libraries
-see contiguous byte buffers, never row-at-a-time Python. The decode
-itself is STUBBED (no image/audio libs in this container) behind
-``decode_stub`` / ``NotImplementedError``; the Spark-side plumbing —
-schema, batch shape, partitioning — is real and tested.
+see contiguous byte buffers, never row-at-a-time Python. Header-level
+decode is REAL for netpbm/PNG/WAV via the stdlib codecs in
+:mod:`.mediacodec` (``real_decode`` / ``decode_media_features``; PIL
+is picked up automatically when importable). Compressed codecs and
+pixel-level transforms (resize, frame extraction) remain stubbed
+behind deterministic fakes — PIL/librosa/av are not in this container
+— with the Spark-side plumbing (schema, batch shape, partitioning)
+real and tested either way.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 byte arrays); keep ``spark.sql.files.maxPartitionBytes`` sized so a
@@ -16,6 +20,7 @@ content-size bucket when payloads are skewed.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -64,13 +69,82 @@ def decode_stub(payload: bytes) -> dict:
     return {"n_bytes": len(payload), "first_byte": payload[0] if payload else -1}
 
 
-def real_decode(payload: bytes):  # pragma: no cover - documented stub
-    """The integration point for an actual decoder."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; wire PIL/librosa/av here and keep the mapInPandas "
-        "batch contract of extract_media_features()"
+def real_decode(payload: bytes) -> dict:
+    """The integration point for an actual decoder — now wired to the
+    stdlib header codecs (netpbm/PNG/WAV; PIL when importable) in
+    :mod:`rust_dms_cdc_operator_spark.functions.mediacodec`. Raises
+    ``mediacodec.UnknownMediaError`` (a ``NotImplementedError``) for
+    formats that still need PIL/librosa/av — compressed codecs remain
+    out of reach in this container."""
+    from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+        mediacodec,
     )
+
+    return mediacodec.decode(payload)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL header decode over binary payloads: (media_id, codec,
+    width, height, channels, sample_rate_hz, n_samples, duration_ms),
+    NULL-padded per modality (images carry no sample rate, audio no
+    pixel geometry).
+
+    Same Arrow ``mapInPandas`` shape as :func:`extract_media_features`
+    — whole record batches per task, fixed output schema for Catalyst
+    — but the per-item call is an actual byte-level decoder
+    (``mediacodec.decode``), not the deterministic fake. The decode
+    is the only per-item step; a payload no decoder covers yields a
+    NULL-codec row instead of failing the batch (corrupt blobs are a
+    fact of life in a 100 TB media table — poison-pill rows must not
+    kill the job)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        def one(p) -> dict:
+            try:
+                return mediacodec.decode(p)
+            except (NotImplementedError, ValueError, struct_error):
+                return {}
+
+        for pdf in it:
+            decoded = [one(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "codec": [d.get("codec") for d in decoded],
+                }
+            )
+            for col, dtype in (
+                ("width", "Int32"),
+                ("height", "Int32"),
+                ("channels", "Int32"),
+                ("sample_rate_hz", "Int32"),
+                ("n_samples", "Int64"),
+                ("duration_ms", "Int64"),
+            ):
+                out[col] = pd.array(
+                    [d.get(col) for d in decoded], dtype=dtype
+                )
+            yield out
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
