@@ -33,6 +33,7 @@ from rust_dms_cdc_operator_spark.operators.chunk import with_chunk_id
 from rust_dms_cdc_operator_spark.operators.compact import (
     apply_deletes,
     compact_cdc,
+    compact_cdc_agg,
     merge_full_load_with_cdc,
     upsert,
 )
@@ -94,6 +95,32 @@ def q_w1_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's imperative replay, cdc_operator.rs:155-217)."""
     ev = _events_as_cdc(spark, sf_dir)
     out = compact_cdc(ev, ["user_id"], order_cols=["ts", "event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_w1_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 compaction under a ZIPFIAN key — the engine's heart on the
+    adversarial distribution the driver gate never otherwise sees.
+    A deterministic remap funnels ~30% of ALL events onto one hot key
+    (every user_id ≡ 0..2 mod 10 becomes key 0), then compacts with
+    the aggregation strategy (`compact_cdc_agg`): last-writer-wins as
+    max_by with map-side partial aggregation, so the hot key ships one
+    row per map task through the shuffle instead of its whole history
+    into a single window task. Plan-gated in tests/test_plans.py:
+    partial+final aggregate, NO Window node, no single-partition
+    exchange."""
+    ev = _events_as_cdc(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 < 3, F.lit(0).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    out = compact_cdc_agg(ev, ["user_id"], order_cols=["ts", "event_id"])
     return out.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -465,6 +492,20 @@ ORACLE_SQL: dict[str, str] = {
                event_type AS last_event_type, value AS last_value
         FROM t WHERE rn = 1 AND op <> 'D'
     """,
+    "w1_skewed": """
+        WITH t AS (
+          SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS uid,
+                 event_id, event_type, value, ts,
+                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY uid
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM t)
+        SELECT uid AS user_id, event_id AS last_event_id,
+               event_type AS last_event_type, value AS last_value
+        FROM r WHERE rn = 1 AND op <> 'D'
+    """,
     "f2_load_cdc_merge": """
         WITH last_o AS (
           SELECT o_custkey, o_totalprice, o_orderstatus,
@@ -692,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_scan_projection": q_s1_scan_projection,
     "dms_op_classify": q_dms_op_classify,
     "w1_cdc_compact": q_w1_cdc_compact,
+    "w1_skewed": q_w1_skewed,
     "f2_load_cdc_merge": q_f2_load_cdc_merge,
     "u1_upsert": q_u1_upsert,
     "d1_delete": q_d1_delete,

@@ -69,6 +69,60 @@ def compact_cdc(
     return out
 
 
+def compact_cdc_agg(
+    cdc: DataFrame,
+    pk_cols: Sequence[str],
+    order_cols: Sequence[str] = (FILE_SEQ_COL, ROW_SEQ_COL),
+    op_col: str = DMS_OP_COL,
+) -> DataFrame:
+    """W1 compaction as an AGGREGATION — the hot-key-safe strategy.
+
+    Same semantics as :func:`compact_cdc` (latest event per PK wins, a
+    latest ``D`` deletes the key) when the ``order_cols`` tuple is
+    unique within each key — which the engine's replay order
+    (file seq, row seq) always is. The difference is the physical
+    shape: last-writer-wins is an argmax, so it compiles to
+    ``max_by(struct(data), struct(order))`` with MAP-SIDE PARTIAL
+    AGGREGATION. A Zipfian key (one entity absorbing a large share of
+    events — a fleet heartbeat row, a monitoring counter) collapses to
+    ONE row per map task before the exchange, so the hot key ships
+    O(#tasks) rows through the shuffle instead of funneling its entire
+    event history into a single window task. No salting, no AQE skew
+    handling needed — the combine IS the skew cure.
+
+    Trade-off vs the window strategy: the row is rebuilt from a struct
+    (one extra projection) and ties in ``order_cols`` pick an
+    arbitrary winner rather than a partition-order-dependent one —
+    with the unique replay order both pick the identical row. Use this
+    strategy whenever the key distribution is unknown or known-skewed;
+    the window form remains for order tuples that are NOT unique where
+    its first-in-partition tie behavior is relied upon.
+    """
+    if not pk_cols:
+        return (
+            cdc.filter(F.col(op_col) != F.lit("D"))
+            if op_col in cdc.columns
+            else cdc
+        )
+    others = [c for c in cdc.columns if c not in pk_cols]
+    out = (
+        cdc.groupBy(*[F.col(c) for c in pk_cols])
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in others]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("_last")
+        )
+        .select(
+            *pk_cols, *[F.col(f"_last.{c}").alias(c) for c in others]
+        )
+        .select(*cdc.columns)  # restore caller's column order
+    )
+    if op_col in cdc.columns:
+        out = out.filter(F.col(op_col) != F.lit("D"))
+    return out
+
+
 def merge_full_load_with_cdc(
     load: DataFrame,
     cdc: DataFrame,

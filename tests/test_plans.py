@@ -298,3 +298,47 @@ def test_q4_semi_join_shape(spark):
 
     df = QUERIES["q4_priority_check"](spark, SF_DIR)
     assert "LeftSemi" in formatted_plan(df)
+
+
+def test_w1_skewed_is_partial_aggregate_not_window(spark):
+    """The skew-stress compaction (compact_cdc_agg) must compile to a
+    partial+final max_by AGGREGATION — the hot key collapses to one
+    row per map task before the exchange — with NO Window node (a
+    window would funnel the hot key's whole history into one task)
+    and exactly one shuffle."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["w1_skewed"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    # partial (map-side) + final aggregate pair around one exchange
+    aggs = [ln for ln in plan.splitlines() if "Aggregate" in ln and "(" in ln]
+    assert len(aggs) >= 2, plan
+    assert "max_by" in plan
+    assert count_exchanges(df) == 1
+    # the shuffle is hash-partitioned on the key, never single-partition
+    assert "SinglePartition" not in plan, plan
+
+
+def test_compact_cdc_agg_matches_window_strategy(spark):
+    """Semantic equivalence gate: on a skewed CDC frame with a unique
+    order tuple, the aggregation strategy returns exactly the window
+    strategy's rows (including delete handling)."""
+    from rust_dms_cdc_operator_spark.operators.compact import (
+        compact_cdc,
+        compact_cdc_agg,
+    )
+
+    rows = []
+    # hot key 0: 60 events; cold keys 1..20: 2 events each
+    for s in range(60):
+        rows.append(("U" if s % 7 else "D", 0, f"h{s}", s))
+    for k in range(1, 21):
+        rows.append(("U", k, f"a{k}", 100 + k))
+        rows.append(("D" if k % 4 == 0 else "U", k, f"b{k}", 200 + k))
+    cdc = spark.createDataFrame(rows, "Op string, id long, val string, seq long")
+    win = {(r.id, r.val, r.seq) for r in
+           compact_cdc(cdc, ["id"], order_cols=["seq"]).collect()}
+    agg = {(r.id, r.val, r.seq) for r in
+           compact_cdc_agg(cdc, ["id"], order_cols=["seq"]).collect()}
+    assert win == agg and len(agg) > 0
