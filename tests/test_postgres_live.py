@@ -258,3 +258,168 @@ def test_row_dml_statements_execute(pg):
         "SELECT count(*) FROM information_schema.schemata "
         "WHERE schema_name = 'dml'",
     ) == "0"
+
+
+def test_full_lifecycle_snapshot_state_merge_validate(pg, spark):
+    """The reference's whole §3.1 lifecycle (cdc_operator.rs:26-293)
+    as ONE test against real PostgreSQL 15: DMS drop → snapshot replay
+    → full load into PG (generated DDL + insert shapes) → incremental
+    CDC through BOTH resume_snapshot and the manifest-committed
+    BucketedParquetState → staged upsert/delete application → validate
+    (V1 counts + V2 chunked hashes + V3 drill-down) source-vs-target,
+    with an injected target corruption caught and pinpointed.
+
+    The Spark-side JDBC bulk writer itself is live-tested against
+    DuckDB JDBC (test_jdbc_sink.py — no Postgres JDBC jar ships in
+    this container); here every generated SQL statement executes
+    against real Postgres via psql with client-side binding, which is
+    the same statement shapes the JDBC path emits."""
+    import calendar
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.compact import compact_cdc
+    from rust_dms_cdc_operator_spark.payloads import (
+        CdcSnapshotPayload,
+        LoadMode,
+    )
+    from rust_dms_cdc_operator_spark.snapshot import (
+        ParquetTarget,
+        resume_snapshot,
+        snapshot,
+    )
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        BucketedParquetState,
+    )
+    from rust_dms_cdc_operator_spark.validate import drill_down, validate_table
+
+    root = f"/tmp/e2e-drop-{uuid.uuid4().hex[:8]}"
+    db, schema_name, table = "mydb", "live", "items"
+    tdir = os.path.join(root, db, schema_name, table)
+    os.makedirs(os.path.join(tdir, "2026/08/02"))
+
+    def write_file(rel, ops, ids, names, qtys, mtime):
+        path = os.path.join(tdir, rel)
+        pq.write_table(
+            pa.table(
+                {
+                    "Op": ops,
+                    "_dms_ingestion_timestamp": [mtime] * len(ops),
+                    "id": ids,
+                    "name": names,
+                    "qty": qtys,
+                }
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    write_file(
+        "LOAD00000001.parquet",
+        ["I"] * 5, list(range(1, 6)),
+        [f"it'{i}" for i in range(1, 6)], [10 * i for i in range(1, 6)],
+        mtime=calendar.timegm(datetime(2026, 8, 1, 12, 0).timetuple()),
+    )
+    write_file(
+        "2026/08/02/20260802-010000000.parquet",
+        ["U", "D", "I"], [2, 3, 6], ["two-v2", "gone", "six"], [22, 0, 60],
+        mtime=calendar.timegm(datetime(2026, 8, 2, 1, 0).timetuple()),
+    )
+
+    payload = CdcSnapshotPayload(
+        bucket_name=root, schema_name=schema_name, database_name=db,
+        mode=LoadMode.DATE_AWARE, start_date="2026-08-01",
+    )
+    out_root = f"/tmp/e2e-state-{uuid.uuid4().hex[:8]}"
+    paths = snapshot(
+        spark, payload, ParquetTarget(out_root), root,
+        primary_keys={table: ["id"]},
+    )
+    state1 = spark.read.parquet(paths[table]).select("id", "name", "qty")
+    want1 = {(1, "it'1", 10), (2, "two-v2", 22), (4, "it'4", 40),
+             (5, "it'5", 50), (6, "six", 60)}
+    assert {tuple(r) for r in state1.collect()} == want1
+
+    # ---- full load into real PG through the generated DDL + inserts
+    cols = {"id": "bigint", "name": "text", "qty": "bigint"}
+    _psql(pg, create_schema_sql(schema_name))
+    _psql(pg, create_table_sql(cols, ["id"], schema_name, table))
+    _exec_param(pg, insert_sql(schema_name, table, list(cols)),
+                [tuple(r) for r in state1.collect()])
+
+    def read_target():
+        raw = _psql(
+            pg, f'SELECT id, name, qty FROM {schema_name}.{table}'
+        ).splitlines()
+        rows = [
+            (int(i), n, int(q))
+            for i, n, q in (line.split("|") for line in raw)
+        ]
+        return spark.createDataFrame(rows, "id long, name string, qty long")
+
+    rep = validate_table(state1, read_target(), table, ["id"], chunk_size=2)
+    assert rep.ok and rep.counts_match and not rep.mismatched_chunks
+
+    # ---- incremental CDC: a later drop file, replayed two ways
+    write_file(
+        "2026/08/02/20260802-020000000.parquet",
+        ["U", "D", "I"], [6, 1, 7], ["six-v2", "bye", "seven"], [66, 0, 70],
+        mtime=calendar.timegm(datetime(2026, 8, 2, 2, 0).timetuple()),
+    )
+    # exclusive bound between the two CDC file stamps (path-date
+    # pruning, reference semantics)
+    since = "2026-08-02T01:30:00"
+    paths2 = resume_snapshot(
+        spark, payload, ParquetTarget(out_root), root,
+        primary_keys={table: ["id"]}, since=since,
+    )
+    state2 = spark.read.parquet(paths2[table]).select("id", "name", "qty")
+    want2 = {(2, "two-v2", 22), (4, "it'4", 40), (5, "it'5", 50),
+             (6, "six-v2", 66), (7, "seven", 70)}
+    assert {tuple(r) for r in state2.collect()} == want2
+
+    # same events through the manifest-committed streaming state store
+    store = BucketedParquetState(
+        f"/tmp/e2e-bstate-{uuid.uuid4().hex[:8]}", ["id"], num_buckets=4
+    )
+    for rel in (
+        "LOAD00000001.parquet",
+        "2026/08/02/20260802-010000000.parquet",
+        "2026/08/02/20260802-020000000.parquet",
+    ):
+        batch = spark.read.parquet(os.path.join(tdir, rel))
+        store.merge_batch(batch, order_cols=["_dms_ingestion_timestamp"])
+    got_store = {
+        tuple(r)
+        for r in store.read(spark).select("id", "name", "qty").collect()
+    }
+    assert got_store == want2
+
+    # ---- apply the incremental delta to PG: staged upsert + delete
+    delta = compact_cdc(
+        spark.read.parquet(
+            os.path.join(tdir, "2026/08/02/20260802-020000000.parquet")
+        ),
+        ["id"], order_cols=["_dms_ingestion_timestamp"], op_col="__keep_d__",
+    )
+    ups = [
+        (r.id, r.name, r.qty)
+        for r in delta.filter(F.col("Op") != "D").collect()
+    ]
+    dels = [(r.id,) for r in delta.filter(F.col("Op") == "D").collect()]
+    _exec_param(pg, upsert_sql(schema_name, table, list(cols), ["id"]), ups)
+    _exec_param(pg, delete_sql(schema_name, table, ["id"]), dels)
+
+    rep2 = validate_table(state2, read_target(), table, ["id"], chunk_size=2)
+    assert rep2.ok and rep2.source_rows == rep2.target_rows == 5
+
+    # ---- corruption is caught (V2) and pinpointed (V3)
+    _psql(pg, f"UPDATE {schema_name}.{table} SET qty = 9999 WHERE id = 4")
+    rep3 = validate_table(state2, read_target(), table, ["id"], chunk_size=2)
+    assert not rep3.ok and rep3.counts_match and rep3.mismatched_chunks
+    bad = drill_down(state2, read_target(), ["id"]).collect()
+    assert {r.id for r in bad} == {4}
