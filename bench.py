@@ -85,22 +85,24 @@ SCALE_QUERIES = [
     "sim_quantized_topk",
 ]
 
-SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1")
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
 
 
 def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
-    """Scale check: run the headline subset at a 10x
-    replication-scaled copy of sf0.1 (generated once into SF1_DIR by
-    tools/gen_scaled_sf.py — timing-only data; correctness is the
-    oracle's job). Emits per-query seconds and the ratio vs this run's
-    sf0.1 numbers: ~10x ratio == linear scaling, the SCALE.md claim."""
+    """Scale check: run the headline subset at a NATIVELY GENERATED
+    sf1 (fresh rows from the sf0.1 distributions via
+    tools/gen_native_sf.py, not K-fold replication — replication made
+    the pair-producing dedup/LSH queries measure a copy artifact;
+    timing-only data, correctness is the oracle's job). Emits
+    per-query seconds and the ratio vs this run's sf0.1 numbers:
+    ~10x ratio == linear scaling, the SCALE.md claim."""
     if sf != 0.1 or os.environ.get("SPARK_GRAFT_NO_SF1"):
         return None
 
     from rust_dms_cdc_operator_spark.inventory import QUERIES
 
     if not os.path.isdir(SF1_DIR):
-        from tools.gen_scaled_sf import generate
+        from tools.gen_native_sf import generate
 
         t0 = time.time()
         generate(spark, sf_dir, SF1_DIR, 10)
@@ -116,7 +118,8 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
         ).save()
         timings[name] = round(time.time() - t0, 3)
     return {
-        "note": "10x replication of sf0.1 (tools/gen_scaled_sf.py); timing-only",
+        "note": "native sf1 generation (tools/gen_native_sf.py, fresh "
+                "rows from sf0.1 distributions); timing-only",
         "gen_secs": gen_secs,
         "queries": timings,
         "scale_vs_sf0.1": {

@@ -208,3 +208,37 @@ def test_csv_replay_rejects_splittable_oversize_file(spark, tmp_path, monkeypatc
             spark, str(tmp_path), [ParquetFile(key="big.csv")],
             fmt="csv", schema=schema,
         )
+
+
+def test_scd2_history_lifecycle(spark):
+    """SCD2 intervals over a full key lifecycle: insert → update →
+    delete → re-insert. Versions chain [from, to), the delete closes
+    an interval and emits nothing, the re-insert opens a new current
+    version; a never-deleted key keeps one open version per event."""
+    from rust_dms_cdc_operator_spark.operators.scd2 import build_history
+
+    rows = [
+        ("I", 1, "a", 10), ("U", 1, "b", 20), ("D", 1, "b", 30),
+        ("I", 1, "c", 40),
+        ("I", 2, "x", 15), ("U", 2, "y", 25),
+    ]
+    cdc = spark.createDataFrame(rows, "Op string, id long, v string, seq long")
+    hist = {
+        (r.id, r.v): (r.valid_from, r.valid_to, r.is_current)
+        for r in build_history(cdc, ["id"], order_col="seq").collect()
+    }
+    assert hist == {
+        (1, "a"): (10, 20, False),
+        (1, "b"): (20, 30, False),   # closed BY the delete, at its time
+        (1, "c"): (40, None, True),  # re-insert: new current version
+        (2, "x"): (15, 25, False),
+        (2, "y"): (25, None, True),
+    }
+    # trailing delete leaves the key with NO current row
+    cdc2 = spark.createDataFrame(
+        [("I", 9, "q", 1), ("D", 9, "q", 2)],
+        "Op string, id long, v string, seq long",
+    )
+    h2 = build_history(cdc2, ["id"], order_col="seq").collect()
+    assert len(h2) == 1
+    assert (h2[0].valid_to, h2[0].is_current) == (2, False)

@@ -742,3 +742,67 @@ def test_decode_media_features_real_codecs(spark):
             got[2]["duration_ms"]) == ("wav", 8000, 500)
     assert got[3]["codec"] is None and got[3]["width"] is None
     assert (got[4]["channels"], got[4]["duration_ms"]) == (2, 1000)
+
+
+def test_asof_join_hand_built(spark):
+    """Backward as-of semantics on hand-computable frames: inclusive
+    same-instant match, carry-forward across gaps, NULL before any
+    right row, per-key isolation, and the tolerance cutoff."""
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("B", 15, 9.0)],
+        "sym string, qts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 5), ("A", 10), ("A", 25), ("B", 14), ("B", 100), ("C", 7)],
+        "sym string, tts long",
+    )
+    got = {
+        (r.sym, r.tts): r.px_asof
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts"
+        ).collect()
+    }
+    assert got == {
+        ("A", 5): None,     # before any quote
+        ("A", 10): 1.0,     # same-instant quote IS visible (inclusive)
+        ("A", 25): 2.0,     # latest prior, not first
+        ("B", 14): None,    # other key's quotes invisible
+        ("B", 100): 9.0,    # carry across a long gap
+        ("C", 7): None,     # key with no right rows at all
+    }
+
+    # tolerance: the B@100 match is 85 ticks stale -> voided
+    got_tol = {
+        (r.sym, r.tts): r.px_asof
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+            tolerance_expr=F.lit(50),
+        ).collect()
+    }
+    assert got_tol[("B", 100)] is None
+    assert got_tol[("A", 25)] == 2.0  # 5 ticks stale, within tolerance
+
+
+def test_asof_join_multiple_value_cols_and_left_passthrough(spark):
+    """All non-key right columns attach by default (suffixed); every
+    left column passes through untouched."""
+    from rust_dms_cdc_operator_spark.operators.asof import asof_join
+
+    dim = spark.createDataFrame(
+        [(1, 100, "v1", 10.0), (1, 200, "v2", 20.0)],
+        "k long, dts long, name string, score double",
+    )
+    fact = spark.createDataFrame(
+        [(1, 150, "x"), (1, 250, "y")], "k long, fts long, tag string"
+    )
+    rows = {
+        r.fts: (r.tag, r.name_asof, r.score_asof)
+        for r in asof_join(
+            fact, dim, on=["k"], left_ts="fts", right_ts="dts"
+        ).collect()
+    }
+    assert rows == {150: ("x", "v1", 10.0), 250: ("y", "v2", 20.0)}

@@ -342,3 +342,21 @@ def test_compact_cdc_agg_matches_window_strategy(spark):
     agg = {(r.id, r.val, r.seq) for r in
            compact_cdc_agg(cdc, ["id"], order_cols=["seq"]).collect()}
     assert win == agg and len(agg) > 0
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """The as-of join must compile to union + ONE window over the key
+    (linear) — never a broadcast-nested-loop/cartesian range join
+    (quadratic per key). Shuffles: one for the right-side pre-compact
+    aggregate, one feeding the keyed window."""
+    from rust_dms_cdc_operator_spark.inventory_llm import QUERIES_LLM
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES_LLM["events_asof_enrich"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    import re
+
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert count_exchanges(df) <= 2, plan

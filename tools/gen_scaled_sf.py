@@ -13,6 +13,12 @@ outputs quadratic and measure a different workload).
 This data is for TIMING scale checks only — correctness runs against
 the driver's own tables.
 
+SUPERSEDED for the bench's sf1 section by ``gen_native_sf.py``
+(fresh rows from the observed distributions): replication makes the
+pair-producing dedup/LSH workloads measure the copy artifact rather
+than the data. This tool remains for quick K-fold inflation where
+cross-replica relationships don't matter.
+
 Usage: python tools/gen_scaled_sf.py [src_dir] [dst_dir] [K]
 """
 
