@@ -103,6 +103,161 @@ def q_w1_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped two-level aggregation over a LEFT OUTER join:
+    customers keep their zero when they have no qualifying orders —
+    the outer-join-then-double-agg plan shape (no semi-join shortcut
+    is legal here)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional-ratio aggregate: promo revenue
+    share in a month. Both sums are exact integer cents; the single
+    double division + round(6) at the end is the engine-portable
+    form (one elementwise IEEE op on exact integers)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+            "_promo"
+        ),
+        F.sum(cents).alias("_total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped DISTINCT aggregation: distinct suppliers able
+    to ship each (brand, type, size) bucket, via lineitem as the
+    part↔supplier bridge (the fixture has no partsupp table). The
+    count(DISTINCT) inside a grouped agg is the plan shape under
+    test — Catalyst expands it to a two-phase aggregate."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped HAVING-driven semi-reduction: orders whose
+    total quantity exceeds a threshold, joined back to customer. The
+    aggregate-then-join (not join-then-aggregate) ordering is the
+    plan point: the having filter shrinks the join input to a
+    handful of keys. Quantities are exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+            "total_qty",
+        )
+    )
+
+
+def q_q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped DISJUNCTIVE bracket predicates: three OR'd
+    (brand, size-range, quantity-range) brackets across the
+    lineitem⋈part join — the shape that stresses predicate
+    normalization (common join key extraction from the OR). Revenue
+    in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & qty.between(20, 30))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.filter(bracket).agg(F.sum(cents).alias("revenue_cents"))
+
+
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped global-scalar + ANTI join: above-average-
+    balance customers with no RECENT orders (>= 2001-01-01 — at the
+    fixture's density every customer has *some* order, which would
+    make the anti join vacuously empty), grouped by segment. The
+    average-balance threshold compares by exact integer
+    cross-multiplication (bal_cents * N > total_cents) so membership
+    can never flip on engine-specific double averaging; the anti join
+    is the broadcast-free plan shape under test."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    pos = c.filter(F.col("bal_cents") > 0)
+    totals = pos.agg(
+        F.sum("bal_cents").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    rich = c.join(F.broadcast(totals)).filter(
+        F.col("bal_cents") * F.col("_n") > F.col("_sum")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    ).select("o_custkey")
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
 def q_w1_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 compaction under a ZIPFIAN key — the engine's heart on the
     adversarial distribution the driver gate never otherwise sees.
@@ -492,6 +647,82 @@ ORACLE_SQL: dict[str, str] = {
                event_type AS last_event_type, value AS last_value
         FROM t WHERE rn = 1 AND op <> 'D'
     """,
+    "q13_order_distribution": """
+        WITH per_cust AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                     WHERE o_orderpriority <> '1-URGENT') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "q14_promo_revenue": """
+        WITH j AS (
+          SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS cents,
+                 p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l_shipdate <  TIMESTAMP '1996-10-01')
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                          THEN cents ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(cents) AS DOUBLE), 6) AS promo_revenue_pct
+        FROM j
+    """,
+    "q16_supplier_variety": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 180)
+        SELECT c.c_name, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+               big.total_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "q19_bracket_predicates": """
+        SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_dormant_customers": """
+        WITH c AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer),
+        t AS (
+          SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM c WHERE bal_cents > 0)
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+        FROM c, t
+        WHERE c.bal_cents * t.n > t.s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_mktsegment
+    """,
     "w1_skewed": """
         WITH t AS (
           SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS uid,
@@ -734,6 +965,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dms_op_classify": q_dms_op_classify,
     "w1_cdc_compact": q_w1_cdc_compact,
     "w1_skewed": q_w1_skewed,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q16_supplier_variety": q_q16_supplier_variety,
+    "q18_large_orders": q_q18_large_orders,
+    "q19_bracket_predicates": q_q19_bracket_predicates,
+    "q22_dormant_customers": q_q22_dormant_customers,
     "f2_load_cdc_merge": q_f2_load_cdc_merge,
     "u1_upsert": q_u1_upsert,
     "d1_delete": q_d1_delete,

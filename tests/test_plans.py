@@ -360,3 +360,37 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_q22_anti_join_and_q13_outer_shape(spark):
+    """The dormant-customer query must plan a LeftAnti join (never a
+    filtered outer join materializing matches), and the order
+    distribution must keep its LEFT OUTER join (a semi conversion
+    would drop the zero-order customers)."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    p22 = formatted_plan(QUERIES["q22_dormant_customers"](spark, SF_DIR))
+    assert "LeftAnti" in p22, p22
+    assert "CartesianProduct" not in p22
+
+    p13 = formatted_plan(QUERIES["q13_order_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in p13, p13
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18's HAVING filter must reduce lineitem BEFORE any join: the
+    aggregate over l_orderkey sits below the join in the plan, so the
+    join input is the handful of big orders, not 6M lineitems."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["q18_large_orders"](spark, SF_DIR))
+    first_join = min(
+        i for i, ln in enumerate(plan.splitlines()) if "Join" in ln
+    )
+    agg_lines = [
+        i for i, ln in enumerate(plan.splitlines())
+        if "HashAggregate" in ln and i > first_join
+    ]
+    # tree prints top-down: an aggregate BELOW the first join line in
+    # the tree section feeds that join
+    assert agg_lines, plan
