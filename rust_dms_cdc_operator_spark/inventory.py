@@ -992,5 +992,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 QUERIES.update(QUERIES_LLM)
 ORACLE_SQL.update(ORACLE_SQL_LLM)
+
+from rust_dms_cdc_operator_spark.inventory_tpch2 import (  # noqa: E402
+    ORACLE_SQL_TPCH2,
+    QUERIES_TPCH2,
+)
+
+QUERIES.update(QUERIES_TPCH2)
+ORACLE_SQL.update(ORACLE_SQL_TPCH2)
 # the streaming replay must reproduce the batch W1 compaction exactly
 ORACLE_SQL["stream_cdc_apply"] = ORACLE_SQL["w1_cdc_compact"]
