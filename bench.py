@@ -83,6 +83,8 @@ SCALE_QUERIES = [
     "docs_source_drift",
     "docs_incremental_dedup",
     "sim_quantized_topk",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -394,3 +394,54 @@ def test_q18_aggregates_before_join(spark):
     # tree prints top-down: an aggregate BELOW the first join line in
     # the tree section feeds that join
     assert agg_lines, plan
+
+
+def test_tpch2_no_cartesian_products(spark):
+    """None of the subquery-shaped TPC-H batch-2 queries may plan a
+    cartesian/nested-loop product: every correlated subquery is
+    re-expressed as an aggregate + equi-join (the one-row scalar
+    broadcasts are BroadcastNestedLoopJoin-free by construction)."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    for name in (
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "q20_excess_suppliers",
+        "q21_waiting_suppliers",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q21_status_filter_pushed(spark):
+    """q21's o_orderstatus='F' predicate must reach the orders scan —
+    at 100 TB the F-status filter drops ~half the orders before the
+    join."""
+    df = QUERIES["q21_waiting_suppliers"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed
+
+
+def test_q17_part_filters_pushed_and_broadcast(spark):
+    """q17's part-side predicates push to the part scan and the
+    filtered part list broadcasts (dimension-sized) — lineitem never
+    shuffles for the semi-reduction."""
+    df = QUERIES["q17_small_quantity"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_type" in pushed and "p_size" in pushed
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_q2_no_single_partition_data_exchange(spark):
+    """q2's min-rejoin must stay hash-partitioned on l_partkey
+    throughout — a SinglePartition exchange would serialize the whole
+    offer table through one task."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
