@@ -69,6 +69,103 @@ def running_profile(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     )
 
 
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("events_n", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+# the open session carries across microbatches as (start, end, count);
+# timestamps ride as ISO strings (lexicographically ordered, exactly
+# reversible at microsecond precision)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_start", T.StringType()),
+        T.StructField("open_end", T.StringType()),
+        T.StructField("open_n", T.LongType()),
+    ]
+)
+
+
+def _make_session_update(gap_seconds: float):
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_start, s_end, s_n = state.get
+            open_start = pd.Timestamp(s_start)
+            open_end = pd.Timestamp(s_end)
+            open_n = int(s_n)
+        else:
+            open_start = open_end = None
+            open_n = 0
+
+        rows: list[tuple] = []
+        ts_all = pd.concat([p["ts"] for p in pdfs]).sort_values()
+        for ts in ts_all:
+            if open_start is None:
+                open_start = open_end = ts
+                open_n = 1
+            elif ts - open_end >= gap:
+                # half-open interval: an event at exactly end+gap
+                # STARTS a new session (Spark session_window semantics)
+                rows.append((key[0], open_start, open_end, open_n, True))
+                open_start = open_end = ts
+                open_n = 1
+            else:
+                open_end = max(open_end, ts)
+                open_n += 1
+        if open_start is not None:
+            # provisional: re-emitted (possibly extended) next batch;
+            # an upsert sink keyed on (user_id, session_start) converges
+            rows.append((key[0], open_start, open_end, open_n, False))
+            state.update(
+                (open_start.isoformat(), open_end.isoformat(), open_n)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start", "session_end", "events_n", "closed"],
+        )
+
+    return _update
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState`` — the operator shape Spark's built-in
+    ``session_window`` can't replace once per-session custom logic
+    (abandonment features, mid-session emission, decaying scores) is
+    needed. State is ONE open session per key — O(active keys), not
+    O(events) — and closed sessions emit exactly once; the still-open
+    session re-emits each batch it grows, so an upsert sink keyed on
+    (user_id, session_start) converges to the batch answer.
+
+    Cross-batch correctness assumes per-key event-time-ordered arrival
+    (the replay contract: one sorted source file per microbatch, or an
+    upstream watermark+sort); late events inside a batch are handled by
+    the in-batch sort."""
+    keyed = events.selectExpr(
+        f"{key_col} as user_id", f"{ts_col} as ts"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_session_update(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup(
     stream,
     key_cols,

@@ -1052,3 +1052,93 @@ def test_merge_batch_reports_commit(spark, tmp_path):
         order_cols=["seq"],
     ) is True
     assert store.exists()
+
+
+def test_stateful_sessionize_multibatch_converges(spark, tmp_path):
+    """A session that SPANS two microbatches must emerge merged: the
+    provisional open-session row from batch 0 is superseded by the
+    extended row from batch 1 (upsert on (user_id, session_start)),
+    and a gap >= 30 min across the batch boundary closes the first
+    session exactly once."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from rust_dms_cdc_operator_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    os.makedirs(src)
+
+    def _ts(minute):
+        return datetime(2024, 1, 1, 10, 0) + pd.Timedelta(minutes=minute)
+
+    # user 1: events at t0, t10 (batch A) and t20, t70 (batch B):
+    #   t20 extends the open session (gap 10 < 30); t70 starts a new one
+    # user 2: single event in batch A only
+    fa = str(src / "a.parquet")
+    pq.write_table(
+        pa.table({
+            "user_id": [1, 1, 2],
+            "ts": [_ts(0), _ts(10), _ts(5)],
+        }),
+        fa,
+    )
+    os.utime(fa, (1000, 1000))
+    fb = str(src / "b.parquet")
+    pq.write_table(
+        pa.table({"user_id": [1, 1], "ts": [_ts(20), _ts(70)]}),
+        fb,
+    )
+    os.utime(fb, (2000, 2000))
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = sessionize_stateful(stream, gap_seconds=1800.0)
+
+    def sink(batch_df, bid):
+        batch_df.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(
+            str(out)
+        )
+
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    res = spark.read.parquet(str(out))
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.col("_bid").desc()
+    )
+    final = (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "session_start", "session_end", "events_n")
+    )
+    rows = {
+        (r.user_id, r.session_start, r.session_end): r.events_n
+        for r in final.collect()
+    }
+    assert rows == {
+        (1, _ts(0), _ts(20)): 3,   # spans the batch boundary, merged
+        (1, _ts(70), _ts(70)): 1,  # opened by the 50-min gap
+        (2, _ts(5), _ts(5)): 1,
+    }, rows
+    # the closed span-session emitted exactly once as closed=True
+    closed = res.filter(
+        (F.col("user_id") == 1) & F.col("closed")
+    ).collect()
+    assert len(closed) == 1 and closed[0].events_n == 3
