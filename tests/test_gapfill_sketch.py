@@ -1,0 +1,78 @@
+"""Gap-fill/LOCF and KMV sketch: semantics + estimate quality."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from rust_dms_cdc_operator_spark.operators.gapfill import gapfill_locf, time_spine
+from rust_dms_cdc_operator_spark.operators.sketch import kmv_cardinality
+
+
+def test_time_spine_inclusive_grid(spark):
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    spine = time_spine(keys, "2024-01-01 00:00:00", "2024-01-01 03:00:00", 3600)
+    assert spine.count() == 2 * 4  # both endpoints inclusive
+
+
+def test_gapfill_locf_carries_and_zero_fills(spark):
+    facts = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0), 10, 2),
+            ("a", datetime(2024, 1, 1, 3), 30, 1),
+            ("b", datetime(2024, 1, 1, 2), 99, 5),
+        ],
+        "k string, bucket_ts timestamp, v long, n long",
+    )
+    out = gapfill_locf(
+        facts, ["k"], "bucket_ts", ["v"],
+        "2024-01-01 00:00:00", "2024-01-01 03:00:00", 3600,
+        zero_cols=["n"],
+    ).orderBy("k", "bucket_ts")
+    rows = [(r.k, r.bucket_ts.hour, r.v, r.n) for r in out.collect()]
+    assert rows == [
+        ("a", 0, 10, 2),
+        ("a", 1, 10, 0),   # gap: v carried, n zeroed
+        ("a", 2, 10, 0),
+        ("a", 3, 30, 1),
+        ("b", 0, None, 0),  # before first observation: null
+        ("b", 1, None, 0),
+        ("b", 2, 99, 5),
+        ("b", 3, 99, 0),
+    ]
+
+
+def test_gapfill_plan_no_single_partition(spark):
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    facts = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0), 1)],
+        "k string, bucket_ts timestamp, v long",
+    )
+    out = gapfill_locf(
+        facts, ["k"], "bucket_ts", ["v"],
+        "2024-01-01 00:00:00", "2024-01-01 23:00:00", 3600,
+    )
+    plan = formatted_plan(out)
+    # LOCF window partitions by key — never a global single-partition sort
+    assert "SinglePartition" not in plan, plan
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("s", f"doc-{i}") for i in range(40)], "source string, text string"
+    )
+    row = kmv_cardinality(df, ["source"], "text", k=64).collect()[0]
+    assert row.kmv_estimate == row.exact_distinct == 40
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """k=256 → stderr ~ 1/sqrt(254) ~ 6.3%; assert within 4 sigma and
+    that duplicates don't inflate the estimate."""
+    rows = [("s", f"doc-{i}") for i in range(5000)]
+    rows += [("s", f"doc-{i}") for i in range(1000)]  # duplicates
+    df = spark.createDataFrame(rows, "source string, text string")
+    row = kmv_cardinality(df, ["source"], "text", k=256).collect()[0]
+    assert row.exact_distinct == 5000
+    assert abs(row.kmv_estimate - 5000) < 5000 * 0.25, row.kmv_estimate
