@@ -70,3 +70,74 @@ def kmv_cardinality(
         est.cast("long").alias("kmv_estimate"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+# ------------------------------------------------------------- count-min
+# depth-4 count-min sketch: row r hashes a value into one of `width`
+# buckets via disjoint 15-hex-char slices of md5 (independent-enough
+# 60-bit hashes, and — critically — pure integer arithmetic, so the
+# estimate is bit-identical in every engine)
+_CMS_DEPTH = 4
+
+
+def cms_bucket(col: Column, row: int, width: int) -> Column:
+    """Bucket of ``col`` in sketch row ``row``: md5 slice → long →
+    mod width. Slices use 8 hex chars (32 bits) so 4 rows fit in one
+    md5 digest."""
+    h = hex_to_long(F.substring(F.md5(col), row * 8 + 1, 8), 8)
+    return (h % width).cast("long")
+
+
+def cms_build(
+    df: DataFrame, value_col: str, width: int = 1024
+) -> DataFrame:
+    """Build the sketch table: (row, bucket, total) — ``depth x width``
+    rows max, the compact mergeable summary (union = add totals).
+    One pass over the data per sketch row, each a map-side-combined
+    aggregation; the result is dimension-sized however large the
+    input."""
+    parts = []
+    for r in range(_CMS_DEPTH):
+        parts.append(
+            df.select(
+                F.lit(r).alias("cms_row"),
+                cms_bucket(F.col(value_col), r, width).alias("cms_bucket"),
+            )
+            .groupBy("cms_row", "cms_bucket")
+            .agg(F.count(F.lit(1)).alias("total"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, value_col: str, width: int = 1024
+) -> DataFrame:
+    """Point-estimate probe frequencies: for each probe value, the MIN
+    over the 4 rows of its bucket totals — the classic CMS upper
+    bound (never under-counts; over-counts by collision mass). The
+    sketch is dimension-sized, so it broadcasts and the probe side
+    never shuffles."""
+    keyed = probes.select(F.col(value_col).alias("cms_value"))
+    for r in range(_CMS_DEPTH):
+        keyed = keyed.withColumn(
+            f"_b{r}", cms_bucket(F.col("cms_value"), r, width)
+        )
+    est = None
+    joined = keyed
+    for r in range(_CMS_DEPTH):
+        s_r = sketch.filter(F.col("cms_row") == r).select(
+            F.col("cms_bucket").alias(f"_sb{r}"),
+            F.col("total").alias(f"_t{r}"),
+        )
+        joined = joined.join(
+            F.broadcast(s_r), F.col(f"_b{r}") == F.col(f"_sb{r}"), "left"
+        )
+        t = F.coalesce(F.col(f"_t{r}"), F.lit(0))
+        est = t if est is None else F.least(est, t)
+    return joined.select(
+        F.col("cms_value").alias(value_col),
+        est.cast("long").alias("cms_count"),
+    )

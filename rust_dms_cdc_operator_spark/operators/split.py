@@ -239,3 +239,35 @@ def deterministic_shuffle(
         keyed, ["_shuffle_key", id_col], rank_col=rank_col
     )
     return ranked.drop("_shuffle_key")
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: priority =
+    hash(id) / weight, keep the k smallest — heavier rows get
+    proportionally smaller priorities, so inclusion probability rises
+    with weight (priority sampling / weighted bottom-k). The hash is
+    the usual 60-bit md5 long and the priority a SINGLE IEEE division
+    of exact integers, so the selected set is bit-reproducible in any
+    engine (transcendental-free, unlike the classic
+    u^(1/w) / -ln(u)/w A-Res keys, whose libm rounding differs across
+    engines).
+
+    Scale: priority is a row-local expression; the global cut is
+    orderBy+limit, which Catalyst plans as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver-side single
+    reduce task, never a full sort shuffle. Mergeable the same way
+    KMV is: union two samples, re-take the k smallest."""
+    h = hex_to_long(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 15)
+    priority = h.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_ws_priority", priority)
+        .orderBy("_ws_priority", id_col)
+        .limit(k)
+        .drop("_ws_priority")
+    )

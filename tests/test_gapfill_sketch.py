@@ -76,3 +76,74 @@ def test_kmv_estimate_within_error_bound(spark):
     row = kmv_cardinality(df, ["source"], "text", k=256).collect()[0]
     assert row.exact_distinct == 5000
     assert abs(row.kmv_estimate - 5000) < 5000 * 0.25, row.kmv_estimate
+
+
+def test_cms_never_undercounts(spark):
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"w{i % 50}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "word string")
+    sketch = cms_build(df, "word", width=64)  # narrow → forced collisions
+    exact = df.groupBy("word").count()
+    est = cms_estimate(sketch, exact.select("word"), "word", width=64)
+    j = exact.join(est, "word").collect()
+    assert len(j) == 50
+    assert all(r.cms_count >= r["count"] for r in j)  # upper bound, always
+    # with depth 4 the min-over-rows kills most collision inflation
+    assert sum(1 for r in j if r.cms_count == r["count"]) >= 25
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Union of two half-corpus sketches (bucket-wise total add) must
+    estimate like the full-corpus sketch."""
+    from pyspark.sql import functions as F2
+
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(i, f"w{i % 30}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "i long, word string")
+    a = cms_build(df.filter("i % 2 = 0"), "word", width=256)
+    b = cms_build(df.filter("i % 2 = 1"), "word", width=256)
+    merged = (
+        a.unionByName(b)
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F2.sum("total").alias("total"))
+    )
+    full = cms_build(df, "word", width=256)
+    probes = df.select("word").distinct()
+    em = cms_estimate(merged, probes, "word", width=256)
+    ef = cms_estimate(full, probes, "word", width=256)
+    assert em.exceptAll(ef).count() == 0 and ef.exceptAll(em).count() == 0
+
+
+def test_weighted_bottom_k_biases_toward_heavy(spark):
+    from rust_dms_cdc_operator_spark.operators.split import weighted_bottom_k
+
+    # ids 0..999: weight 100 for the first 100 ids, 1 for the rest
+    rows = [(i, 100 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = weighted_bottom_k(df, "id", "w", k=100).collect()
+    heavy = sum(1 for r in got if r.w == 100)
+    # heavy rows are 10% of the population but ~100x likelier per row;
+    # they must dominate the sample (deterministic: always same set)
+    assert heavy > 60, heavy
+    # determinism: a second run yields the identical set
+    again = weighted_bottom_k(df, "id", "w", k=100).collect()
+    assert sorted(r.id for r in got) == sorted(r.id for r in again)
+
+
+def test_weighted_bottom_k_plan_take_ordered(spark):
+    from rust_dms_cdc_operator_spark.operators.split import weighted_bottom_k
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = formatted_plan(weighted_bottom_k(df, "id", "w", k=10))
+    assert "TakeOrderedAndProject" in plan, plan  # not a full global sort
