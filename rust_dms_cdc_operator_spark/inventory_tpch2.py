@@ -23,7 +23,7 @@ PARTITION BY.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -43,11 +43,11 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     is proxied by the minimum per-unit price cents the supplier ever
     charged for the part on lineitem (the fixture has no partsupp).
 
-    Plan shape: per-(part, supplier) aggregate -> per-part MIN
-    aggregate -> equi-join back on (partkey, min_cost) — the
-    aggregate+rejoin form of the correlated subquery; Catalyst plans
-    two hash aggregates sharing the l_partkey shuffle plus one
-    broadcast-able join back (the min table is one row per part)."""
+    Plan shape: per-(part, supplier) aggregate -> per-part MIN via a
+    rank() window over the SAME aggregated table (ties keep every
+    minimum supplier, matching the correlated-subquery semantics) —
+    one scan of lineitem and one extra keyed exchange, instead of the
+    aggregate+rejoin form's second scan + self-join."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") < 25)
     ).select("p_partkey", "p_type", "p_size")
@@ -69,19 +69,12 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("price_cents").alias("cost_cents"))
     )
-    min_cost = (
-        offers.groupBy("l_partkey")
-        .agg(F.min("cost_cents").alias("min_cost_cents"))
-        .select(
-            F.col("l_partkey").alias("mc_partkey"),
-            "min_cost_cents",
-        )
+    w = Window.partitionBy("l_partkey").orderBy("cost_cents")
+    best = (
+        offers.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "cost_cents")
     )
-    best = offers.join(
-        min_cost,
-        (F.col("l_partkey") == F.col("mc_partkey"))
-        & (F.col("cost_cents") == F.col("min_cost_cents")),
-    ).select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "cost_cents")
     return (
         best.join(eu_supp, best.l_suppkey == eu_supp.s_suppkey)
         .join(F.broadcast(p), "p_partkey")
