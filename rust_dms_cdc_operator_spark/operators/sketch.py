@@ -89,27 +89,40 @@ def cms_bucket(col: Column, row: int, width: int) -> Column:
 
 
 def cms_build(
-    df: DataFrame, value_col: str, width: int = 1024
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch table: (row, bucket, total) — ``depth x width``
     rows max, the compact mergeable summary (union = add totals).
-    One pass over the data per sketch row, each a map-side-combined
-    aggregation; the result is dimension-sized however large the
-    input."""
-    parts = []
-    for r in range(_CMS_DEPTH):
-        parts.append(
-            df.select(
+    ONE pass over the data: each value explodes into its depth
+    (row, bucket) pairs (the md5 is computed once and sliced), then
+    one map-side-combined aggregation — the depth multiplier rides
+    the pre-combine map side, never a second scan.
+
+    ``count_col``: build from a pre-aggregated frequency table
+    (total = sum of counts) instead of raw occurrences — when the
+    caller already has per-value counts, the sketch aggregation runs
+    over the vocabulary, not the corpus."""
+    weight = F.col(count_col) if count_col else F.lit(1)
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(r).alias("cms_row"),
                 cms_bucket(F.col(value_col), r, width).alias("cms_bucket"),
             )
-            .groupBy("cms_row", "cms_bucket")
-            .agg(F.count(F.lit(1)).alias("total"))
+            for r in range(_CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"), weight.alias("_w"))
+        .groupBy(
+            F.col("p.cms_row").alias("cms_row"),
+            F.col("p.cms_bucket").alias("cms_bucket"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .agg(F.sum("_w").cast("long").alias("total"))
+    )
 
 
 def cms_estimate(
