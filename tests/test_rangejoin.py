@@ -85,3 +85,42 @@ def test_interval_join_rejects_bad_how(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_interval_join_property_vs_bruteforce(spark):
+    """Hypothesis: random facts and random (possibly overlapping,
+    possibly empty-window) intervals — bucketized join == brute-force
+    cross+filter, for every generated scenario batched into ONE job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    TS = st.integers(min_value=0, max_value=3_000)  # seconds domain
+    FACT = st.tuples(st.integers(0, 999), TS)
+    IV = st.tuples(st.integers(0, 99), TS, st.integers(0, 600))
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        st.lists(FACT, min_size=1, max_size=40),
+        st.lists(IV, min_size=1, max_size=12),
+    )
+    def run(facts_raw, ivs_raw):
+        base = 1_700_000_000  # arbitrary epoch anchor
+        facts = spark.createDataFrame(
+            [(fid, base + ts) for fid, ts in facts_raw],
+            "fact_id long, epoch long",
+        ).selectExpr("fact_id", "to_timestamp(epoch) as ts").distinct()
+        ivs = spark.createDataFrame(
+            [(iid, base + s, base + s + span) for iid, s, span in ivs_raw],
+            "iv_id long, es long, ee long",
+        ).selectExpr(
+            "iv_id", "to_timestamp(es) as s", "to_timestamp(ee) as e"
+        ).distinct()
+        fast = interval_join(facts, ivs, "ts", "s", "e",
+                             bucket_width_seconds=256)
+        brute = facts.crossJoin(ivs).filter(
+            (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+        )
+        assert fast.exceptAll(brute).count() == 0
+        assert brute.exceptAll(fast).count() == 0
+
+    run()
