@@ -139,3 +139,84 @@ def source_token_drift(
             F.round(F.sum("term"), round_digits).alias("kl_vs_corpus"),
         )
     )
+
+
+def bigram_logppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_pattern: str = TOKEN_PATTERN,
+    lam: float = 0.75,
+) -> DataFrame:
+    """(id, n_bigrams, log_ppl2) — negative mean log-likelihood under
+    an interpolated corpus bigram LM:
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1) + (1 - lam) * c(w2)/T
+
+    (Jelinek-Mercer smoothing: the unigram back-off term keeps unseen
+    bigrams finite). The sharper curation signal than
+    :func:`unigram_logppl` — shuffled or templated text has typical
+    words in atypical ORDER, which only a conditional model sees.
+    Documents with fewer than 2 tokens keep ``n_bigrams = 0`` and a
+    NULL score. lam = 0.75 is exactly representable in binary, and
+    the score rounds to 6 digits (ulp-level libm/summation-order
+    noise sits ~1e-15, the unigram_logppl argument).
+
+    Scale shape: normalize text once (linear regex), bigrams via the
+    lookahead regex (no quadratic lambda capture); ONE bigram-key
+    shuffle for c2, token-key shuffles for c1 (both map-side combined,
+    vocabulary-sized outputs), three vocab-keyed pricing joins (AQE
+    broadcasts when they fit), one doc-key agg. All JVM-side.
+    """
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        sliding_word_ngrams,
+    )
+
+    norm = F.concat_ws(
+        " ", F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), 0)
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), 0)
+        ).alias("tok"),
+    )
+    big = docs.select(
+        F.col(id_col),
+        F.explode(sliding_word_ngrams(norm, 2)).alias("gram"),
+    ).select(
+        id_col,
+        "gram",
+        F.expr("split_part(gram, ' ', 1)").alias("w1"),
+        F.expr("split_part(gram, ' ', 2)").alias("w2"),
+    )
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    c2 = big.groupBy("gram").agg(F.count("*").alias("c_gram"))
+    total = c1.agg(F.sum("c_tok")).first()[0] or 0
+    priced = (
+        big.join(c2, "gram")
+        .join(c1.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c_w1")), "w1")
+        .join(c1.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c_w2")), "w2")
+        .select(
+            id_col,
+            (
+                F.lit(lam) * F.col("c_gram") / F.col("c_w1")
+                + F.lit(1.0 - lam) * F.col("c_w2") / F.lit(float(total))
+            ).alias("p"),
+        )
+    )
+    per = priced.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg(F.log(F.col("p"))), 6).alias("log_ppl2"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.col("log_ppl2"),
+        )
+    )

@@ -806,3 +806,37 @@ def test_asof_join_multiple_value_cols_and_left_passthrough(spark):
         ).collect()
     }
     assert rows == {150: ("x", "v1", 10.0), 250: ("y", "v2", 20.0)}
+
+
+def test_bigram_logppl_penalizes_shuffled_order(spark):
+    """The conditional model's whole point: same unigram bag, scrambled
+    order → higher bigram perplexity. Docs 0-3 repeat a fixed phrase
+    (typical bigrams); doc 9 uses the SAME words in scrambled order."""
+    from rust_dms_cdc_operator_spark.operators.perplexity import (
+        bigram_logppl,
+        unigram_logppl,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy brown the jumps fox"
+    rows = [(i, phrase) for i in range(8)] + [(9, scrambled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logppl(docs).collect()}
+    assert out[0].n_bigrams == 8
+    assert out[9].log_ppl2 > out[0].log_ppl2  # order matters
+    uni = {r.doc_id: r for r in unigram_logppl(docs).collect()}
+    # unigram CANNOT separate them (identical bags)
+    assert uni[9].log_ppl == uni[0].log_ppl
+
+
+def test_bigram_logppl_short_docs_null(spark):
+    from rust_dms_cdc_operator_spark.operators.perplexity import bigram_logppl
+
+    docs = spark.createDataFrame(
+        [(1, "word"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logppl(docs).collect()}
+    assert out[1].n_bigrams == 0 and out[1].log_ppl2 is None
+    assert out[2].n_bigrams == 0 and out[2].log_ppl2 is None
+    assert out[3].n_bigrams == 1 and out[3].log_ppl2 is not None
