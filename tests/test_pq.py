@@ -119,3 +119,17 @@ def test_pq_rerank_recall_on_fixture(spark):
     exact = {r.vec_id for r in QUERIES_LLM["sim_cosine_topk"](spark, sf).collect()}
     got = {r.vec_id for r in QUERIES_LLM["sim_pq_topk"](spark, sf).collect()}
     assert len(exact & got) >= 6, sorted(got)
+
+
+def test_ivfpq_recall_bounded_by_ivf(spark):
+    """The composed stack must not lose recall versus IVF alone (the
+    PQ shortlist within probed lists is wide enough to keep every
+    IVF-visible neighbor) and stays within the IVF probe's ceiling."""
+    from rust_dms_cdc_operator_spark.inventory_llm import QUERIES_LLM
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.vec_id for r in QUERIES_LLM["sim_cosine_topk"](spark, sf).collect()}
+    ivf = {r.vec_id for r in QUERIES_LLM["sim_ivf_trained"](spark, sf).collect()}
+    ivfpq = {r.vec_id for r in QUERIES_LLM["sim_ivfpq_topk"](spark, sf).collect()}
+    assert len(ivfpq & exact) >= len(ivf & exact) - 1  # allow 1-off boundary
+    assert len(ivfpq & exact) >= 5
