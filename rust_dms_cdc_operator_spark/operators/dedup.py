@@ -417,3 +417,78 @@ def jaccard_verify_pairs(
             >= F.col("union_size") * F.lit(min_jaccard)
         )
     return out
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level dedup (the C4/RefinedWeb
+    "deduplicate repeated lines/paragraphs" pass, on fixed
+    ``seg_words``-word segments since the fixture has no line
+    structure): every repeated segment keeps only its FIRST occurrence
+    under the (id, position) total order; documents are reassembled
+    from their surviving segments in position order.
+
+    Returns (id, n_segs, n_kept, clean_text) — clean_text NULL when
+    every segment was seen earlier (fully-boilerplate doc).
+
+    Scale shape: segmentization is one (id, seg)-keyed aggregation
+    over the exploded words; the first-occurrence choice is a
+    row_number over the segment DIGEST key (one hash shuffle of
+    vocabulary-not-corpus-sized digests + positions, text rides only
+    to the winner); reassembly is one id-keyed aggregation. No
+    windows without PARTITION BY, no driver materialization.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_idx", "_w"),
+    )
+    segs = (
+        words.groupBy(
+            id_col, F.floor(F.col("_idx") / seg_words).alias("seg_pos")
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_w"))),
+                    lambda x: x["_w"],
+                ),
+            ).alias("seg_text")
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("seg_text"))).orderBy(
+        id_col, "seg_pos"
+    )
+    kept = (
+        segs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_pos", "seg_text"))),
+                lambda x: x["seg_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_segs"), F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "clean_text",
+        )
+    )

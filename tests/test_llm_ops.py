@@ -840,3 +840,25 @@ def test_bigram_logppl_short_docs_null(spark):
     assert out[1].n_bigrams == 0 and out[1].log_ppl2 is None
     assert out[2].n_bigrams == 0 and out[2].log_ppl2 is None
     assert out[3].n_bigrams == 1 and out[3].log_ppl2 is not None
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from rust_dms_cdc_operator_spark.operators.dedup import segment_dedup
+
+    seg_a = "a b c"          # 3-word segments
+    seg_b = "x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),        # owns both segments
+            (2, f"{seg_a} p q r"),          # first segment repeated -> dropped
+            (3, f"{seg_b}"),                # entirely boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs, "doc_id", "text", 3).collect()}
+    assert (out[1].n_segs, out[1].n_kept) == (2, 2)
+    assert out[1].clean_text == f"{seg_a} {seg_b}"
+    assert (out[2].n_segs, out[2].n_kept) == (2, 1)
+    assert out[2].clean_text == "p q r"      # reassembled without the dup
+    assert (out[3].n_segs, out[3].n_kept) == (1, 0)
+    assert out[3].clean_text is None         # fully deduped away
