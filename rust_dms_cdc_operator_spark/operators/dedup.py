@@ -492,3 +492,46 @@ def segment_dedup(
             "clean_text",
         )
     )
+
+
+def containment_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.9,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC near-dup verification: containment
+    C = |A ∩ B| / min(|A|, |B|) — a short document embedded inside a
+    longer one scores ~1.0 here while its Jaccard can be arbitrarily
+    low (the long side's extra shingles inflate the union), so the
+    Jaccard threshold silently misses quote/excerpt/boilerplate
+    duplication. The companion disposal stage to
+    :func:`jaccard_verify_pairs` over the same LSH candidates.
+
+    No size prepass exists for containment (a tiny set can be 100%
+    contained in any larger one — sizes alone never disqualify a
+    pair). Same scale shape otherwise: two id-key joins of the
+    candidate stream against the once-computed shingle table; the
+    caller owns the persisted shingle cache lifetime."""
+    mk = hashed_shingle_set if hash_shingles else shingle_set
+    s = docs.select(
+        F.col(id_col), mk(F.col(text_col), n).alias("sh")
+    ).persist()
+    a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = j.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("inter_size"),
+        F.size("sh_a").cast("long").alias("size_a"),
+        F.size("sh_b").cast("long").alias("size_b"),
+    )
+    return out.filter(
+        F.col("inter_size")
+        >= F.least("size_a", "size_b") * F.lit(min_containment)
+    )

@@ -862,3 +862,24 @@ def test_segment_dedup_first_occurrence_wins(spark):
     assert out[2].clean_text == "p q r"      # reassembled without the dup
     assert (out[3].n_segs, out[3].n_kept) == (1, 0)
     assert out[3].clean_text is None         # fully deduped away
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment ~1.0,
+    Jaccard far below any dedup threshold — the asymmetric criterion's
+    reason to exist."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        containment_verify_pairs,
+        jaccard_verify_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cont = containment_verify_pairs(pairs, docs, min_containment=0.9).collect()
+    assert len(cont) == 1 and cont[0].inter_size == cont[0].size_a
+    jac = jaccard_verify_pairs(pairs, docs, min_jaccard=0.8).collect()
+    assert jac == []  # jaccard misses the excerpt entirely
