@@ -194,3 +194,52 @@ def dedup_groups(
     return cc.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph given as
+    (id_a < id_b) edges: edge count, wedge count (paths of length 2:
+    sum of deg*(deg-1)/2), triangle count, and the global clustering
+    coefficient 3*triangles/wedges — the structure report for a
+    near-dup candidate graph (high clustering = duplicate CLUSTERS,
+    sparse wedges = pairwise-only noise), which predicts connected-
+    component explosion before running CC.
+
+    Plan shape: triangles enumerate via two hash joins of the
+    ordered edge list with itself — (a<b) x (b<c) wedges closed by an
+    (a,c) edge probe; the a<b<c total order counts each triangle
+    exactly once, and both joins are node-keyed shuffles (the classic
+    heavy-hitter caveat applies: a hub node's wedge set is quadratic
+    in its degree — at 100 TB, cap or sample hub degrees first).
+    Wedges/degrees are one node-keyed aggregation. All exact
+    integers; the coefficient is one rounded double division."""
+    e = edges.select("id_a", "id_b").distinct().persist()
+    deg = (
+        e.select(F.col("id_a").alias("v"))
+        .unionByName(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
+    )
+    ab = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    ac = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        n_edges.join(wedges).join(tri)
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("w").cast("long").alias("n_wedges"),
+            F.col("t").cast("long").alias("n_triangles"),
+            F.when(F.col("w") > 0,
+                   F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6))
+            .alias("clustering"),
+        )
+    )

@@ -72,6 +72,83 @@ def kmv_cardinality(
     )
 
 
+# ------------------------------------------------------------ histogram
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Fixed-grid histogram sketch over an INTEGER value column:
+    (bucket, total) with values clipped into [lo, hi). The mergeable
+    quantile summary whose estimates are deterministic integers —
+    the cross-engine-checkable stand-in for t-digest/KLL (whose
+    estimates are implementation-specific): error is bounded by the
+    grid step (hi-lo)/buckets instead of a probabilistic rank bound.
+    One map-side-combined aggregation; merge = bucket-wise addition,
+    exactly like the CMS."""
+    width = (hi - lo + buckets - 1) // buckets
+    b = F.floor(
+        (F.greatest(F.least(F.col(value_col), F.lit(hi - 1)), F.lit(lo)) - lo)
+        / width
+    ).cast("long")
+    return (
+        df.select(b.alias("hist_bucket"))
+        .groupBy("hist_bucket")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    lo: int,
+    hi: int,
+    buckets: int = 1024,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, the LOWER
+    EDGE of the first bucket whose cumulative count reaches
+    ceil(q * N) — a deterministic integer rule (no interpolation, no
+    float rank arithmetic), so estimates hash-match across engines.
+    The cumulative scan runs over the bucket-ordered histogram
+    (dimension-sized — ``buckets`` rows at most, one tiny window)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    width = (hi - lo + buckets - 1) // buckets
+    w = Window.orderBy("hist_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "hist_bucket",
+        F.sum("total").over(w).alias("cum"),
+        F.sum("total").over(
+            Window.orderBy("hist_bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    parts = []
+    for q in qs:
+        # rank threshold ceil(q*N) via integer arithmetic on the
+        # exactly-representable q grid (q expressed in 1e-6 units)
+        qm = int(round(q * 1_000_000))
+        thresh = F.ceil(F.col("n") * qm / 1_000_000)
+        first = (
+            cum.filter(F.col("cum") >= thresh)
+            .agg(F.min("hist_bucket").alias("b"))
+            .select(
+                F.lit(qm).cast("long").alias("q_micro"),
+                (F.col("b") * width + lo).cast("long").alias("value_est"),
+            )
+        )
+        parts.append(first)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ------------------------------------------------------------- count-min
 # depth-4 count-min sketch: row r hashes a value into one of `width`
 # buckets via disjoint 15-hex-char slices of md5 (independent-enough

@@ -147,3 +147,66 @@ def test_weighted_bottom_k_plan_take_ordered(spark):
     )
     plan = formatted_plan(weighted_bottom_k(df, "id", "w", k=10))
     assert "TakeOrderedAndProject" in plan, plan  # not a full global sort
+
+
+def test_hist_quantiles_within_grid_step(spark):
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    vals = list(range(0, 10_000))  # uniform 0..9999
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = hist_build(df, "v", lo=0, hi=10_000, buckets=100)  # step 100
+    out = {r.q_micro: r.value_est for r in
+           hist_quantiles(hist, 0, 10_000, 100, qs=(0.5, 0.9)).collect()}
+    assert abs(out[500000] - 5000) <= 100
+    assert abs(out[900000] - 9000) <= 100
+
+
+def test_hist_merge_equals_full_build(spark):
+    from pyspark.sql import functions as F2
+
+    from rust_dms_cdc_operator_spark.operators.sketch import hist_build
+
+    df = spark.createDataFrame([(i * 7 % 1000,) for i in range(5000)], "v long")
+    a = hist_build(df.filter("v % 2 = 0"), "v", 0, 1000, 64)
+    b = hist_build(df.filter("v % 2 = 1"), "v", 0, 1000, 64)
+    merged = (
+        a.unionByName(b).groupBy("hist_bucket")
+        .agg(F2.sum("total").alias("total"))
+    )
+    full = hist_build(df, "v", 0, 1000, 64)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_kmv_merge_union_retruncate(spark):
+    """KMV's mergeability claim: union two groups' sketches (take the
+    k smallest of the combined hash lists) == the sketch of the union
+    — i.e. the estimate of |A ∪ B| needs only the two sketches."""
+    from pyspark.sql import functions as F2
+
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        kmv_cardinality,
+        kmv_hash,
+    )
+
+    rows_a = [("g", f"a-{i}") for i in range(800)]
+    rows_b = [("g", f"b-{i}") for i in range(600)]
+    both = spark.createDataFrame(rows_a + rows_b, "g string, v string")
+    direct = kmv_cardinality(both, ["g"], "v", k=64).collect()[0]
+
+    # simulate the merge: k smallest hashes from each half, combined,
+    # re-truncated to k, then the same estimator arithmetic
+    def kmins(rows):
+        df = spark.createDataFrame(rows, "g string, v string")
+        return sorted(
+            r.h for r in df.select(kmv_hash(F2.col("v")).alias("h"))
+            .distinct().orderBy("h").limit(64).collect()
+        )
+
+    combined = sorted(set(kmins(rows_a)) | set(kmins(rows_b)))[:64]
+    kth = combined[63]
+    est = round(63 * float(1 << 60) / kth)
+    assert est == direct.kmv_estimate

@@ -96,3 +96,28 @@ def test_cc_reliable_checkpoint_path(spark, tmp_path):
     # mixed graph through the default driver-UF branch as well
     got2 = _cc(spark, [(1, 2), (2, 3), (10, 11)], checkpoint_dir=ckdir)
     assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 minus one edge: 5 edges, wedges = sum d(d-1)/2 with degrees
+    (3,3,2,2) -> 3+3+1+1 = 8, triangles = 2, clustering = 6/8."""
+    from rust_dms_cdc_operator_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],  # missing (3,4)
+        "id_a long, id_b long",
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (5, 8, 2)
+    assert r.clustering == 0.75
+
+
+def test_triangle_stats_triangle_free(spark):
+    from rust_dms_cdc_operator_spark.operators.graph import triangle_stats
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    r = triangle_stats(star).collect()[0]
+    assert (r.n_triangles, r.n_wedges) == (0, 3)
+    assert r.clustering == 0.0
