@@ -1142,3 +1142,68 @@ def test_stateful_sessionize_multibatch_converges(spark, tmp_path):
         (F.col("user_id") == 1) & F.col("closed")
     ).collect()
     assert len(closed) == 1 and closed[0].events_n == 3
+
+
+def test_streaming_cms_merge_across_batches(spark, tmp_path):
+    """Two microbatches, each building a partial sketch, merged
+    bucket-wise — the accumulated sketch must be IDENTICAL to the
+    one-shot batch sketch over all rows (lossless mergeability is the
+    sketch's defining property)."""
+    from rust_dms_cdc_operator_spark.operators.sketch import cms_build
+
+    src = tmp_path / "src"
+    acc = tmp_path / "acc"
+    ck = tmp_path / "ck"
+    os.makedirs(src)
+
+    rows_a = [(f"w{i % 20}",) for i in range(300)]
+    rows_b = [(f"w{i % 35}",) for i in range(200)]
+    fa = str(src / "a.parquet")
+    pq.write_table(pa.table({"word": [r[0] for r in rows_a]}), fa)
+    os.utime(fa, (1000, 1000))
+    fb = str(src / "b.parquet")
+    pq.write_table(pa.table({"word": [r[0] for r in rows_b]}), fb)
+    os.utime(fb, (2000, 2000))
+
+    schema = T.StructType([T.StructField("word", T.StringType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    n_batches = []
+
+    def sink(batch_df, bid):
+        n_batches.append(bid)
+        part = cms_build(batch_df, "word", width=64)
+        sess = batch_df.sparkSession
+        try:
+            prev = sess.read.parquet(str(acc))
+            merged = (
+                part.unionByName(prev)
+                .groupBy("cms_row", "cms_bucket")
+                .agg(F.sum("total").cast("long").alias("total"))
+            )
+        except Exception:
+            merged = part
+        rows = merged.collect()
+        sess.createDataFrame(rows, part.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(acc))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) == 2  # genuinely merged across two batches
+
+    streamed = spark.read.parquet(str(acc))
+    full = cms_build(
+        spark.createDataFrame(rows_a + rows_b, "word string"), "word", width=64
+    )
+    assert streamed.exceptAll(full).count() == 0
+    assert full.exceptAll(streamed).count() == 0
