@@ -1207,3 +1207,77 @@ def test_streaming_cms_merge_across_batches(spark, tmp_path):
     )
     assert streamed.exceptAll(full).count() == 0
     assert full.exceptAll(streamed).count() == 0
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """Clicks arriving in batch A must still join purchases arriving
+    in batch B (the click is buffered in join state until the
+    watermark provably passes its joinable horizon)."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    os.makedirs(src)
+
+    t0 = datetime(2024, 1, 1, 10, 0)
+    fa = str(src / "a.parquet")
+    pq.write_table(
+        pa.table({
+            "event_id": [1, 2],
+            "user_id": [7, 8],
+            "event_type": ["click", "click"],
+            "ts": [t0, t0],
+        }),
+        fa,
+    )
+    os.utime(fa, (1000, 1000))
+    fb = str(src / "b.parquet")
+    from datetime import timedelta
+    pq.write_table(
+        pa.table({
+            "event_id": [3, 4],
+            "user_id": [7, 8],
+            "event_type": ["purchase", "purchase"],
+            # user 7 inside the 1h bound, user 8 outside it
+            "ts": [t0 + timedelta(minutes=30), t0 + timedelta(hours=2)],
+        }),
+        fb,
+    )
+    os.utime(fb, (2000, 2000))
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    clicks = raw.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    j = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts >= c_ts"
+               " AND p_ts <= c_ts + interval 1 hour"),
+    ).select("click_id", "purchase_id")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r.click_id, r.purchase_id) for r in spark.read.parquet(str(out)).collect()]
+    assert got == [(1, 3)], got  # cross-batch pair joined; out-of-bound pair not
