@@ -445,3 +445,19 @@ def test_q2_no_single_partition_data_exchange(spark):
 
     plan = formatted_plan(QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
     assert "SinglePartition" not in plan, plan
+
+
+def test_rolling_window_no_single_partition(spark):
+    """The range-interval rolling window partitions by event_type —
+    never a global single-partition sort over the series."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["events_rolling_window"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_triangle_census_no_cartesian(spark):
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["dedup_triangle_stats"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
