@@ -196,7 +196,7 @@ def dedup_groups(
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     """Global triangle census of an undirected graph given as
     (id_a < id_b) edges: edge count, wedge count (paths of length 2:
     sum of deg*(deg-1)/2), triangle count, and the global clustering
@@ -212,8 +212,31 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     heavy-hitter caveat applies: a hub node's wedge set is quadratic
     in its degree — at 100 TB, cap or sample hub degrees first).
     Wedges/degrees are one node-keyed aggregation. All exact
-    integers; the coefficient is one rounded double division."""
+    integers; the coefficient is one rounded double division.
+
+    ``max_degree``: drop HUB nodes (degree > cap) and their edges
+    before the census — the standard truncation for clustering
+    statistics (a hub's wedge set is quadratic in its degree; in a
+    near-dup graph hubs are boilerplate documents that would dominate
+    and distort the coefficient anyway). Deterministic, so the capped
+    census remains oracle-checkable; the cap bounds per-node wedge
+    work at cap^2 regardless of data size — the knob that keeps the
+    census linear at 100 TB."""
     e = edges.select("id_a", "id_b").distinct().persist()
+    if max_degree is not None:
+        deg0 = (
+            e.select(F.col("id_a").alias("v"))
+            .unionByName(e.select(F.col("id_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg0.filter(F.col("d") <= max_degree).select("v")
+        e = (
+            e.join(keep.select(F.col("v").alias("id_a")), "id_a", "left_semi")
+            .join(keep.select(F.col("v").alias("id_b")), "id_b", "left_semi")
+            .select("id_a", "id_b")
+            .persist()
+        )
     deg = (
         e.select(F.col("id_a").alias("v"))
         .unionByName(e.select(F.col("id_b").alias("v")))

@@ -121,3 +121,19 @@ def test_triangle_stats_triangle_free(spark):
     r = triangle_stats(star).collect()[0]
     assert (r.n_triangles, r.n_wedges) == (0, 3)
     assert r.clustering == 0.0
+
+
+def test_triangle_stats_hub_cap(spark):
+    """max_degree drops hub nodes AND their edges before the census:
+    a star hub with 5 spokes vanishes under cap 4, leaving the
+    disjoint triangle intact."""
+    from rust_dms_cdc_operator_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 7)]      # hub 1 with degree 5
+        + [(10, 11), (10, 12), (11, 12)],  # separate triangle
+        "id_a long, id_b long",
+    )
+    r = triangle_stats(edges, max_degree=4).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (3, 1)
+    assert r.clustering == 1.0
