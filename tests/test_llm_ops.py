@@ -883,3 +883,52 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0].inter_size == cont[0].size_a
     jac = jaccard_verify_pairs(pairs, docs, min_jaccard=0.8).collect()
     assert jac == []  # jaccard misses the excerpt entirely
+
+
+def test_segment_dedup_property_vs_python_replay(spark):
+    """Hypothesis: random small corpora — the distributed segment
+    dedup must equal a sequential python replay of the
+    first-occurrence-wins rule, for every generated scenario."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_dms_cdc_operator_spark.operators.dedup import segment_dedup
+
+    WORD = st.sampled_from(["a", "b", "c", "d"])
+    DOC = st.lists(WORD, min_size=1, max_size=9)
+
+    def python_replay(docs, seg_words):
+        seen = set()
+        out = {}
+        for doc_id, words in docs:
+            segs = [
+                " ".join(words[i : i + seg_words])
+                for i in range(0, len(words), seg_words)
+            ]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            out[doc_id] = (
+                len(segs),
+                len(kept),
+                " ".join(kept) if kept else None,
+            )
+        return out
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(DOC, min_size=1, max_size=12))
+    def run(raw_docs):
+        docs = [(i, words) for i, words in enumerate(raw_docs)]
+        expected = python_replay(docs, 3)
+        df = spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in docs], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+            for r in segment_dedup(df, "doc_id", "text", 3).collect()
+        }
+        assert got == expected
+
+    run()
