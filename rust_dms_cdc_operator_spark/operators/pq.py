@@ -283,3 +283,47 @@ def pq_encode_sql(
         dlist = "[" + ", ".join(dists) + "]"
         exprs.append(f"list_position({dlist}, list_min({dlist}))")
     return exprs
+
+
+def adc_from_codes(
+    codes_col: Column, dtable: list[list[int]]
+) -> Column:
+    """ADC distance from STORED codes (1-based, as pq_encode emits):
+    m literal-array lookups summed — the probe-time expression for a
+    materialized PQ index, where encoding happened once at write time
+    and the scan reads only (id, codes), never the vectors."""
+    dist = F.lit(0).cast("long")
+    for s, table in enumerate(dtable):
+        lookup = F.array(*[F.lit(v).cast("long") for v in table])
+        dist = dist + F.element_at(
+            lookup, F.element_at(codes_col, s + 1).cast("int")
+        )
+    return dist
+
+
+def write_ivfpq_partitioned(
+    df: DataFrame,
+    path: str,
+    centroid_vecs: list[list[float]],
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    scale: int = 127,
+) -> None:
+    """Materialize the full IVF-PQ index: rows carry their PQ codes
+    (encoded ONCE, write-side) and live under their IVF list as the
+    partition key. A probe then (a) partition-prunes to nprobe lists,
+    (b) scans only (id, codes) for the ADC shortlist — column pruning
+    drops the wide vector column, (c) re-reads vectors for the
+    shortlist rows only. This is the faiss IVF-PQ layout expressed as
+    a parquet table."""
+    from rust_dms_cdc_operator_spark.operators.similarity import (  # noqa: PLC0415
+        IVF_LIST_COL,
+        ivf_assign,
+    )
+
+    df.withColumn(
+        IVF_LIST_COL, ivf_assign(F.col(vec_col), centroid_vecs, round_digits)
+    ).withColumn(
+        "pq_codes", pq_encode(F.col(vec_col), codebooks, scale)
+    ).write.mode("overwrite").partitionBy(IVF_LIST_COL).parquet(path)
