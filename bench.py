@@ -85,6 +85,9 @@ SCALE_QUERIES = [
     "sim_quantized_topk",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    "docs_segment_dedup",
+    "dedup_containment",
+    "events_rolling_window",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
