@@ -266,3 +266,56 @@ def triangle_stats(edges: DataFrame, max_degree: int | None = None) -> DataFrame
             .alias("clustering"),
         )
     )
+
+
+def pagerank_undirected(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank on an undirected graph given as
+    (id_a < id_b) edges — the iterative-algorithm shape (BSP rounds as
+    unrolled declarative stages, zero driver actions inside the loop;
+    Catalyst sees one plan with ``iters`` join+agg levels and AQE
+    re-plans each exchange at runtime).
+
+    Cross-engine determinism: every rank is ROUNDED (default 9
+    digits) after each iteration — per-node contribution sums carry
+    ~1e-15 summation-order jitter, far below the rounding step, so
+    ranks are bit-identical in any engine (the perplexity-family
+    argument applied per-iteration, where unrounded drift would
+    compound). Returns (v, pr) after ``iters`` rounds from a uniform
+    start; Σpr stays 1 up to rounding because every node here has
+    degree >= 1 (it comes from an edge list — no dangling mass)."""
+    e = edges.select("id_a", "id_b").distinct()
+    both = e.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # bounded driver scalar (one number)
+    base = (1.0 - damping) / n_nodes
+    # engine round (half-up, matching the SQL oracle), NOT python's
+    # banker's round
+    pr = deg.select(
+        "src",
+        F.round(F.lit(1.0) / F.lit(float(n_nodes)), round_digits).alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = (
+            both.join(pr, "src")
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.sum("c"), round_digits
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("src"), "pr")
+        )
+    return pr.select(F.col("src").alias("v"), "pr")

@@ -137,3 +137,35 @@ def test_triangle_stats_hub_cap(spark):
     r = triangle_stats(edges, max_degree=4).collect()[0]
     assert (r.n_edges, r.n_triangles) == (3, 1)
     assert r.clustering == 1.0
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from rust_dms_cdc_operator_spark.operators.graph import (
+        pagerank_undirected,
+    )
+
+    star = spark.createDataFrame(
+        [(1, i) for i in range(2, 7)], "id_a long, id_b long"
+    )
+    ranks = {r.v: r.pr for r in pagerank_undirected(star, iters=5).collect()}
+    assert len(ranks) == 6
+    hub, spokes = ranks[1], [ranks[i] for i in range(2, 7)]
+    assert all(hub > s for s in spokes)
+    assert len(set(spokes)) == 1          # symmetric spokes tie exactly
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from rust_dms_cdc_operator_spark.operators.graph import (
+        pagerank_undirected,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23 + 23) for i in range(23)], "id_a long, id_b long"
+    )
+    a = {r.v: r.pr for r in pagerank_undirected(edges, iters=4).collect()}
+    b = {
+        r.v: r.pr
+        for r in pagerank_undirected(edges.repartition(13), iters=4).collect()
+    }
+    assert a == b  # per-iteration rounding pins layout independence
