@@ -535,3 +535,100 @@ def containment_verify_pairs(
         F.col("inter_size")
         >= F.least("size_a", "size_b") * F.lit(min_containment)
     )
+
+
+def simhash_bits(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """``bits``-wide SimHash (generalizes :func:`simhash16`): each word
+    votes ±1 per bit of its ``bits``-wide md5-derived hash; signature
+    bit b is 1 iff the vote sum is positive. Same plan shape as
+    simhash16 — explode(words) + ONE groupBy(doc) shuffle carrying
+    ``bits`` conditional sums in a single aggregate. ``bits`` must be
+    a multiple of 4 (hex-nibble hashing) and ≤ 60 so the signature
+    stays positive in a signed 64-bit integer on every engine."""
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60")
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
+    ).withColumn("h", hex_to_long(F.md5(F.col("w")), bits // 4))
+    votes = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0)
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Multi-index Hamming near-dup over a wide SimHash (the classic
+    simhash-dedup blocking scheme: split the signature into
+    ``bands`` disjoint blocks; any pair within Hamming distance
+    ``bands - 1`` agrees exactly on at least one block — pigeonhole —
+    so banded equi-joins enumerate a COMPLETE candidate set with no
+    all-pairs comparison). Candidates verify with one integer popcount
+    ``bit_count(sig_a XOR sig_b)``.
+
+    Scale shape: the signature table (one narrow row per doc) is
+    persisted so the word-explode pipeline runs once, not once per
+    join side per band; each band contributes one equi-join shuffle on
+    a ``bits/bands``-bit key (15 bits at the defaults — 32k buckets,
+    AQE splits residual skew). ``max_distance`` must be < ``bands``
+    for completeness. Returns (id_a, id_b, hamming), id_a < id_b.
+    Caller owns the persisted signature cache lifetime (same contract
+    as :func:`minhash_lsh_pairs` / :func:`jaccard_verify_pairs`)."""
+    if max_distance >= bands:
+        raise ValueError("pigeonhole completeness needs max_distance < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_bits(df, id_col, text_col, bits).persist()
+    per_band = []
+    for i in range(bands):
+
+        def _bk(c: str) -> Column:
+            return F.shiftright(F.col(c), i * width).bitwiseAND(F.lit(mask))
+
+        a = sig.select(
+            F.col(id_col).alias("id_a"),
+            F.col("simhash").alias("sig_a"),
+            _bk("simhash").alias("bk"),
+        )
+        b = sig.select(
+            F.col(id_col).alias("id_b"),
+            F.col("simhash").alias("sig_b"),
+            _bk("simhash").alias("bk"),
+        )
+        j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+        # emit each pair at its FIRST matching block only (same trick
+        # as minhash_lsh_pairs): no global distinct over the
+        # within-bucket quadratic pair stream
+        for prev in range(i):
+            j = j.filter(
+                F.shiftright("sig_a", prev * width).bitwiseAND(F.lit(mask))
+                != F.shiftright("sig_b", prev * width).bitwiseAND(
+                    F.lit(mask)
+                )
+            )
+        per_band.append(j.select("id_a", "id_b", "sig_a", "sig_b"))
+    cand = per_band[0]
+    for p in per_band[1:]:
+        cand = cand.unionByName(p)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_distance)
