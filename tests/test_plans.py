@@ -503,3 +503,59 @@ def test_ivfpq_index_shortlist_prunes_vector_column(spark):
     assert "PartitionFilters" in plan and IVF_LIST_COL in plan
     schemas = read_schemas(short)
     assert schemas and all("embedding" not in sc for sc in schemas), schemas
+
+
+def test_simhash_hamming_banded_no_cartesian(spark):
+    """The Hamming near-dup must be banded equi-joins over a persisted
+    signature table — no cartesian/nested-loop pair enumeration, and
+    the cached signature relation is reused (InMemoryTableScan), not
+    recomputed per band side."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["dedup_simhash_hamming"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_minhash_knn_window_keyed_not_global(spark):
+    """The per-doc top-3 ranking partitions by doc — never a global
+    single-partition sort of the candidate stream."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["sim_minhash_knn"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ewma_kernel_join_on_aggregate_only(spark):
+    """The smoothing join must run on the per-(type, day) aggregate,
+    not raw events: the scan reads only (ts, event_type), and the
+    events table is aggregated before any join (no join operator
+    consumes a raw events scan directly)."""
+    df = QUERIES["events_ewma_smooth"](spark, SF_DIR)
+    schemas = read_schemas(df)
+    for s in schemas:
+        assert "props" not in s and "value" not in s and "user_id" not in s
+    assert has_whole_stage_codegen(df)
+
+
+def test_pivot_single_shuffle(spark):
+    """Explicit pivot values: one exchange on the day key, no
+    distinct-discovery job, no single-partition stage."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["events_pivot_daily"](spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    assert "SinglePartition" not in formatted_plan(df)
+
+
+def test_version_diff_digest_first(spark):
+    """The corpus diff joins digests, not text: every join input reads
+    (doc_id, md5) projections — the text column never crosses the
+    full-outer join (it is consumed inside the pre-join project)."""
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["docs_version_diff"](spark, SF_DIR))
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
