@@ -154,3 +154,69 @@ def test_version_diff_statuses(spark, tmp_path):
     assert got["changed"] == 6
     assert got["added"] == 3
     assert got["unchanged"] == len(ids) - 5 - 6
+
+
+def test_token_entropy_hand_check(spark, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_token_entropy,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a a", "a b c d"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([7, 7], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy_bits)
+        for r in q_docs_token_entropy(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (4, 1, 0.0)  # constant text: zero entropy
+    assert got[2] == (4, 4, round(math.log2(4), 6))  # uniform: log2(n)
+
+
+def test_quality_percentile_invariants(spark):
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_quality_percentile,
+    )
+
+    rows = q_docs_quality_percentile(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(0.0 <= r.pct <= 1.0 for r in rows)
+    assert all(1 <= r.decile <= 10 for r in rows)
+    # within each source the max pct is exactly 1 (percent_rank of the
+    # last row) unless the source has a single doc
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.pct)
+    for src, ps in by_src.items():
+        if len(ps) > 1:
+            assert max(ps) == 1.0, src
+
+
+def test_stream_dedup_matches_batch(spark):
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_dedup_exact,
+        q_stream_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.content_md5, r.kept_doc_id, r.n_copies)
+        for r in q_dedup_exact(spark, sf).collect()
+    }
+    streamed = {
+        (r.content_md5, r.kept_doc_id, r.n_copies)
+        for r in q_stream_dedup(spark, sf).collect()
+    }
+    assert streamed == batch
