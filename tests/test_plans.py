@@ -559,3 +559,28 @@ def test_version_diff_digest_first(spark):
     plan = formatted_plan(QUERIES["docs_version_diff"](spark, SF_DIR))
     assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_json_extract_pruned_shuffles(spark):
+    """JSON extraction happens inside codegen before the group-by;
+    exactly the two exchanges a distinct-aggregate needs (partial on
+    (type, k), final on type) — and the scan reads only
+    (event_type, props)."""
+    df = QUERIES["events_json_extract"](spark, SF_DIR)
+    assert count_exchanges(df) == 2  # countDistinct's expand plan
+    for s in read_schemas(df):
+        assert "value" not in s and "user_id" not in s
+    assert has_whole_stage_codegen(df)
+
+
+def test_constraint_check_single_scan(spark):
+    """The whole rule report is one aggregation over ONE scan — rules
+    must not multiply scans (the formatted plan names each scan node
+    once in the tree and once in the detail section)."""
+    import re
+
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["docs_constraint_check"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
