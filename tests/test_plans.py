@@ -584,3 +584,17 @@ def test_constraint_check_single_scan(spark):
     df = QUERIES["docs_constraint_check"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_label_centroids_one_pass(spark):
+    """Centroid + variance must come from the one-pass sum/sumsq
+    identity: ONE scan, ONE exchange, no join back to centroids."""
+    import re
+
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["sim_label_centroids"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert count_exchanges(df) == 1
+    assert "Join" not in plan
