@@ -155,11 +155,40 @@ def _pil_decode(payload: bytes) -> dict:  # pragma: no cover - needs PIL
         )
 
 
+def parse_bmp(payload: bytes) -> dict:
+    """BMP: 'BM' magic + BITMAPINFOHEADER — little-endian int32
+    width/height at offsets 18/22 (height < 0 means top-down row
+    order — same pixel count, so abs), uint16 bit depth at 28."""
+    if payload[:2] != b"BM":
+        raise UnknownMediaError("not a BMP magic")
+    if len(payload) < 30:
+        raise ValueError("truncated BMP header")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bits,) = struct.unpack_from("<H", payload, 28)
+    return _result(
+        codec="bmp",
+        width=width,
+        height=abs(height),
+        channels=max(1, bits // 8),
+    )
+
+
+def parse_gif(payload: bytes) -> dict:
+    """GIF87a/GIF89a: uint16-LE logical-screen width/height at 6/8."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnknownMediaError("not a GIF magic")
+    if len(payload) < 10:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    # palette-indexed; decoded pixels are RGB
+    return _result(codec="gif", width=width, height=height, channels=3)
+
+
 def decode(payload: bytes) -> dict:
     """Sniff the payload magic and decode its header for real.
 
     Dispatch: WAV by RIFF magic; images through PIL when importable,
-    else the stdlib PNG/netpbm parsers. Raises
+    else the stdlib PNG/netpbm/BMP/GIF parsers. Raises
     :class:`UnknownMediaError` (a ``NotImplementedError``) for magics
     no wired decoder covers — compressed audio/video still needs
     librosa/av, which this container lacks.
@@ -175,10 +204,14 @@ def decode(payload: bytes) -> dict:
             pass
     if payload[:8] == _PNG_SIG:
         return parse_png(payload)
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return parse_gif(payload)
     if payload[:1] == b"P" and payload[1:2].isdigit():
         return parse_ppm(payload)
     raise UnknownMediaError(
         f"no decoder wired for magic {payload[:8]!r}; stdlib covers "
-        "netpbm/PNG/WAV — install pillow (images) or librosa/av "
-        "(compressed audio/video) to widen coverage"
+        "netpbm/PNG/BMP/GIF/WAV — install pillow (JPEG/WebP/etc.) or "
+        "librosa/av (compressed audio/video) to widen coverage"
     )

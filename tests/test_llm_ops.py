@@ -708,10 +708,34 @@ def test_mediacodec_golden_bytes():
         "pgm", 12, 34, 1,
     )
 
+    # BMP: BITMAPINFOHEADER, 24-bit 13x7, negative height = top-down
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (13).to_bytes(4, "little")
+        + (-7 & 0xFFFFFFFF).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 10
+    )
+    b = mc.decode(bmp)
+    assert (b["codec"], b["width"], b["height"], b["channels"]) == (
+        "bmp", 13, 7, 3,
+    )
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    g = mc.decode(gif)
+    assert (g["codec"], g["width"], g["height"], g["channels"]) == (
+        "gif", 320, 200, 3,
+    )
+
     with pytest.raises(NotImplementedError):
         mc.decode(b"\xff\xd8\xff\xe0 not wired without PIL")
     with pytest.raises(ValueError):
         mc.decode(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+    with pytest.raises(ValueError):
+        mc.decode(b"BM too short")  # truncated BMP header
+    with pytest.raises(ValueError):
+        mc.decode(b"GIF87a\x01")  # truncated GIF header
 
 
 def test_decode_media_features_real_codecs(spark):
