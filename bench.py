@@ -87,6 +87,13 @@ SCALE_QUERIES = [
     "q21_waiting_suppliers",
     "docs_segment_dedup",
     "events_rolling_window",
+    "docs_token_entropy",
+    "events_json_extract",
+    "sim_label_centroids",
+    # dedup_simhash_hamming / sim_minhash_knn are EXCLUDED for the
+    # same documented reason as dedup_containment/dedup_lsh_verified:
+    # candidate-bound on the adversarial synthetic vocabulary (their
+    # cost is the pair count the verifier must read, not plan shape)
     # dedup_containment is EXCLUDED: no size prepass can exist for
     # containment (a small set is always fully containable), so the
     # adversarial fixture's candidate volume hits it in full — 383 s
