@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -326,3 +326,45 @@ def pagerank_undirected(
             .select(F.col("dst").alias("src"), "pr")
         )
     return pr.select(F.col("src").alias("v"), "pr")
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Semi-synchronous label propagation (community detection) on an
+    undirected (id_a < id_b) edge list: labels initialize to node ids;
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by the smallest label — fully deterministic,
+    so the ``iters``-level unrolled SQL oracle reproduces it exactly.
+    Same execution contract as :func:`pagerank_undirected`: the
+    adjacency persists once (the edge derivation is typically an
+    expensive LSH pipeline), each BSP round is one join + one keyed
+    count + one per-node window (WindowGroupLimit prunes to the top
+    row map-side), zero driver actions inside the loop."""
+    e = edges.select("id_a", "id_b").distinct()
+    adj = (
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = adj.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    w = Window.partitionBy("v").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    for _ in range(iters):
+        votes = (
+            adj.join(labels.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), "label")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+    return labels

@@ -169,3 +169,34 @@ def test_pagerank_deterministic_across_partitionings(spark):
         for r in pagerank_undirected(edges.repartition(13), iters=4).collect()
     }
     assert a == b  # per-iteration rounding pins layout independence
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Exact parity with a sequential python replay of the
+    semi-synchronous vote rule (majority, ties -> min label) on a
+    bridged two-triangle graph plus a chain — the same property-check
+    style as the CC and segment-dedup oracles."""
+    from rust_dms_cdc_operator_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4),
+             (7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.v: r.label for r in label_propagation(df, iters=3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts = {}
+            for n in nbrs:
+                counts[labels[n]] = counts.get(labels[n], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        labels = nxt
+    assert got == labels
