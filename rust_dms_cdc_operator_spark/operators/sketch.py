@@ -231,3 +231,26 @@ def cms_estimate(
         F.col("cms_value").alias(value_col),
         est.cast("long").alias("cms_count"),
     )
+
+
+def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Join-size estimation from two CM sketches (the AMS/count-min
+    inner-product estimator, Cormode & Muthukrishnan §4.2): for two
+    key streams A and B, |A ⋈ B| = Σ_v fA(v)·fB(v), and the sketch
+    estimate is min over rows r of Σ_b skA[r][b]·skB[r][b]. Never
+    under-estimates (collision mass only adds), so it is a safe
+    upper bound for join planning / pre-execution admission control.
+    Both sketches are depth x width tables, so the join is
+    dimension-sized — independent of either stream's cardinality."""
+    j = sk_a.select(
+        "cms_row", "cms_bucket", F.col("total").alias("ta")
+    ).join(
+        sk_b.select(
+            "cms_row", "cms_bucket", F.col("total").alias("tb")
+        ),
+        ["cms_row", "cms_bucket"],
+    )
+    per_row = j.groupBy("cms_row").agg(
+        F.sum(F.col("ta") * F.col("tb")).alias("dot")
+    )
+    return per_row.agg(F.min("dot").cast("long").alias("estimate"))

@@ -210,3 +210,28 @@ def test_kmv_merge_union_retruncate(spark):
     kth = combined[63]
     est = round(63 * float(1 << 60) / kth)
     assert est == direct.kmv_estimate
+
+
+def test_cms_inner_product_upper_bound(spark):
+    """The AMS inner-product estimate never under-counts the true
+    join size, and is exact when the sketch is collision-free."""
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame(
+        [("u1", 3), ("u2", 2), ("u3", 5)], "u string, c long"
+    )
+    b = spark.createDataFrame(
+        [("u1", 4), ("u3", 1), ("u9", 7)], "u string, c long"
+    )
+    exact = 3 * 4 + 5 * 1
+    est = cms_inner_product(
+        cms_build(a, "u", count_col="c"), cms_build(b, "u", count_col="c")
+    ).first().estimate
+    assert est >= exact
+    # 6 keys in a width-1024 sketch: collision-free -> exact
+    assert est == exact
