@@ -469,6 +469,7 @@ def stream_replay_bucketed(
     max_files_per_trigger: int | None = None,
     transform=None,
     compact_every: int | None = None,
+    after_merge=None,
 ) -> DataFrame:
     """``stream_replay`` with the bucketed incremental state table —
     same contract, per-batch cost proportional to touched buckets.
@@ -477,7 +478,12 @@ def stream_replay_bucketed(
     N merged batches the state is compacted to one generation
     (``BucketedParquetState.compact``), bounding the generation-dir
     count a 24/7 stream accretes. Compaction is itself a committed
-    epoch, so a crash between merge and compact loses nothing."""
+    epoch, so a crash between merge and compact loses nothing.
+
+    ``after_merge(store, spark)``: optional hook invoked after every
+    COMMITTED merge epoch — the streaming-materialized-view seam
+    (e.g. ``ivm.IncrementalAggView.refresh``: each microbatch then
+    maintains downstream aggregates at O(touched buckets) too)."""
     store = BucketedParquetState(
         fsio.join(state_dir, "state"), pk_cols, num_buckets
     )
@@ -496,6 +502,8 @@ def stream_replay_bucketed(
         # manifest exists and kill the stream with FileNotFoundError
         if store.merge_batch(batch, order_cols, op_col):
             merged_count += 1
+            if after_merge is not None:
+                after_merge(store, batch.sparkSession)
             if compact_every and merged_count % compact_every == 0:
                 store.compact(batch.sparkSession)
 

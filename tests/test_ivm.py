@@ -100,3 +100,69 @@ def test_unrefreshed_view_raises(spark, tmp_path):
     state, view = _mk(spark, tmp_path)
     with pytest.raises(FileNotFoundError, match="never been refreshed"):
         view.result(spark)
+
+
+def test_streaming_materialized_view(spark, tmp_path):
+    """The streaming seam: stream_replay_bucketed(after_merge=...)
+    refreshes the view after EVERY committed microbatch; the final
+    view equals the batch aggregate over the final state, and the
+    refreshes were incremental (second one recomputes only touched
+    buckets)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.streaming.cdc_stream import (
+        stream_replay_bucketed,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two time-ordered files -> two microbatches (mtime order)
+    rows1 = {"k": list(range(30)), "grp": ["a" if k % 3 else "b" for k in range(30)],
+             "v": [k * 2 for k in range(30)], "seq": [1] * 30,
+             "Op": ["U"] * 30}
+    rows2 = {"k": [3, 4], "grp": ["a", "a"], "v": [1000, 2000],
+             "seq": [2, 2], "Op": ["U", "D"]}
+    for i, rows in enumerate((rows1, rows2)):
+        p = src / f"f{i}.parquet"
+        pq.write_table(pa.table({k: pa.array(v) for k, v in rows.items()}), str(p))
+        os.utime(p, (1000 + i, 1000 + i))
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("Op", T.StringType()),
+    ])
+
+    stats = []
+    views = {}
+
+    def hook(store, sess):
+        if "view" not in views:
+            views["view"] = IncrementalAggView(
+                store, str(tmp_path / "view"), ["grp"],
+                {"n": ("count", "*"), "total": ("sum", "v")},
+            )
+        stats.append(views["view"].refresh(sess))
+
+    final = stream_replay_bucketed(
+        spark, str(src), schema,
+        pk_cols=["k"], order_cols=["seq"],
+        state_dir=str(tmp_path / "st"), num_buckets=16,
+        max_files_per_trigger=1, after_merge=hook,
+    )
+    assert len(stats) == 2
+    # second batch touched <= 2 keys -> <= 2 buckets recomputed
+    assert stats[1]["buckets_recomputed"] <= 2
+    got = {(r.grp, r.n, r.total)
+           for r in views["view"].result(spark).collect()}
+    exp = {(r.grp, r.n, r.total)
+           for r in final.groupBy("grp").agg(
+               F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("v").alias("total")).collect()}
+    assert got == exp
