@@ -1,0 +1,88 @@
+"""Global plan lint: EVERY batch query's physical plan is swept for
+scale anti-patterns. This is the repo-wide version of the targeted
+gates in test_plans.py — a regression here means a new or edited
+query re-introduced a pattern that dies at 100 TB.
+
+- ``CartesianProduct``: forbidden everywhere (no exceptions — every
+  pairwise operator in this repo is banded/bucketed/broadcast).
+- ``BatchEvalPython`` (row-at-a-time Python UDF): forbidden
+  everywhere — Python only ever appears Arrow-batched (MapInPandas /
+  AggregateInPandas / ArrowEvalPython).
+- ``BroadcastNestedLoopJoin``: allowed ONLY on the allowlist below,
+  where the build side is provably O(1)/O(days)-sized (scalar
+  aggregates, day spines, broadcast query sets) — a BNLJ against a
+  growing side is a bug.
+
+Streaming one-shots are excluded: building their DataFrame runs the
+stream (they are availableNow queries), and their physical shape is
+covered by test_streaming / test_ivm.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rust_dms_cdc_operator_spark.inventory import QUERIES
+from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BNLJ build sides, each O(1) rows or O(days): justified and stable
+BNLJ_ALLOWED = {
+    "q11_important_stock",      # scalar threshold subquery
+    "q22_dormant_customers",    # scalar avg-balance subquery
+    "v1_count_diff",            # two scalar counts
+    "sim_batch_topk",           # broadcast query-vector set (k rows)
+    "dedup_triangle_stats",     # scalar edge/wedge/triangle totals
+    "events_funnel",            # scalar stage totals
+    "events_join_size_estimate",  # 1-row estimate x 1-row exact
+    "events_dau_mau",           # day spine (O(days)) range join
+}
+
+SKIP = tuple(
+    n
+    for n in QUERIES
+    if n.startswith("stream_") or n == "cdc_incremental_agg_view"
+)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from rust_dms_cdc_operator_spark.inventory_llm import prepare_bench
+
+    prepare_bench(spark, SF_DIR)
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        out[name] = formatted_plan(fn(spark, SF_DIR))
+    return out
+
+
+def test_no_cartesian_products_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], offenders
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], offenders
+
+
+def test_bnlj_only_on_allowlist(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert offenders == [], offenders
+
+
+def test_allowlist_not_stale(plans):
+    """Every allowlisted query still exists and still uses a BNLJ —
+    prune the list when a plan improves."""
+    for name in BNLJ_ALLOWED:
+        assert name in plans, f"{name} vanished from the inventory"
+        assert "BroadcastNestedLoopJoin" in plans[name], (
+            f"{name} no longer plans a BNLJ — remove it from the allowlist"
+        )
