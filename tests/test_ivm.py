@@ -166,3 +166,30 @@ def test_streaming_materialized_view(spark, tmp_path):
                F.count(F.lit(1)).cast("long").alias("n"),
                F.sum("v").alias("total")).collect()}
     assert got == exp
+
+
+def test_orphan_generation_reaped(spark, tmp_path):
+    """Crash-safety: a generation dir written but never referenced by
+    a committed manifest (crash between stage and publish) is garbage
+    the next refresh's GC removes — the state store's own contract,
+    inherited by the view."""
+    import os
+
+    state, view = _mk(spark, tmp_path, num_buckets=4)
+    state.merge_batch(
+        _batch(spark, [(k, "g", k, 1, "U") for k in range(8)]),
+        order_cols=["seq"],
+    )
+    view.refresh(spark)
+    # simulate a crashed refresh: an orphan generation dir
+    orphan = tmp_path / "view" / "aggs" / "vdeadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "junk").write_text("crashed stage")
+    # churn one key -> next refresh commits + GCs
+    state.merge_batch(
+        _batch(spark, [(1, "g", 99, 2, "U")]), order_cols=["seq"]
+    )
+    view.refresh(spark)
+    view.refresh(spark)  # second commit pushes retention past the orphan
+    assert not orphan.exists()
+    assert _got(view, spark) == _expect(state, spark)
