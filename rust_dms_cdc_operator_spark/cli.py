@@ -30,10 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "command",
-        choices=["validate", "snapshot"],
+        choices=["validate", "snapshot", "query"],
         nargs="?",
         default=None,
-        help="top-level operation (omit for interactive config)",
+        help="top-level operation (omit for interactive config); "
+        "`query` runs a named inventory query (engine-native "
+        "extension beyond the reference's two commands)",
     )
     p.add_argument("--bucket-name", required=False, default=None)
     p.add_argument("--s3-prefix", required=False, default="")
@@ -57,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--accept-invalid-certs-first-db", action="store_true")
     p.add_argument("--accept-invalid-certs-second-db", action="store_true")
     # engine-native extensions
+    p.add_argument("--name", default=None,
+                   help="inventory query name for `query` (or `list`)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="data dir for `query`")
+    p.add_argument("--limit", type=int, default=20,
+                   help="rows to print for `query`")
     p.add_argument("--database-name", default="")
     p.add_argument("--local-root", default=None,
                    help="read the DMS drop from this directory instead of S3")
@@ -153,6 +161,28 @@ def snapshot_payload_from_args(args):
     )
 
 
+def run_query(args) -> int:
+    """`query --name <inventory-name> [--sf-dir DIR] [--limit N]`:
+    run one declared inventory query and print the result — the
+    engine-native front door to the 131-query surface (list names
+    with --name list)."""
+    from rust_dms_cdc_operator_spark.inventory import QUERIES
+    from rust_dms_cdc_operator_spark.session import get_spark
+
+    if not args.name or args.name == "list":
+        for n in sorted(QUERIES):
+            print(n)
+        return 0
+    if args.name not in QUERIES:
+        print(f"error: unknown query {args.name!r} (use --name list)",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"query-{args.name}")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command is None:
@@ -161,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
                   "stdin is not a terminal", file=sys.stderr)
             return 2
         args = build_parser().parse_args(interactive_args())
+    if args.command == "query":
+        return run_query(args)
     if args.command == "snapshot":
         # sugar for the reference's `validate --only-snapshot`
         if args.only_datadiff:

@@ -48,3 +48,24 @@ def test_sql_group_by_parity(spark):
         .collect()
     }
     assert sql == df
+
+
+def test_cli_query_subcommand():
+    """`query --name list` prints the inventory; unknown names fail
+    with exit 2 (subprocess-free: call main() directly)."""
+    import contextlib
+    import io
+
+    from rust_dms_cdc_operator_spark.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["query", "--name", "list"])
+    assert rc == 0
+    names = buf.getvalue().split()
+    assert "q1_pricing_summary" in names and len(names) >= 131
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = main(["query", "--name", "nope_not_real"])
+    assert rc == 2 and "unknown query" in err.getvalue()
