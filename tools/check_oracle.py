@@ -6,13 +6,14 @@ canonical values. Usage:
     python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
 
 
-Caveat: four oracles embed sf0.01-trained artifact literals
+Caveat: five oracle rows embed sf0.01-trained artifact literals
 (``sim_ivf_trained`` / ``sim_ivf_probe_partitioned``: centroids,
-ivf_constants.py; ``sim_pq_topk`` / ``sim_ivfpq_topk``: PQ codebooks,
-pq_constants.py), so they hash-match ONLY at the driver's correctness
-scale (sf0.01) — running this tool with --sf-dir at another scale
-reports exactly those four as FAIL by design; every other oracle is
-scale-independent (full-sweep evidence: 96/100 at sf0.1, the four
+ivf_constants.py; ``sim_pq_topk`` / ``sim_ivfpq_topk`` /
+``sim_ivfpq_probe_partitioned``: PQ codebooks, pq_constants.py), so
+they hash-match ONLY at the driver's correctness scale (sf0.01) —
+running this tool with --sf-dir at another scale reports exactly
+those five as FAIL by design; every other oracle is
+scale-independent (full-sweep evidence: 126/131 at sf0.1, the five
 misses being precisely this list).
 """
 
