@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "events_funnel",            # scalar stage totals
     "events_join_size_estimate",  # 1-row estimate x 1-row exact
     "events_dau_mau",           # day spine (O(days)) range join
+    "sim_knn_classify",         # broadcast 50-query set (bounded)
 }
 
 SKIP = tuple(
