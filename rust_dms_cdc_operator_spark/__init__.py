@@ -10,6 +10,7 @@ joins, JDBC sinks), plus a large-scale training-data operator pack
 (dedup, similarity search, text analysis, multimodal columns).
 """
 
+from rust_dms_cdc_operator_spark.engine import CdcEngine
 from rust_dms_cdc_operator_spark.payloads import (
     CdcSnapshotPayload,
     CdcValidatePayload,
@@ -19,6 +20,7 @@ from rust_dms_cdc_operator_spark.payloads import (
 from rust_dms_cdc_operator_spark.session import get_spark
 
 __all__ = [
+    "CdcEngine",
     "CdcSnapshotPayload",
     "CdcValidatePayload",
     "LoadMode",

@@ -431,3 +431,40 @@ def test_resume_snapshot_incremental(spark, tmp_path):
             for r in spark.read.parquet(f"{tgt_inc}/{cdc_fixtures.SCHEMA}/{t}").collect()
         }
         assert got == want, t
+
+
+def test_cdc_engine_facade(spark, tmp_path):
+    """CdcEngine.snapshot/validate — the two-method library surface
+    (SURVEY §3.3) — runs the same code path as the function API and
+    validates its own output as identical."""
+    from rust_dms_cdc_operator_spark import (
+        CdcEngine,
+        CdcValidatePayload,
+    )
+
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    payload = CdcSnapshotPayload(
+        bucket_name="local",
+        schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB,
+        mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    eng = CdcEngine(spark)
+    written = eng.snapshot(
+        payload, root, tgt, {t: f["pk"] for t, f in fx.items()}
+    )
+    assert set(written) == set(fx)
+    tables = {
+        t: (
+            spark.read.parquet(written[t]),
+            spark.read.parquet(written[t]),
+            fx[t]["pk"],
+        )
+        for t in fx
+    }
+    reports = eng.validate(CdcValidatePayload(schema_name=cdc_fixtures.SCHEMA), tables)
+    assert set(reports) == set(fx)
+    assert all(r.counts_match for r in reports.values())
+    assert all(not r.mismatched_chunks for r in reports.values())
