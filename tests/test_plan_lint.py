@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "events_join_size_estimate",  # 1-row estimate x 1-row exact
     "events_dau_mau",           # day spine (O(days)) range join
     "sim_knn_classify",         # broadcast 50-query set (bounded)
+    "docs_bm25_search",         # broadcast (N, avgdl) scalar pair
 }
 
 SKIP = tuple(
