@@ -164,8 +164,8 @@ def snapshot_payload_from_args(args):
 def run_query(args) -> int:
     """`query --name <inventory-name> [--sf-dir DIR] [--limit N]`:
     run one declared inventory query and print the result — the
-    engine-native front door to the 131-query surface (list names
-    with --name list)."""
+    engine-native front door to the full inventory query surface
+    (list names with --name list)."""
     from rust_dms_cdc_operator_spark.inventory import QUERIES
     from rust_dms_cdc_operator_spark.session import get_spark
 

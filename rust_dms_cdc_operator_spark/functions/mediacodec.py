@@ -6,6 +6,9 @@ parseable with ``struct`` alone. This module decodes, for real:
 
 - **PPM/PGM** (netpbm P2/P3/P5/P6): ASCII header → width/height/maxval;
 - **PNG**: signature + IHDR → width/height/bit depth/color channels;
+- **JPEG**: SOI + marker-segment walk to SOF0/SOF2 (any SOFn) →
+  height/width/components — geometry without a codec library;
+- **BMP/GIF**: DIB-header-size-dispatched / logical-screen headers;
 - **WAV** (RIFF): fmt/data chunk walk → channels, sample rate, bit
   depth, sample count, duration.
 
@@ -156,11 +159,29 @@ def _pil_decode(payload: bytes) -> dict:  # pragma: no cover - needs PIL
 
 
 def parse_bmp(payload: bytes) -> dict:
-    """BMP: 'BM' magic + BITMAPINFOHEADER — little-endian int32
-    width/height at offsets 18/22 (height < 0 means top-down row
-    order — same pixel count, so abs), uint16 bit depth at 28."""
+    """BMP: 'BM' magic + a DIB header whose layout the uint32 size at
+    offset 14 selects. BITMAPINFOHEADER and later (size >= 40):
+    little-endian int32 width/height at 18/22 (height < 0 means
+    top-down row order — same pixel count, so abs), uint16 bit depth
+    at 28. The OS/2 BITMAPCOREHEADER (size == 12) packs uint16
+    width/height at 18/20 and bit depth at 24 — misreading it with
+    the int32 layout yields garbage dimensions, so it gets its own
+    branch; other ancient sizes raise."""
     if payload[:2] != b"BM":
         raise UnknownMediaError("not a BMP magic")
+    if len(payload) < 26:
+        raise ValueError("truncated BMP header")
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size == 12:  # OS/2 BITMAPCOREHEADER
+        width, height, _planes, bits = struct.unpack_from("<HHHH", payload, 18)
+        return _result(
+            codec="bmp",
+            width=width,
+            height=height,
+            channels=max(1, bits // 8),
+        )
+    if dib_size < 40:
+        raise UnknownMediaError(f"unsupported BMP DIB header size {dib_size}")
     if len(payload) < 30:
         raise ValueError("truncated BMP header")
     width, height = struct.unpack_from("<ii", payload, 18)
@@ -171,6 +192,57 @@ def parse_bmp(payload: bytes) -> dict:
         height=abs(height),
         channels=max(1, bits // 8),
     )
+
+
+#: SOF markers carrying frame geometry: C0-CF minus DHT (C4), the
+#: reserved JPG extension (C8), and DAC (CC) — covers baseline (SOF0),
+#: extended sequential (SOF1), progressive (SOF2), lossless, etc.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg(payload: bytes) -> dict:
+    """JPEG frame header via the standard segment walk — no codec
+    library needed for geometry: SOI (FFD8), then marker segments
+    (2-byte BE length INCLUDING the length field) skipped until a
+    SOF marker, whose body is precision(1) height(2 BE) width(2 BE)
+    n_components(1). Standalone markers (TEM, RSTn) carry no length;
+    0xFF fill bytes may pad any marker; SOS (FFDA) starts
+    entropy-coded data, so a frame with no SOF before it is
+    malformed."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnknownMediaError("not a JPEG SOI marker")
+    i, n = 2, len(payload)
+    while i < n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {i}")
+        while i < n and payload[i] == 0xFF:  # fill bytes pad markers
+            i += 1
+        if i >= n:
+            break
+        marker = payload[i]
+        i += 1
+        if marker == 0xD9:  # EOI with no SOF seen
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers: no length field
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment length")
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in _JPEG_SOF:
+            if seg_len < 8:
+                raise ValueError("short JPEG SOF segment")
+            _prec, height, width, ncomp = struct.unpack_from(
+                ">BHHB", payload, i + 2
+            )
+            return _result(
+                codec="jpeg", width=width, height=height, channels=ncomp
+            )
+        if marker == 0xDA:  # SOS — compressed scan follows, stop
+            break
+        i += seg_len
+    raise ValueError("JPEG without SOF frame header")
 
 
 def parse_gif(payload: bytes) -> dict:
@@ -204,6 +276,8 @@ def decode(payload: bytes) -> dict:
             pass
     if payload[:8] == _PNG_SIG:
         return parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return parse_jpeg(payload)
     if payload[:2] == b"BM":
         return parse_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -212,6 +286,7 @@ def decode(payload: bytes) -> dict:
         return parse_ppm(payload)
     raise UnknownMediaError(
         f"no decoder wired for magic {payload[:8]!r}; stdlib covers "
-        "netpbm/PNG/BMP/GIF/WAV — install pillow (JPEG/WebP/etc.) or "
-        "librosa/av (compressed audio/video) to widen coverage"
+        "netpbm/PNG/JPEG/BMP/GIF/WAV headers — install pillow "
+        "(WebP/TIFF/pixel access) or librosa/av (compressed "
+        "audio/video) to widen coverage"
     )

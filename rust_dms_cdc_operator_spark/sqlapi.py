@@ -37,13 +37,15 @@ def register_tables(
 ) -> list[str]:
     """Create a temp view per parquet table under ``sf_dir``; returns
     the view names actually registered (missing files are skipped so
-    partial fixture dirs still work)."""
-    import os
+    partial fixture dirs still work). Existence probes route through
+    :mod:`fsio` so scheme-qualified roots (s3a://, hdfs://) register
+    the same way local paths do."""
+    from rust_dms_cdc_operator_spark import fsio
 
     out = []
     for t in tables:
-        path = f"{sf_dir}/{t}.parquet"
-        if not os.path.exists(path):
+        path = fsio.join(sf_dir, f"{t}.parquet")
+        if not fsio.exists(path):
             continue
         spark.read.parquet(path).createOrReplaceTempView(t)
         out.append(t)

@@ -708,9 +708,11 @@ def test_mediacodec_golden_bytes():
         "pgm", 12, 34, 1,
     )
 
-    # BMP: BITMAPINFOHEADER, 24-bit 13x7, negative height = top-down
+    # BMP: BITMAPINFOHEADER (DIB size 40 at offset 14), 24-bit 13x7,
+    # negative height = top-down
     bmp = (
-        b"BM" + b"\x00" * 16
+        b"BM" + b"\x00" * 12
+        + (40).to_bytes(4, "little")
         + (13).to_bytes(4, "little")
         + (-7 & 0xFFFFFFFF).to_bytes(4, "little")
         + (1).to_bytes(2, "little")
@@ -728,8 +730,48 @@ def test_mediacodec_golden_bytes():
         "gif", 320, 200, 3,
     )
 
+    # JPEG: APP0 + variable-length COM skipped, geometry read from
+    # SOF0; progressive (SOF2) and fill-byte-padded markers also land
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xfe" + (2 + 5).to_bytes(2, "big") + b"hello"
+        + b"\xff\xff\xff\xc0\x00\x11\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    j = mc.decode(jpg)
+    assert (j["codec"], j["width"], j["height"], j["channels"]) == (
+        "jpeg", 640, 480, 3,
+    )
+    jpg2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x15\x00\x2a\x01\x01\x11\x00"
+    j2 = mc.decode(jpg2)
+    assert (j2["codec"], j2["width"], j2["height"], j2["channels"]) == (
+        "jpeg", 42, 21, 1,
+    )
+
+    # OS/2 BITMAPCOREHEADER BMP: uint16 geometry at 18/20, bits at 24
+    core = (
+        b"BM" + b"\x00" * 12
+        + (12).to_bytes(4, "little")
+        + (51).to_bytes(2, "little") + (19).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    )
+    cb = mc.decode(core)
+    assert (cb["codec"], cb["width"], cb["height"], cb["channels"]) == (
+        "bmp", 51, 19, 3,
+    )
+
     with pytest.raises(NotImplementedError):
-        mc.decode(b"\xff\xd8\xff\xe0 not wired without PIL")
+        mc.decode(b"II*\x00 TIFF is not wired without PIL")
+    with pytest.raises(ValueError):
+        mc.decode(b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xd9")  # no SOF
+    with pytest.raises(ValueError):
+        mc.decode(b"\xff\xd8\xff\xe0\x99\x99 truncated segment")
+    with pytest.raises(NotImplementedError):
+        # ancient/unknown DIB header size (16-byte OS/2 v2 subset)
+        mc.decode(b"BM" + b"\x00" * 12 + (16).to_bytes(4, "little") + b"\x00" * 16)
     with pytest.raises(ValueError):
         mc.decode(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
     with pytest.raises(ValueError):
