@@ -344,6 +344,39 @@ def hashed_shingle_set(text: Column, n: int = 3) -> Column:
     )
 
 
+def candidate_budget_sample(
+    pairs: DataFrame, max_candidates: int
+) -> DataFrame:
+    """Deterministic candidate-budget guardrail for verify stages: when
+    the candidate stream exceeds ``max_candidates``, degrade to a keyed
+    1-in-k census sample (k = ceil(n / max_candidates), pairs kept
+    where md5(id_a|id_b) % k == 0) instead of letting an adversarial
+    vocabulary drag the verifier through every pair — the
+    dedup_eval_confusion pattern, made budget-adaptive.
+
+    Scale shape: the candidate stream is persisted NARROW (two ids per
+    row) and counted once — one linear aggregation, no wide shingle
+    arrays move; k is the single scalar that reaches the driver. The
+    md5 keying makes the sample independent of partitioning, ordering,
+    AND of id arithmetic patterns (a modular id filter correlates with
+    blocked/sequential id layouts; a hash doesn't), so the census
+    estimate is unbiased and bit-reproducible on every engine.
+    Exactly-k semantics are intentionally NOT promised — a count-then-
+    limit would need a global sort; the budget is a cost bound, not an
+    output size contract. Callers scale surviving counts by k to
+    estimate full-census totals. The caller owns the persisted
+    candidate cache lifetime (same contract as the shingle tables)."""
+    if max_candidates <= 0:
+        raise ValueError("max_candidates must be positive")
+    pairs = pairs.persist()
+    n = pairs.count()  # bounded driver result: ONE scalar
+    k = max(1, (n + max_candidates - 1) // max_candidates)
+    if k == 1:
+        return pairs
+    key = hex_to_long(F.md5(F.concat_ws("|", "id_a", "id_b")), 8)
+    return pairs.filter(key % k == 0)
+
+
 def jaccard_verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -352,6 +385,7 @@ def jaccard_verify_pairs(
     n: int = 3,
     min_jaccard: float | None = None,
     hash_shingles: bool = False,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification stage for LSH candidate pairs — the
     second half of the production two-stage near-dup pipeline (LSH
@@ -370,6 +404,13 @@ def jaccard_verify_pairs(
     table twice on the id key — two id-key shuffles, both linear in
     |surviving pairs| + |docs|; nothing quadratic, no re-tokenization
     per pair (shingle arrays are computed once per doc).
+
+    With ``max_candidates`` set, the (prepass-surviving) candidate
+    stream additionally passes through :func:`candidate_budget_sample`
+    — a deterministic keyed 1-in-k census sample that bounds verifier
+    cost on adversarial vocabularies where LSH selectivity collapses
+    (the documented 383 s containment cliff at native sf1); the output
+    is then a census SAMPLE, scaled by k for full-census estimates.
 
     Cache lifetime: the per-doc shingle table is ``persist()``-ed and
     referenced by the RETURNED lazy plan, so this function cannot
@@ -400,6 +441,8 @@ def jaccard_verify_pairs(
             )
             .select("id_a", "id_b")
         )
+    if max_candidates is not None:
+        pairs = candidate_budget_sample(pairs, max_candidates)
     a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
@@ -502,6 +545,7 @@ def containment_verify_pairs(
     n: int = 3,
     min_containment: float = 0.9,
     hash_shingles: bool = False,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup verification: containment
     C = |A ∩ B| / min(|A|, |B|) — a short document embedded inside a
@@ -513,13 +557,21 @@ def containment_verify_pairs(
 
     No size prepass exists for containment (a tiny set can be 100%
     contained in any larger one — sizes alone never disqualify a
-    pair). Same scale shape otherwise: two id-key joins of the
+    pair), which makes this the ONE verify shape fully exposed to
+    candidate volume: ``max_candidates`` is the guardrail — a
+    deterministic keyed 1-in-k census sample
+    (:func:`candidate_budget_sample`) that bounds the shingle-array
+    reads when an adversarial vocabulary makes LSH collide broadly,
+    degrading gracefully to a scaled census instead of a wall-clock
+    cliff. Same scale shape otherwise: two id-key joins of the
     candidate stream against the once-computed shingle table; the
     caller owns the persisted shingle cache lifetime."""
     mk = hashed_shingle_set if hash_shingles else shingle_set
     s = docs.select(
         F.col(id_col), mk(F.col(text_col), n).alias("sh")
     ).persist()
+    if max_candidates is not None:
+        pairs = candidate_budget_sample(pairs, max_candidates)
     a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")

@@ -613,6 +613,83 @@ def test_incremental_dedup_property(spark):
     check()
 
 
+def test_candidate_budget_sample(spark):
+    """Guardrail semantics: k = ceil(n/budget); sampled pair set is a
+    deterministic subset keyed on md5(id_a|id_b) — identical across
+    calls, partitionings, and engines; budget >= n is the identity."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        candidate_budget_sample,
+    )
+
+    pairs = spark.range(400).selectExpr(
+        "id AS id_a", "id + 1000 AS id_b"
+    ).repartition(8)
+    # budget >= n: no sampling, all pairs survive
+    assert candidate_budget_sample(pairs, 400).count() == 400
+    # budget 50 over n=400: k=8, expect roughly n/8 survivors
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in candidate_budget_sample(pairs, 50).collect()
+    )
+    assert 0 < len(got) < 150
+    # deterministic: a re-run over a different partitioning agrees
+    again = sorted(
+        (r.id_a, r.id_b)
+        for r in candidate_budget_sample(pairs.repartition(3), 50).collect()
+    )
+    assert got == again
+    # python replay of the exact keying rule
+    import hashlib
+
+    def key(a, b):
+        h = hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    want = sorted(
+        (a, a + 1000) for a in range(400) if key(a, a + 1000) % 8 == 0
+    )
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        candidate_budget_sample(pairs, 0)
+
+
+def test_verify_pairs_budget_cap(spark, docs):
+    """max_candidates plumbs through both verify stages: capped output
+    is exactly the uncapped output restricted to the keyed sample."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        containment_verify_pairs,
+        jaccard_verify_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (1, 5), (2, 4)],
+        "id_a long, id_b long",
+    )
+    full = {
+        (r.id_a, r.id_b)
+        for r in containment_verify_pairs(
+            pairs, docs, min_containment=0.0
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in containment_verify_pairs(
+            pairs, docs, min_containment=0.0, max_candidates=2
+        ).collect()
+    }
+    assert capped < full  # strict subset: k=3 over 6 pairs samples
+    jc = {
+        (r.id_a, r.id_b)
+        for r in jaccard_verify_pairs(
+            pairs, docs, max_candidates=2
+        ).collect()
+    }
+    assert jc == capped  # same keyed sample, same survivors
+
+
 def test_jaccard_verify_pairs(spark, docs):
     from rust_dms_cdc_operator_spark.operators.dedup import (
         jaccard_verify_pairs,
