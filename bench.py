@@ -1,10 +1,18 @@
 """Benchmark the declared query inventory.
 
 Runs every ``queries()`` entry at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: total wall-clock + per-query seconds. Each query is fully
-materialized through the "noop" sink (all compute, no collect/driver
-materialization — the same shape a cluster job has).
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Each query is
+fully materialized through the "noop" sink (all compute, no
+collect/driver materialization — the same shape a cluster job has).
+
+Output durability (round-5 verdict item 8): the FULL result — every
+per-query second plus the sf1 scale section — is written to
+``BENCH_local.json`` at the repo root; stdout's final line is a
+compact JSON summary built to fit the driver's 2000-char tail window
+(total, query count, the slowest queries that fit, sf1 ratio digest,
+and the pointer to the full file), so the recorded tail always parses
+instead of truncating a 150-entry map mid-line. Spark's own logging
+already goes to stderr.
 """
 
 from __future__ import annotations
@@ -59,7 +67,51 @@ def main() -> None:
     sf1 = _sf1_section(spark, sf, sf_dir, timings)
     if sf1:
         out["sf1"] = sf1
-    print(json.dumps(out))
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(_compact_summary(out)))
+
+
+def _compact_summary(out: dict, budget: int = 1800) -> dict:
+    """Shrink the full result to a single stdout line that fits the
+    driver's 2000-char tail: headline numbers, the sf1 ratio digest,
+    then as many slowest-first per-query timings as the byte budget
+    allows (slowest-first because those are the rows a reader acts
+    on). The full map always lives in BENCH_local.json."""
+    import json as _json
+
+    timings = out["queries"]
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "queries_full": "BENCH_local.json",
+    }
+    sf1 = out.get("sf1")
+    if sf1:
+        ratios = sorted(sf1.get("scale_vs_sf0.1", {}).values())
+        if ratios:
+            summary["sf1"] = {
+                "n": len(ratios),
+                "gen_secs": sf1.get("gen_secs"),
+                "total": round(sum(sf1["queries"].values()), 3),
+                "median_ratio": ratios[len(ratios) // 2],
+                "max_ratio": ratios[-1],
+            }
+    summary["queries"] = {}
+    for name, secs in sorted(
+        timings.items(), key=lambda kv: -kv[1]
+    ):
+        summary["queries"][name] = secs
+        if len(_json.dumps(summary)) > budget:
+            del summary["queries"][name]
+            break
+    summary["queries_omitted"] = len(timings) - len(summary["queries"])
+    return summary
 
 
 # headline subset for the 10x scale check: the shuffle/join/window
@@ -90,16 +142,22 @@ SCALE_QUERIES = [
     "docs_token_entropy",
     "events_json_extract",
     "sim_label_centroids",
-    # dedup_simhash_hamming / sim_minhash_knn are EXCLUDED for the
-    # same documented reason as dedup_containment/dedup_lsh_verified:
-    # candidate-bound on the adversarial synthetic vocabulary (their
-    # cost is the pair count the verifier must read, not plan shape)
-    # dedup_containment is EXCLUDED: no size prepass can exist for
-    # containment (a small set is always fully containable), so the
-    # adversarial fixture's candidate volume hits it in full — 383 s
-    # at native sf1, a corpus artifact, not a plan defect (same
-    # candidate-bound argument as dedup_lsh_verified, whose prepass
-    # only survives because Jaccard admits one)
+    # round-6: the candidate-bound families join the scale section —
+    # exactly the shapes whose 10x behavior is least predictable
+    "dedup_simhash_hamming",
+    "sim_minhash_knn",
+    "orders_market_basket",
+    "dedup_levenshtein",
+    "docs_bm25_search",
+    # containment/jaccard run UNDER the candidate-budget cap
+    # (operators/dedup.candidate_budget_sample): the uncapped
+    # containment census remains excluded by documented necessity —
+    # no size prepass exists for containment (a small set is always
+    # fully containable), so the adversarial fixture's candidate
+    # volume hits it in full (383 s at native sf1, a corpus artifact,
+    # not a plan defect); the cap bounds that to the keyed sample
+    "dedup_containment_capped",
+    "dedup_jaccard_capped",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

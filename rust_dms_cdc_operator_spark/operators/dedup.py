@@ -95,6 +95,7 @@ def minhash_lsh_pairs(
     text_col: str,
     num_hashes: int = 8,
     bands: int = 2,
+    carry_signature: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
@@ -107,14 +108,36 @@ def minhash_lsh_pairs(
     the per-band joins on the band key. The narrow per-doc signature
     table is persisted (not checkpointed: lineage, AQE, and fault
     tolerance stay intact) so every join side reads one cached copy.
-    In-bucket skew is AQE's skew-join split problem, and band width
-    tunes bucket size.
+    In-bucket skew is AQE's skew-join split problem (machine-checked:
+    tests/test_plans.py::test_lsh_banded_join_aqe_skew_split gates
+    skew=true in the executed SMJ node on a hot-bucket fixture), and
+    band width tunes bucket size.
+
+    ``carry_signature=True`` additionally emits the full MinHash
+    signature arrays as ``sig_a``/``sig_b`` — the simhash_hamming
+    trick: downstream estimators (n-matching-components scoring, k-NN
+    ranking) read the signatures FROM the pair stream instead of
+    re-joining a signature table against hundreds of millions of
+    candidates. The extra shuffle weight is per-DOC (the keyed table
+    widens by ``num_hashes`` longs per row), while the avoided joins
+    were per-CANDIDATE — at 200M candidates from 50k docs that trades
+    ~2 candidate-stream shuffles for ~1 MB of wider doc rows.
     """
     rows_per_band = num_hashes // bands
     wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
     sigs = df.select(F.col(id_col), wh).select(F.col(id_col), *sig_cols)
+    carry = (
+        [
+            F.array(
+                *[F.col(f"mh_{i}") for i in range(num_hashes)]
+            ).alias("sig")
+        ]
+        if carry_signature
+        else []
+    )
     keyed = sigs.select(
         F.col(id_col),
+        *carry,
         *[
             F.concat_ws(
                 "|",
@@ -124,20 +147,27 @@ def minhash_lsh_pairs(
         ],
     ).persist()
 
+    carry_a = [F.col("sig").alias("sig_a")] if carry_signature else []
+    carry_b = [F.col("sig").alias("sig_b")] if carry_signature else []
+    out_cols = ["id_a", "id_b"] + (
+        ["sig_a", "sig_b"] if carry_signature else []
+    )
     per_band = []
     for i in range(bands):
         a = keyed.select(
             F.col(id_col).alias("id_a"),
+            *carry_a,
             *[F.col(f"bk_{j}").alias(f"a_bk_{j}") for j in range(i + 1)],
         ).withColumnRenamed(f"a_bk_{i}", "bk")
         b = keyed.select(
             F.col(id_col).alias("id_b"),
+            *carry_b,
             *[F.col(f"bk_{j}").alias(f"b_bk_{j}") for j in range(i + 1)],
         ).withColumnRenamed(f"b_bk_{i}", "bk")
         j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
         for jj in range(i):
             j = j.filter(F.col(f"a_bk_{jj}") != F.col(f"b_bk_{jj}"))
-        per_band.append(j.select("id_a", "id_b"))
+        per_band.append(j.select(*out_cols))
     out = per_band[0]
     for p in per_band[1:]:
         out = out.unionByName(p)

@@ -163,3 +163,146 @@ def test_snapshot_validate_pipeline_against_jdbc(tmp_path):
     assert "PIPELINE-JDBC-IT-PASS" in proc.stdout, (
         f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
     )
+
+
+SF01_SCRIPT = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, "/root/repo")
+import duckdb
+
+from rust_dms_cdc_operator_spark.session import get_spark
+from rust_dms_cdc_operator_spark.sinks.postgres import PostgresSink
+from rust_dms_cdc_operator_spark.snapshot import JdbcTarget, snapshot
+from rust_dms_cdc_operator_spark.payloads import CdcSnapshotPayload, LoadMode
+from rust_dms_cdc_operator_spark.validate import validate_table, drill_down
+from rust_dms_cdc_operator_spark.operators.compact import compact_cdc, replay_manifest
+from rust_dms_cdc_operator_spark.sources.manifest import build_manifest
+from pyspark.sql import functions as F
+
+jar = sys.argv[1]
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+src = os.path.join(sf_dir, "events.parquet")
+work = tempfile.mkdtemp()
+root = os.path.join(work, "drop")
+db_file = os.path.join(work, "tgt.duckdb")
+tdir = os.path.join(root, "mydb", "public", "events")
+os.makedirs(os.path.join(tdir, "2026/08/02"))
+
+timers = {}
+def clock(name):
+    class _C:
+        def __enter__(self): self.t0 = time.time()
+        def __exit__(self, *a): timers[name] = round(time.time() - self.t0, 2)
+    return _C()
+
+# DMS drop built FROM the real sf0.1 events table: LOAD = 90% of keys;
+# one CDC delta carrying 10k inserts (the held-out keys), 10k updates
+# (value bumped), 10k deletes
+con = duckdb.connect()
+cols = "event_id, ts, user_id, event_type, value, props"
+with clock("build_drop"):
+    con.sql(
+        f"COPY (SELECT {cols} FROM '{src}' WHERE event_id % 10 != 0 "
+        f"ORDER BY event_id) TO '{tdir}/LOAD00000001.parquet' (FORMAT PARQUET)"
+    )
+    stamp = "'2026-08-02 00:00:01' AS _dms_ingestion_timestamp"
+    con.sql(
+        "COPY ("
+        f"SELECT 'I' AS Op, {stamp}, {cols} FROM '{src}' WHERE event_id % 10 = 0 "
+        "UNION ALL "
+        f"SELECT 'U', '2026-08-02 00:00:01', event_id, ts, user_id, event_type, "
+        f"value + 1.0, props FROM '{src}' WHERE event_id % 10 = 1 "
+        "UNION ALL "
+        f"SELECT 'D', '2026-08-02 00:00:01', {cols} FROM '{src}' WHERE event_id % 10 = 2"
+        f") TO '{tdir}/2026/08/02/20260802-000001.parquet' (FORMAT PARQUET)"
+    )
+
+spark = get_spark(
+    app_name="pipeline-sf01", master="local[8]", shuffle_partitions=8,
+    extra_conf={"spark.jars": jar},
+)
+sink = PostgresSink(
+    f"jdbc:duckdb:{db_file}",
+    properties={"driver": "org.duckdb.DuckDBDriver"},
+)
+pks = {"events": ["event_id"]}
+
+# phase 1 — full-load snapshot into the live DB (DDL + bulk insert);
+# only the LOAD file exists from the DB's point of view, so the CDC
+# delta below exercises the STAGED merge path, not a rebuild
+payload = CdcSnapshotPayload(
+    bucket_name="", schema_name="public", database_name="mydb",
+    mode=LoadMode.FULL_LOAD_ONLY,
+)
+with clock("snapshot_full_load"):
+    written = snapshot(spark, payload, JdbcTarget(sink), root, primary_keys=pks)
+assert written == {"events": "public.events"}, written
+
+# phase 2 — staged CDC apply: compact the delta per key, then ON
+# CONFLICT merge the upserts and a staged keyed delete (S8)
+delta_raw = spark.read.parquet(f"{tdir}/2026/08/02/20260802-000001.parquet")
+delta = compact_cdc(
+    delta_raw, ["event_id"], order_cols=["_dms_ingestion_timestamp"],
+    op_col="__keep_d__",
+).persist()
+data_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+with clock("staged_merge"):
+    sink.upsert(
+        delta.filter(F.col("Op") != "D").select(*data_cols),
+        "public", "events", ["event_id"],
+    )
+    sink.delete(
+        delta.filter(F.col("Op") == "D").select("event_id"),
+        "public", "events", ["event_id"],
+    )
+
+# phase 3 — validate: engine-side replay of the FULL manifest vs the
+# merged DB state, V1 counts + V2 chunked hashes
+files = build_manifest(
+    mode=LoadMode.DATE_AWARE, root=root, database="mydb",
+    schema="public", table="events", start_date="2026-08-01",
+)
+state = replay_manifest(spark, root, files, ["event_id"]).persist()
+db_state = spark.read.jdbc(sink.url, "public.events", properties=sink.properties)
+with clock("validate"):
+    rep = validate_table(state, db_state, "events", ["event_id"], chunk_size=5000)
+assert rep.ok and rep.counts_match and not rep.mismatched_chunks, vars(rep)
+assert rep.source_rows == rep.target_rows == 90000, vars(rep)
+
+# corruption check: one server-side flip is caught and pinpointed
+sink.run_sql(spark, "UPDATE public.events SET value = value + 1 WHERE event_id = 11")
+rep2 = validate_table(state, db_state, "events", ["event_id"], chunk_size=5000)
+assert not rep2.ok and len(rep2.mismatched_chunks) == 1, vars(rep2)
+bad = drill_down(state, db_state, ["event_id"]).collect()
+assert [r.event_id for r in bad] == [11], bad
+
+timers["rows"] = 90000
+print("PIPELINE-SF01-WALL " + json.dumps(timers))
+print("PIPELINE-SF01-PASS")
+"""
+
+
+@pytest.mark.skipif(not JARS, reason="no DuckDB JDBC jar in this container")
+def test_snapshot_staged_merge_validate_sf01(tmp_path):
+    """Round-5 verdict item 6: the snapshot -> staged-merge -> validate
+    chain at sf0.1 (100k-row events table), not fixture scale — DDL +
+    bulk JDBC insert of 90k rows, a 30k-row CDC delta applied through
+    the staged ON CONFLICT merge + staged keyed delete, then a clean
+    V1+V2 validate (18 chunked hashes) and a pinpointed one-row
+    corruption. Wall time per phase is printed as PIPELINE-SF01-WALL
+    for the round record."""
+    script = tmp_path / "pipeline_sf01.py"
+    script.write_text(SF01_SCRIPT)
+    proc = subprocess.run(
+        [sys.executable, str(script), JARS[0]],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert "PIPELINE-SF01-PASS" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    wall = next(
+        l for l in proc.stdout.splitlines() if l.startswith("PIPELINE-SF01-WALL")
+    )
+    print(wall)
