@@ -156,14 +156,24 @@ def list_hadoop(root: str, prefix: str) -> list[ParquetFile]:
     return sorted(out, key=lambda f: f.key)
 
 
-def list_s3(bucket: str, prefix: str, start_after: str | None = None) -> list[ParquetFile]:
+def list_s3(
+    bucket: str,
+    prefix: str,
+    start_after: str | None = None,
+    client=None,
+) -> list[ParquetFile]:
     """Paginated ListObjectsV2 with optional start_after, matching
-    s3_operator.rs:210-248. Requires boto3 (gated import)."""
-    try:
-        import boto3  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover - boto3 absent in CI image
-        raise RuntimeError("boto3 is required for S3 manifests") from exc
-    client = boto3.client("s3")
+    s3_operator.rs:210-248. ``client`` is any object with the boto3
+    ``list_objects_v2`` contract — injectable so the pagination /
+    continuation-token / StartAfter logic is unit-testable without a
+    network (tests/test_manifest.py); defaults to a real boto3 client
+    (gated import) in production."""
+    if client is None:
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as exc:  # pragma: no cover - boto3 absent in CI image
+            raise RuntimeError("boto3 is required for S3 manifests") from exc
+        client = boto3.client("s3")
     kwargs: dict = {"Bucket": bucket, "Prefix": prefix}
     if start_after:
         kwargs["StartAfter"] = start_after

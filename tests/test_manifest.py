@@ -161,3 +161,82 @@ def test_table_mode_resolution():
     assert resolve_table_mode([], []) is TableMode.ALL
     # included wins when both set (snapshot_payload.rs:78-86)
     assert resolve_table_mode(["a"], ["b"]) is TableMode.INCLUDE
+
+
+def test_list_s3_pagination_contract():
+    """The ListObjectsV2 walker (s3_operator.rs:210-248 parity) against
+    a fake client implementing the boto3 response contract: StartAfter
+    forwarded on the FIRST call only, ContinuationToken threaded across
+    pages, Contents accumulated in order, tz-aware LastModified
+    normalized to naive UTC. Closes the round-5 'boto3 path never
+    executed' gap without a network."""
+    from datetime import timezone
+
+    from rust_dms_cdc_operator_spark.sources.manifest import list_s3
+
+    pages = [
+        {
+            "Contents": [
+                {
+                    "Key": "db/s/t/LOAD00000001.parquet",
+                    "LastModified": datetime(
+                        2026, 8, 1, 12, 0, tzinfo=timezone.utc
+                    ),
+                },
+                {
+                    "Key": "db/s/t/2026/08/02/a.parquet",
+                    "LastModified": datetime(
+                        2026, 8, 2, 1, 0, tzinfo=timezone.utc
+                    ),
+                },
+            ],
+            "IsTruncated": True,
+            "NextContinuationToken": "tok-1",
+        },
+        {
+            "Contents": [
+                {
+                    "Key": "db/s/t/2026/08/03/b.parquet",
+                    "LastModified": datetime(
+                        2026, 8, 3, 1, 0, tzinfo=timezone.utc
+                    ),
+                },
+            ],
+            "IsTruncated": False,
+        },
+    ]
+
+    class FakeClient:
+        def __init__(self):
+            self.calls = []
+
+        def list_objects_v2(self, **kwargs):
+            self.calls.append(dict(kwargs))
+            return pages[len(self.calls) - 1]
+
+    fake = FakeClient()
+    got = list_s3("bkt", "db/s/t/", start_after="db/s/t/0", client=fake)
+    assert [f.key for f in got] == [
+        "db/s/t/LOAD00000001.parquet",
+        "db/s/t/2026/08/02/a.parquet",
+        "db/s/t/2026/08/03/b.parquet",
+    ]
+    # naive-UTC normalization (manifest comparisons are naive)
+    assert got[0].last_modified == datetime(2026, 8, 1, 12, 0)
+    assert got[0].last_modified.tzinfo is None
+    # first call: Bucket + Prefix + StartAfter, no token
+    assert fake.calls[0] == {
+        "Bucket": "bkt", "Prefix": "db/s/t/", "StartAfter": "db/s/t/0",
+    }
+    # second call threads the continuation token
+    assert fake.calls[1]["ContinuationToken"] == "tok-1"
+
+
+def test_list_s3_empty_bucket():
+    from rust_dms_cdc_operator_spark.sources.manifest import list_s3
+
+    class Empty:
+        def list_objects_v2(self, **kwargs):
+            return {"IsTruncated": False}
+
+    assert list_s3("bkt", "p/", client=Empty()) == []
