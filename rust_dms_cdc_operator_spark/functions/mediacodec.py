@@ -9,8 +9,12 @@ parseable with ``struct`` alone. This module decodes, for real:
 - **JPEG**: SOI + marker-segment walk to SOF0/SOF2 (any SOFn) →
   height/width/components — geometry without a codec library;
 - **BMP/GIF**: DIB-header-size-dispatched / logical-screen headers;
-- **WAV** (RIFF): fmt/data chunk walk → channels, sample rate, bit
-  depth, sample count, duration.
+- **TIFF**: byte-order-aware first-IFD walk → ImageWidth/ImageLength/
+  SamplesPerPixel tags;
+- **WebP** (RIFF/WEBP): VP8X canvas, VP8L packed 14-bit fields, or
+  lossy VP8 key-frame dims;
+- **WAV** (RIFF/WAVE): fmt/data chunk walk → channels, sample rate,
+  bit depth, sample count, duration.
 
 ``decode(payload)`` sniffs the magic and dispatches; when PIL *is*
 importable (``_HAVE_PIL``) images go through ``PIL.Image`` instead, so
@@ -256,6 +260,90 @@ def parse_gif(payload: bytes) -> dict:
     return _result(codec="gif", width=width, height=height, channels=3)
 
 
+def parse_tiff(payload: bytes) -> dict:
+    """TIFF header + first IFD walk: byte order from the II/MM magic,
+    IFD offset at 4, then 12-byte tag entries scanned for ImageWidth
+    (256), ImageLength (257), and SamplesPerPixel (277). SHORT(3) and
+    LONG(4) values are inlined in the entry's value field — the only
+    encodings baseline TIFF geometry uses."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise UnknownMediaError("not a TIFF magic")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset past end of payload")
+    (n_tags,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    width = height = None
+    channels = 1  # TIFF default when SamplesPerPixel is absent
+    for i in range(n_tags):
+        ent = ifd_off + 2 + 12 * i
+        if ent + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, _count = struct.unpack_from(bo + "HHI", payload, ent)
+        if tag not in (256, 257, 277):
+            continue
+        if typ == 3:  # SHORT, left-justified in the 4-byte value slot
+            (val,) = struct.unpack_from(bo + "H", payload, ent + 8)
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack_from(bo + "I", payload, ent + 8)
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        else:
+            channels = val
+    if width is None or height is None:
+        raise ValueError("TIFF IFD missing ImageWidth/ImageLength")
+    return _result(
+        codec="tiff", width=width, height=height, channels=channels
+    )
+
+
+def parse_webp(payload: bytes) -> dict:
+    """WebP (RIFF container, format tag WEBP): geometry from the first
+    chunk — VP8X (canvas-1 as 24-bit LE), VP8L (14-bit fields packed
+    after the 0x2F signature byte), or lossy VP8 (16-bit LE dims, low
+    14 bits, after the 3-byte frame tag + 3-byte start code)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise UnknownMediaError("not a RIFF/WEBP header")
+    if len(payload) < 30:
+        raise ValueError("truncated WebP payload")
+    fourcc = payload[12:16]
+    body = 20  # RIFF(4) size(4) WEBP(4) fourcc(4) chunk-size(4)
+    if fourcc == b"VP8X":
+        w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+        h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+        has_alpha = bool(payload[body] & 0x10)
+        return _result(
+            codec="webp", width=w, height=h, channels=4 if has_alpha else 3
+        )
+    if fourcc == b"VP8L":
+        if payload[body] != 0x2F:
+            raise ValueError("bad VP8L signature byte")
+        bits = int.from_bytes(payload[body + 1 : body + 5], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        has_alpha = bool((bits >> 28) & 1)
+        return _result(
+            codec="webp", width=w, height=h, channels=4 if has_alpha else 3
+        )
+    if fourcc == b"VP8 ":
+        # key frame: 3-byte frame tag, then 9D 01 2A, then dims
+        if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 start code missing (not a key frame?)")
+        w = int.from_bytes(payload[body + 6 : body + 8], "little") & 0x3FFF
+        h = int.from_bytes(payload[body + 8 : body + 10], "little") & 0x3FFF
+        return _result(codec="webp", width=w, height=h, channels=3)
+    raise UnknownMediaError(f"unknown WebP chunk {fourcc!r}")
+
+
 def decode(payload: bytes) -> dict:
     """Sniff the payload magic and decode its header for real.
 
@@ -268,6 +356,9 @@ def decode(payload: bytes) -> dict:
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
     if payload[:4] == b"RIFF":
+        # RIFF is a container: dispatch on the format tag at 8-12
+        if payload[8:12] == b"WEBP":
+            return parse_webp(payload)
         return parse_wav(payload)
     if _HAVE_PIL:  # pragma: no cover - container has no PIL
         try:
@@ -282,11 +373,13 @@ def decode(payload: bytes) -> dict:
         return parse_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return parse_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return parse_tiff(payload)
     if payload[:1] == b"P" and payload[1:2].isdigit():
         return parse_ppm(payload)
     raise UnknownMediaError(
         f"no decoder wired for magic {payload[:8]!r}; stdlib covers "
-        "netpbm/PNG/JPEG/BMP/GIF/WAV headers — install pillow "
-        "(WebP/TIFF/pixel access) or librosa/av (compressed "
-        "audio/video) to widen coverage"
+        "netpbm/PNG/JPEG/BMP/GIF/TIFF/WebP/WAV headers — install "
+        "pillow (pixel access) or librosa/av (compressed audio/video) "
+        "to widen coverage"
     )

@@ -841,7 +841,7 @@ def test_mediacodec_golden_bytes():
     )
 
     with pytest.raises(NotImplementedError):
-        mc.decode(b"II*\x00 TIFF is not wired without PIL")
+        mc.decode(b"8BPS Photoshop is not wired without PIL")
     with pytest.raises(ValueError):
         mc.decode(b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xd9")  # no SOF
     with pytest.raises(ValueError):
@@ -1075,3 +1075,121 @@ def test_segment_dedup_property_vs_python_replay(spark):
         assert got == expected
 
     run()
+
+
+def test_mediacodec_tiff_webp_goldens():
+    """Byte-level goldens for the TIFF IFD walk (both byte orders,
+    SHORT and LONG tag encodings) and the three WebP chunk layouts
+    (VP8X canvas, VP8L packed bits, lossy VP8 key frame)."""
+    import struct
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    def tiff(bo, width, height, spp=None, long_dims=False):
+        tags = [(256, width), (257, height)]
+        if spp is not None:
+            tags.append((277, spp))
+        n = len(tags)
+        out = (b"II*\x00" if bo == "<" else b"MM\x00*")
+        out += struct.pack(bo + "I", 8) + struct.pack(bo + "H", n)
+        for tag, val in sorted(tags):
+            if long_dims:
+                out += struct.pack(bo + "HHI", tag, 4, 1)
+                out += struct.pack(bo + "I", val)
+            else:
+                out += struct.pack(bo + "HHI", tag, 3, 1)
+                out += struct.pack(bo + "H", val) + b"\x00\x00"
+        return out + struct.pack(bo + "I", 0)
+
+    for bo in ("<", ">"):
+        t = mc.decode(tiff(bo, 800, 600, spp=3))
+        assert (t["codec"], t["width"], t["height"], t["channels"]) == (
+            "tiff", 800, 600, 3,
+        )
+    t = mc.decode(tiff("<", 70000, 50000, long_dims=True))
+    assert (t["width"], t["height"], t["channels"]) == (70000, 50000, 1)
+    with pytest.raises(ValueError):
+        mc.decode(b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0)
+                  + struct.pack("<I", 0))  # no geometry tags
+
+    def riff(fourcc, chunk):
+        body = fourcc + struct.pack("<I", len(chunk)) + chunk
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    vp8x = bytes([0x10]) + b"\x00\x00\x00" + (639).to_bytes(3, "little") \
+        + (479).to_bytes(3, "little") + b"\x00" * 8
+    w = mc.decode(riff(b"VP8X", vp8x))
+    assert (w["codec"], w["width"], w["height"], w["channels"]) == (
+        "webp", 640, 480, 4,
+    )
+
+    bits = (99 - 1) | ((77 - 1) << 14) | (1 << 28)  # 99x77 with alpha
+    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00" * 8
+    w = mc.decode(riff(b"VP8L", vp8l))
+    assert (w["width"], w["height"], w["channels"]) == (99, 77, 4)
+
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" \
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little") + b"\x00" * 8
+    w = mc.decode(riff(b"VP8 ", vp8))
+    assert (w["width"], w["height"], w["channels"]) == (320, 240, 3)
+
+    # RIFF dispatch: WAVE still routes to the WAV parser
+    assert mc.decode(_golden_wav())["codec"] == "wav"
+    with pytest.raises(NotImplementedError):
+        mc.decode(riff(b"XXXX", b"\x00" * 16))
+
+
+def test_parse_jpeg_property_random_segment_walks():
+    """Property test: a JPEG whose SOF is preceded by ANY sequence of
+    skippable marker segments (APPn/COM/DQT/DHT with random bodies,
+    random fill-byte padding, random restart markers) must still
+    yield the planted geometry; truncating the stream anywhere inside
+    a segment must raise, never return garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    seg_markers = st.sampled_from(
+        [0xE0, 0xE1, 0xEE, 0xFE, 0xDB, 0xC4]  # APP0/APP1/APPn/COM/DQT/DHT
+    )
+    segment = st.tuples(
+        seg_markers, st.binary(min_size=0, max_size=40)
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        segs=st.lists(segment, min_size=0, max_size=6),
+        fills=st.integers(min_value=0, max_value=3),
+        rsts=st.integers(min_value=0, max_value=2),
+        w=st.integers(min_value=1, max_value=0xFFFF),
+        h=st.integers(min_value=1, max_value=0xFFFF),
+        ncomp=st.sampled_from([1, 3, 4]),
+        sof=st.sampled_from([0xC0, 0xC1, 0xC2, 0xC3, 0xC9]),
+    )
+    def check(segs, fills, rsts, w, h, ncomp, sof):
+        out = bytearray(b"\xff\xd8")
+        for marker, body in segs:
+            out += bytes([0xFF]) * fills + bytes([0xFF, marker])
+            out += (len(body) + 2).to_bytes(2, "big") + body
+        out += bytes([0xFF, 0xD0 + rsts])  # standalone restart marker
+        comps = b"".join(
+            bytes([i + 1, 0x11, 0x00]) for i in range(ncomp)
+        )
+        out += bytes([0xFF, sof]) + (8 + 3 * ncomp).to_bytes(2, "big")
+        out += b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        out += bytes([ncomp]) + comps
+        out += b"\xff\xd9"
+        got = mc.parse_jpeg(bytes(out))
+        assert (got["width"], got["height"], got["channels"]) == (
+            w, h, ncomp,
+        )
+        # truncation inside the SOF segment must raise, not misparse
+        import pytest
+
+        with pytest.raises(ValueError):
+            mc.parse_jpeg(bytes(out[: len(out) - 3 * ncomp - 8]))
+
+    check()
