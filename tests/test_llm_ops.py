@@ -1193,3 +1193,31 @@ def test_parse_jpeg_property_random_segment_walks():
             mc.parse_jpeg(bytes(out[: len(out) - 3 * ncomp - 8]))
 
     check()
+
+
+def test_mediacodec_fuzz_exception_contract():
+    """Poison-pill contract: decode() may reject garbage ONLY with the
+    exception types the Arrow batch loop catches (UnknownMediaError/
+    ValueError/struct.error) — an IndexError or KeyError escaping a
+    parser would kill a whole 100 TB decode task instead of yielding
+    one NULL-codec row. Seeded 20k-case fuzz across every wired
+    magic."""
+    import random
+    import struct
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    rng = random.Random(42)
+    magics = [
+        b"\xff\xd8", b"RIFF", b"BM", b"GIF87a", b"GIF89a", b"II*\x00",
+        b"MM\x00*", b"\x89PNG\r\n\x1a\n", b"P6", b"P5",
+        b"RIFFxxxxWEBP", b"RIFFxxxxWAVE", b"",
+    ]
+    for _ in range(20000):
+        payload = rng.choice(magics) + bytes(
+            rng.getrandbits(8) for _ in range(rng.randint(0, 60))
+        )
+        try:
+            mc.decode(payload)
+        except (NotImplementedError, ValueError, struct.error):
+            pass  # the contract: only these may surface
