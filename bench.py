@@ -53,6 +53,11 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries own their persist() lifetimes only within one run
+        # (dedup shingle tables, LSH candidate streams); dropping them
+        # between queries keeps each measurement self-contained and
+        # stops 200M-row caches from pressuring later queries' memory
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -192,6 +197,7 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
             "overwrite"
         ).save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # same per-query cache hygiene
     return {
         "note": "native sf1 generation (tools/gen_native_sf.py, fresh "
                 "rows from sf0.1 distributions); timing-only",

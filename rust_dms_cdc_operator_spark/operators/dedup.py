@@ -96,6 +96,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 2,
     carry_signature: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
@@ -122,10 +123,22 @@ def minhash_lsh_pairs(
     widens by ``num_hashes`` longs per row), while the avoided joins
     were per-CANDIDATE — at 200M candidates from 50k docs that trades
     ~2 candidate-stream shuffles for ~1 MB of wider doc rows.
+
+    ``carry_cols`` generalizes the same trade to arbitrary input
+    columns (emitted as ``{col}_a``/``{col}_b``): per-doc attributes a
+    downstream rollup needs (source shard, length bucket, language)
+    ride the band joins instead of joining against the candidate
+    stream afterwards. At test scale Spark would broadcast that dim
+    anyway; at 100 TB a one-row-per-doc table exceeds every broadcast
+    threshold and the post-hoc join becomes two candidate-stream
+    shuffles — carrying makes the plan scale-stable by construction.
     """
+    carry_cols = list(carry_cols or [])
     rows_per_band = num_hashes // bands
     wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
-    sigs = df.select(F.col(id_col), wh).select(F.col(id_col), *sig_cols)
+    sigs = df.select(F.col(id_col), *carry_cols, wh).select(
+        F.col(id_col), *carry_cols, *sig_cols
+    )
     carry = (
         [
             F.array(
@@ -138,6 +151,7 @@ def minhash_lsh_pairs(
     keyed = sigs.select(
         F.col(id_col),
         *carry,
+        *carry_cols,
         *[
             F.concat_ws(
                 "|",
@@ -147,10 +161,16 @@ def minhash_lsh_pairs(
         ],
     ).persist()
 
-    carry_a = [F.col("sig").alias("sig_a")] if carry_signature else []
-    carry_b = [F.col("sig").alias("sig_b")] if carry_signature else []
-    out_cols = ["id_a", "id_b"] + (
-        ["sig_a", "sig_b"] if carry_signature else []
+    carry_a = ([F.col("sig").alias("sig_a")] if carry_signature else []) + [
+        F.col(c).alias(f"{c}_a") for c in carry_cols
+    ]
+    carry_b = ([F.col("sig").alias("sig_b")] if carry_signature else []) + [
+        F.col(c).alias(f"{c}_b") for c in carry_cols
+    ]
+    out_cols = (
+        ["id_a", "id_b"]
+        + (["sig_a", "sig_b"] if carry_signature else [])
+        + [f"{c}_{s}" for c in carry_cols for s in ("a", "b")]
     )
     per_band = []
     for i in range(bands):

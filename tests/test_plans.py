@@ -652,3 +652,20 @@ def test_lsh_banded_join_aqe_skew_split(spark):
             else:
                 spark.conf.set(k, v)
         spark.catalog.clearCache()
+
+
+def test_source_overlap_carries_attrs_no_candidate_join(spark):
+    """docs_source_overlap must carry the per-doc source attribute
+    THROUGH the band joins (carry_cols) — the only joins in the plan
+    are the two band self-joins; no third join may touch the candidate
+    stream (at 100 TB a one-row-per-doc dim exceeds every broadcast
+    threshold, so a post-hoc join means two candidate-stream
+    shuffles)."""
+    import re
+
+    from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["docs_source_overlap"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    joins = re.findall(r"\(\d+\) [A-Za-z]*(?:HashJoin|MergeJoin|NestedLoopJoin)", plan)
+    assert len(joins) == 2, joins

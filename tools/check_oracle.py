@@ -79,10 +79,16 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
-        )
+        path = f"{args.sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (e.g. the
+        # native-sf1 set from tools/gen_native_sf.py): glob them so the
+        # oracle sweep can run against any scale, not just the
+        # single-file driver fixtures
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
