@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data dir for `query`")
     p.add_argument("--limit", type=int, default=20,
                    help="rows to print for `query`")
+    p.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan for `query` "
+                        "instead of rows (the .explain-and-iterate loop)")
     p.add_argument("--database-name", default="")
     p.add_argument("--local-root", default=None,
                    help="read the DMS drop from this directory instead of S3")
@@ -162,10 +165,12 @@ def snapshot_payload_from_args(args):
 
 
 def run_query(args) -> int:
-    """`query --name <inventory-name> [--sf-dir DIR] [--limit N]`:
-    run one declared inventory query and print the result — the
-    engine-native front door to the full inventory query surface
-    (list names with --name list)."""
+    """`query --name <inventory-name> [--sf-dir DIR] [--limit N]
+    [--explain]`: run one declared inventory query and print the
+    result — the engine-native front door to the full inventory query
+    surface (list names with --name list). With --explain, print the
+    formatted physical plan instead (pushdown / pruning / shuffle
+    review without materializing anything)."""
     from rust_dms_cdc_operator_spark.inventory import QUERIES
     from rust_dms_cdc_operator_spark.session import get_spark
 
@@ -179,6 +184,13 @@ def run_query(args) -> int:
         return 2
     spark = get_spark(app_name=f"query-{args.name}")
     df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        from rust_dms_cdc_operator_spark.plans.inspect import (  # noqa: PLC0415
+            formatted_plan,
+        )
+
+        print(formatted_plan(df))
+        return 0
     df.show(args.limit, truncate=False)
     return 0
 

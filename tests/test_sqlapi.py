@@ -69,3 +69,23 @@ def test_cli_query_subcommand():
     with contextlib.redirect_stderr(err):
         rc = main(["query", "--name", "nope_not_real"])
     assert rc == 2 and "unknown query" in err.getvalue()
+
+
+def test_cli_query_explain(spark):
+    """`query --name X --explain` prints the formatted physical plan
+    (scan/pushdown review without materializing rows)."""
+    import contextlib
+    import io
+
+    from rust_dms_cdc_operator_spark.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "query", "--name", "s1_scan_projection",
+            "--sf-dir", "/root/testdata/sf0.001", "--explain",
+        ])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "Physical Plan" in out and "Scan parquet" in out
+    assert "PushedFilters" in out  # the point of the flag
