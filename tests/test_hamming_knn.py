@@ -192,16 +192,17 @@ def test_quality_percentile_invariants(spark):
     rows = q_docs_quality_percentile(
         spark, "/root/testdata/sf0.001"
     ).collect()
-    assert all(0.0 <= r.pct <= 1.0 for r in rows)
+    assert all(0 <= r.pct_micro <= 1_000_000 for r in rows)
     assert all(1 <= r.decile <= 10 for r in rows)
-    # within each source the max pct is exactly 1 (percent_rank of the
-    # last row) unless the source has a single doc
+    # within each source the max micro-percentile is exactly 1e6
+    # (floor((n-1)*1e6/(n-1)) of the last row) unless the source has a
+    # single doc
     by_src = {}
     for r in rows:
-        by_src.setdefault(r.source, []).append(r.pct)
+        by_src.setdefault(r.source, []).append(r.pct_micro)
     for src, ps in by_src.items():
         if len(ps) > 1:
-            assert max(ps) == 1.0, src
+            assert max(ps) == 1_000_000, src
 
 
 def test_stream_dedup_matches_batch(spark):
