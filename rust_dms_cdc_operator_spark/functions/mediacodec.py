@@ -14,7 +14,9 @@ parseable with ``struct`` alone. This module decodes, for real:
 - **WebP** (RIFF/WEBP): VP8X canvas, VP8L packed 14-bit fields, or
   lossy VP8 key-frame dims;
 - **WAV** (RIFF/WAVE): fmt/data chunk walk → channels, sample rate,
-  bit depth, sample count, duration.
+  bit depth, sample count, duration;
+- **MP3** (MPEG-1/2/2.5 Layer III): optional ID3v2 skip + frame-header
+  walk → channels, sample rate, frame-exact sample count, duration.
 
 ``decode(payload)`` sniffs the magic and dispatches; when PIL *is*
 importable (``_HAVE_PIL``) images go through ``PIL.Image`` instead, so
@@ -344,6 +346,110 @@ def parse_webp(payload: bytes) -> dict:
     raise UnknownMediaError(f"unknown WebP chunk {fourcc!r}")
 
 
+#: Layer III bitrate tables (kbps) by version, indexed by the 4-bit
+#: bitrate field. Index 0 is "free format" — frame length is then only
+#: discoverable by scanning for the next sync, which a header-level
+#: parser honestly refuses; index 15 is forbidden by the spec.
+_MP3_BITRATES = {
+    3: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320, None),  # MPEG-1
+    2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+        96, 112, 128, 144, 160, None),   # MPEG-2
+    0: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+        96, 112, 128, 144, 160, None),   # MPEG-2.5
+}
+#: sample-rate tables (Hz) by version id, indexed by the 2-bit field
+_MP3_RATES = {
+    3: (44100, 48000, 32000),  # MPEG-1
+    2: (22050, 24000, 16000),  # MPEG-2
+    0: (11025, 12000, 8000),   # MPEG-2.5
+}
+
+
+def _mp3_skip_id3v2(payload: bytes) -> int:
+    """Return the offset of the first audio byte past an ID3v2 tag
+    ('ID3' + version(2) + flags(1) + syncsafe size(4); footer flag
+    0x10 appends 10 more bytes). Syncsafe bytes must have bit 7
+    clear."""
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    sz = payload[6:10]
+    if any(b & 0x80 for b in sz):
+        raise ValueError("ID3v2 size bytes are not syncsafe")
+    size = (sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3]
+    return 10 + size + (10 if payload[5] & 0x10 else 0)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MPEG audio (MP3) via the standard frame-header walk — no codec
+    library needed for stream facts: skip an optional leading ID3v2
+    tag, then iterate 4-byte frame headers (11-bit sync ``FFE``),
+    decoding version (MPEG-1/2/2.5) / layer / bitrate index /
+    sample-rate index / padding / channel mode, and stepping
+    ``floor(spf/8 * bitrate / rate) + padding`` bytes to the next
+    frame (spf = 1152 samples for MPEG-1 Layer III, 576 for
+    MPEG-2/2.5). Bitrate may vary frame-to-frame (VBR); version,
+    sample rate, and channel mode must not. The walk stops cleanly at
+    an ID3v1 ``TAG`` trailer or a truncated final frame — real
+    corpora end mid-frame constantly, and losing the tail frame is
+    the honest answer at header level. Only Layer III is wired
+    (Layer I/II raise :class:`UnknownMediaError` — different bitrate
+    tables, vanishing formats)."""
+    off = _mp3_skip_id3v2(payload) if payload[:3] == b"ID3" else 0
+    n = len(payload)
+    frames = 0
+    n_samples = 0
+    rate = channels = version = None
+    while off + 4 <= n:
+        b0, b1, b2, b3 = payload[off : off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if frames:
+                break  # ID3v1 'TAG' trailer or trailing junk
+            raise UnknownMediaError("no MPEG audio frame sync")
+        ver = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if ver == 1:
+            raise ValueError("reserved MPEG version id")
+        if layer != 1:  # 1 = Layer III; 2/3 = Layer II/I; 0 reserved
+            raise UnknownMediaError(
+                "only MPEG Layer III is wired (mp1/mp2 need their own "
+                "bitrate tables)"
+            )
+        br_i = b2 >> 4
+        sr_i = (b2 >> 2) & 3
+        if br_i == 0:
+            raise ValueError(
+                "free-format bitrate needs next-sync scanning"
+            )
+        if br_i == 15 or sr_i == 3:
+            raise ValueError("forbidden bitrate/sample-rate index")
+        f_rate = _MP3_RATES[ver][sr_i]
+        f_channels = 1 if (b3 >> 6) == 3 else 2
+        if frames == 0:
+            version, rate, channels = ver, f_rate, f_channels
+        elif (ver, f_rate, f_channels) != (version, rate, channels):
+            raise ValueError(
+                "inconsistent version/rate/channels mid-stream"
+            )
+        spf = 1152 if ver == 3 else 576
+        frame_len = (spf // 8) * _MP3_BITRATES[ver][br_i] * 1000 // f_rate
+        frame_len += (b2 >> 1) & 1  # padding slot
+        if off + frame_len > n:
+            break  # truncated final frame: count complete frames only
+        frames += 1
+        n_samples += spf
+        off += frame_len
+    if frames == 0:
+        raise ValueError("no complete MPEG audio frame in payload")
+    return _result(
+        codec="mp3",
+        channels=channels,
+        sample_rate_hz=rate,
+        n_samples=n_samples,
+        duration_ms=(n_samples * 1000) // rate,
+    )
+
+
 def decode(payload: bytes) -> dict:
     """Sniff the payload magic and decode its header for real.
 
@@ -377,9 +483,14 @@ def decode(payload: bytes) -> dict:
         return parse_tiff(payload)
     if payload[:1] == b"P" and payload[1:2].isdigit():
         return parse_ppm(payload)
+    if payload[:3] == b"ID3" or (
+        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        # MPEG audio frame sync (JPEG's FFD8 was already dispatched)
+        return parse_mp3(payload)
     raise UnknownMediaError(
         f"no decoder wired for magic {payload[:8]!r}; stdlib covers "
-        "netpbm/PNG/JPEG/BMP/GIF/TIFF/WebP/WAV headers — install "
-        "pillow (pixel access) or librosa/av (compressed audio/video) "
-        "to widen coverage"
+        "netpbm/PNG/JPEG/BMP/GIF/TIFF/WebP/WAV/MP3 headers — install "
+        "pillow (pixel access) or librosa/av (compressed audio/video "
+        "sample access) to widen coverage"
     )

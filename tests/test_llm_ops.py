@@ -1141,6 +1141,67 @@ def test_mediacodec_tiff_webp_goldens():
         mc.decode(riff(b"XXXX", b"\x00" * 16))
 
 
+def test_mediacodec_mp3_goldens():
+    """Byte-level goldens for the MPEG audio frame walk: MPEG-1 and
+    MPEG-2 Layer III geometry, VBR (bitrate varies per frame, stream
+    facts don't), ID3v2 skip (incl. footer flag), ID3v1 trailer stop,
+    truncated-final-frame accounting, and the full error contract."""
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    def frame(ver_b1, br_i, sr_i, pad=0, mode=0, ver=3):
+        rate = mc._MP3_RATES[ver][sr_i]
+        spf = 1152 if ver == 3 else 576
+        fl = (spf // 8) * mc._MP3_BITRATES[ver][br_i] * 1000 // rate + pad
+        hdr = bytes(
+            [0xFF, ver_b1, (br_i << 4) | (sr_i << 2) | (pad << 1), mode << 6]
+        )
+        return hdr + b"\x00" * (fl - 4)
+
+    # MPEG-1 L3, 128 kbps, 44100 Hz, stereo, 3 frames: 417-byte frames
+    m = mc.decode(frame(0xFB, 9, 0) * 3)
+    assert (m["codec"], m["channels"], m["sample_rate_hz"]) == (
+        "mp3", 2, 44100,
+    )
+    assert (m["n_samples"], m["duration_ms"]) == (3456, 3456 * 1000 // 44100)
+    assert m["width"] is None and m["height"] is None
+
+    # VBR: bitrate changes per frame; rate/channels/version must not
+    v = mc.parse_mp3(frame(0xFB, 9, 1) + frame(0xFB, 14, 1) + frame(0xFB, 1, 1))
+    assert (v["n_samples"], v["sample_rate_hz"]) == (3456, 48000)
+
+    # MPEG-2 L3 (576 samples/frame), 22050 Hz, mono, padded frames,
+    # behind an ID3v2 tag WITH footer, ended by an ID3v1 'TAG' trailer
+    id3 = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20]) + b"\x00" * 30
+    m2 = mc.decode(id3 + frame(0xF3, 8, 0, pad=1, mode=3, ver=2) * 2
+                   + b"TAG" + b"\x00" * 125)
+    assert (m2["channels"], m2["sample_rate_hz"], m2["n_samples"]) == (
+        1, 22050, 1152,
+    )
+
+    # truncated final frame: only complete frames count
+    f1 = frame(0xFB, 9, 0)
+    assert mc.parse_mp3(f1 * 2 + f1[:40])["n_samples"] == 2304
+
+    with pytest.raises(NotImplementedError):
+        mc.parse_mp3(bytes([0xFF, 0xFD, 0x94, 0x00]))  # Layer II
+    with pytest.raises(ValueError):
+        mc.parse_mp3(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 500)  # free format
+    with pytest.raises(ValueError):
+        mc.parse_mp3(bytes([0xFF, 0xFB, 0xF0, 0x00]))  # bitrate index 15
+    with pytest.raises(ValueError):
+        mc.parse_mp3(bytes([0xFF, 0xFB, 0x9C, 0x00]))  # sample-rate index 3
+    with pytest.raises(ValueError):
+        mc.parse_mp3(frame(0xFB, 9, 0) + frame(0xF3, 8, 0, ver=2))  # version flips
+    with pytest.raises(ValueError):
+        mc.parse_mp3(b"ID3\x04\x00\x00\xff\x00\x00\x00")  # non-syncsafe size
+    with pytest.raises(ValueError):
+        mc.parse_mp3(frame(0xFB, 9, 0)[:100])  # no complete frame
+    with pytest.raises(NotImplementedError):
+        mc.parse_mp3(b"not audio at all")
+
+
 def test_parse_jpeg_property_random_segment_walks():
     """Property test: a JPEG whose SOF is preceded by ANY sequence of
     skippable marker segments (APPn/COM/DQT/DHT with random bodies,
@@ -1212,6 +1273,7 @@ def test_mediacodec_fuzz_exception_contract():
         b"\xff\xd8", b"RIFF", b"BM", b"GIF87a", b"GIF89a", b"II*\x00",
         b"MM\x00*", b"\x89PNG\r\n\x1a\n", b"P6", b"P5",
         b"RIFFxxxxWEBP", b"RIFFxxxxWAVE", b"",
+        b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xe2",
     ]
     for _ in range(20000):
         payload = rng.choice(magics) + bytes(
