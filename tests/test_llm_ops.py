@@ -1256,6 +1256,71 @@ def test_parse_jpeg_property_random_segment_walks():
     check()
 
 
+def test_parse_mp3_property_random_frame_walks():
+    """Property test: an MPEG-1/2 Layer III stream with ANY
+    per-frame bitrate sequence (VBR), random padding bits, an
+    optional ID3v2 tag of random syncsafe size, and random non-sync
+    trailing bytes must yield frame-exact sample counts from the
+    planted parameters; truncating inside the final frame must drop
+    exactly that frame."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ver=st.sampled_from([3, 2]),
+        sr_i=st.integers(min_value=0, max_value=2),
+        mono=st.booleans(),
+        brs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=14),  # bitrate idx
+                st.integers(min_value=0, max_value=1),   # padding bit
+            ),
+            min_size=1, max_size=6,
+        ),
+        id3_size=st.one_of(st.none(), st.integers(min_value=0, max_value=200)),
+        trailer=st.binary(min_size=0, max_size=20).filter(
+            lambda b: not (len(b) >= 2 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0)
+        ),
+    )
+    def check(ver, sr_i, mono, brs, id3_size, trailer):
+        rate = mc._MP3_RATES[ver][sr_i]
+        spf = 1152 if ver == 3 else 576
+        b1 = 0xFB if ver == 3 else 0xF3
+        out = bytearray()
+        if id3_size is not None:
+            out += b"ID3\x04\x00\x00"
+            out += bytes([
+                (id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                (id3_size >> 7) & 0x7F, id3_size & 0x7F,
+            ])
+            out += b"\x7e" * id3_size
+        for br_i, pad in brs:
+            fl = (spf // 8) * mc._MP3_BITRATES[ver][br_i] * 1000 // rate + pad
+            out += bytes([
+                0xFF, b1,
+                (br_i << 4) | (sr_i << 2) | (pad << 1),
+                (3 << 6) if mono else 0,
+            ])
+            out += b"\x00" * (fl - 4)
+        full_end = len(out)
+        out += trailer
+        got = mc.parse_mp3(bytes(out))
+        assert (got["channels"], got["sample_rate_hz"]) == (
+            1 if mono else 2, rate,
+        )
+        assert got["n_samples"] == spf * len(brs)
+        assert got["duration_ms"] == spf * len(brs) * 1000 // rate
+        # truncating inside the last frame drops exactly that frame
+        if len(brs) > 1:
+            cut = mc.parse_mp3(bytes(out[: full_end - 1]))
+            assert cut["n_samples"] == spf * (len(brs) - 1)
+
+    check()
+
+
 def test_mediacodec_fuzz_exception_contract():
     """Poison-pill contract: decode() may reject garbage ONLY with the
     exception types the Arrow batch loop catches (UnknownMediaError/
