@@ -1270,7 +1270,7 @@ def test_parse_mp3_property_random_frame_walks():
 
     @settings(max_examples=60, deadline=None)
     @given(
-        ver=st.sampled_from([3, 2]),
+        ver=st.sampled_from([3, 2, 0]),  # MPEG-1 / MPEG-2 / MPEG-2.5
         sr_i=st.integers(min_value=0, max_value=2),
         mono=st.booleans(),
         brs=st.lists(
@@ -1288,7 +1288,7 @@ def test_parse_mp3_property_random_frame_walks():
     def check(ver, sr_i, mono, brs, id3_size, trailer):
         rate = mc._MP3_RATES[ver][sr_i]
         spf = 1152 if ver == 3 else 576
-        b1 = 0xFB if ver == 3 else 0xF3
+        b1 = {3: 0xFB, 2: 0xF3, 0: 0xE3}[ver]
         out = bytearray()
         if id3_size is not None:
             out += b"ID3\x04\x00\x00"
