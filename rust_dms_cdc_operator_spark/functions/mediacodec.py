@@ -98,6 +98,71 @@ def parse_ppm(payload: bytes) -> dict:
     )
 
 
+def _netpbm_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Parse a binary netpbm (P5/P6) header: returns (magic, width,
+    height, maxval, raster_offset). Raw raster data starts exactly
+    one whitespace byte after the maxval token."""
+    magic = payload[:2].decode("ascii", "replace")
+    if magic not in ("P5", "P6"):
+        raise UnknownMediaError(
+            f"not a binary netpbm header: {magic!r} (P2/P3 are ASCII)"
+        )
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3 and i < min(len(payload), 512):
+        c = payload[i]
+        if c == ord("#"):
+            nl = payload.find(b"\n", i)
+            i = len(payload) if nl < 0 else nl + 1
+        elif c in b" \t\r\n":
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and payload[j] in b"0123456789":
+                j += 1
+            if j == i:
+                raise ValueError(f"bad netpbm header byte at {i}")
+            toks.append(int(payload[i:j]))
+            i = j
+    if len(toks) < 3 or i >= len(payload):
+        raise ValueError("truncated netpbm header")
+    if payload[i] not in b" \t\r\n":
+        raise ValueError("missing whitespace before netpbm raster")
+    return magic, toks[0], toks[1], toks[2], i + 1
+
+
+def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for binary netpbm (P5 graymap /
+    P6 pixmap): the raster is a raw uncompressed sample grid, so
+    resizing is pure index arithmetic — a numpy fancy-index per axis,
+    no codec library. 8- and 16-bit-per-sample maxvals both work (a
+    16-bit sample is two raster bytes, moved as a unit). Output is a
+    canonical single-`\\n` header + the resampled raster; feeding it
+    back through :func:`parse_ppm` yields the target geometry, which
+    is exactly how the tests close the loop."""
+    import numpy as np  # noqa: PLC0415
+
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+    magic, w0, h0, maxval, off = _netpbm_header(payload)
+    if w0 <= 0 or h0 <= 0 or not 0 < maxval < 65536:
+        raise ValueError("bad netpbm geometry/maxval")
+    ch = 3 if magic == "P6" else 1
+    bps = 1 if maxval < 256 else 2
+    item = ch * bps
+    need = w0 * h0 * item
+    data = payload[off : off + need]
+    if len(data) < need:
+        raise ValueError("truncated netpbm raster")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h0, w0, item)
+    # standard NN source mapping: src = (dst * src_dim) // dst_dim
+    rows = (np.arange(height, dtype=np.int64) * h0) // height
+    cols = (np.arange(width, dtype=np.int64) * w0) // width
+    out = arr[rows][:, cols]
+    header = b"%s\n%d %d\n%d\n" % (magic.encode(), width, height, maxval)
+    return header + out.tobytes()
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: IHDR color type → sample channels
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}

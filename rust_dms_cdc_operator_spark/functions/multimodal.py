@@ -3,13 +3,16 @@
 Media are opaque ``binary`` columns with a typed metadata struct; the
 compute pattern is Arrow-batched ``mapInPandas`` so decode libraries
 see contiguous byte buffers, never row-at-a-time Python. Header-level
-decode is REAL for netpbm/PNG/WAV via the stdlib codecs in
-:mod:`.mediacodec` (``real_decode`` / ``decode_media_features``; PIL
-is picked up automatically when importable). Compressed codecs and
-pixel-level transforms (resize, frame extraction) remain stubbed
-behind deterministic fakes — PIL/librosa/av are not in this container
-— with the Spark-side plumbing (schema, batch shape, partitioning)
-real and tested either way.
+decode is REAL for netpbm/PNG/JPEG/BMP/GIF/TIFF/WebP/WAV/MP3 via the
+stdlib codecs in :mod:`.mediacodec` (``real_decode`` /
+``decode_media_features``; PIL is picked up automatically when
+importable), and pixel-level resize is REAL for raw binary netpbm
+(``mediacodec.resize_netpbm`` — nearest-neighbor over the
+uncompressed sample grid). Compressed-format pixel transforms and
+frame extraction remain stubbed behind deterministic fakes —
+PIL/librosa/av are not in this container — with the Spark-side
+plumbing (schema, batch shape, partitioning) real and tested either
+way.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 byte arrays); keep ``spark.sql.files.maxPartitionBytes`` sized so a
@@ -197,19 +200,32 @@ def _stub_resize(payload: bytes, w: int, h: int) -> bytes:
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched media resize: same (media_id, payload, meta)
     contract in and out, so resize stages compose/pipeline with decode
-    and feature extraction. The codec is stubbed (no image libs in
-    this container); swap ``_stub_resize`` for a PIL/libvips call —
-    the batch shape, schema, and partitioning stay identical."""
+    and feature extraction. Binary netpbm (P5/P6) payloads get a REAL
+    nearest-neighbor resample (`mediacodec.resize_netpbm` — raw
+    uncompressed rasters need only index arithmetic); compressed
+    formats fall back to the deterministic ``_stub_resize`` fake
+    until a PIL/libvips call replaces it — the batch shape, schema,
+    and partitioning stay identical either way."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        def one(p) -> bytes:
+            if p is not None and p[:1] == b"P" and p[1:2] in (b"5", b"6"):
+                try:
+                    return mediacodec.resize_netpbm(p, width, height)
+                except (NotImplementedError, ValueError):
+                    pass  # malformed netpbm: stub keeps the row alive
+            return _stub_resize(p, width, height)
+
         for pdf in it:
             out = pdf.copy()
             # the codec call is inherently per-item (a real decoder
             # takes one blob at a time); everything around it is
             # column-vectorized
-            out["payload"] = pdf["payload"].map(
-                lambda p: _stub_resize(p, width, height)
-            )
+            out["payload"] = pdf["payload"].map(one)
             kinds = pd.DataFrame(
                 [m or {} for m in pdf["meta"]], index=pdf.index
             ).get("kind")

@@ -1256,6 +1256,77 @@ def test_parse_jpeg_property_random_segment_walks():
     check()
 
 
+def test_resize_netpbm_real_pixels():
+    """Real nearest-neighbor resize over raw netpbm rasters: exact
+    pixel-block duplication on 2x upscale, exact source-pixel picks
+    on downscale, identity at same dims, 16-bit P5 samples moved as
+    units, and parse_ppm closing the geometry loop."""
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    # 2x2 P6: R G / B W
+    px = {"R": b"\xff\x00\x00", "G": b"\x00\xff\x00",
+          "B": b"\x00\x00\xff", "W": b"\xff\xff\xff"}
+    raster = px["R"] + px["G"] + px["B"] + px["W"]
+    img = b"P6\n# c\n2 2\n255\n" + raster
+
+    up = mc.resize_netpbm(img, 4, 4)
+    assert up.startswith(b"P6\n4 4\n255\n")
+    body = up[len(b"P6\n4 4\n255\n"):]
+    rows = [body[i * 12:(i + 1) * 12] for i in range(4)]
+    assert rows[0] == rows[1] == px["R"] * 2 + px["G"] * 2
+    assert rows[2] == rows[3] == px["B"] * 2 + px["W"] * 2
+
+    # identity: same dims reproduce the raster byte-for-byte
+    same = mc.resize_netpbm(img, 2, 2)
+    assert same == b"P6\n2 2\n255\n" + raster
+
+    # downscale 2x2 -> 1x1 picks the (0,0) source pixel
+    down = mc.resize_netpbm(img, 1, 1)
+    assert down == b"P6\n1 1\n255\n" + px["R"]
+
+    # geometry round-trip through the decoder
+    d = mc.parse_ppm(up)
+    assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)
+
+    # 16-bit P5: each sample is 2 raster bytes, moved as a unit
+    g16 = b"P5 2 1 65535 " + b"\x12\x34" + b"\xab\xcd"
+    r16 = mc.resize_netpbm(g16, 4, 1)
+    assert r16 == b"P5\n4 1\n65535\n" + b"\x12\x34" * 2 + b"\xab\xcd" * 2
+
+    with pytest.raises(ValueError):
+        mc.resize_netpbm(b"P6\n2 2\n255\n" + raster[:-1], 2, 2)  # short raster
+    with pytest.raises(ValueError):
+        mc.resize_netpbm(img, 0, 4)
+    with pytest.raises(NotImplementedError):
+        mc.resize_netpbm(b"P3\n2 2\n255\n1 2 3", 1, 1)  # ASCII netpbm
+
+
+def test_resize_media_real_netpbm_path(spark):
+    """resize_media routes P5/P6 payloads through the REAL resampler
+    (output re-decodes to the target geometry) while non-netpbm
+    payloads keep the deterministic stub — one batch, both paths."""
+    from pyspark.sql import types as T
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    img = b"P6\n8 6\n255\n" + bytes(range(256))[:144]
+    rows = [
+        (1, img, {"kind": "img", "n_bytes": len(img)}),
+        (2, b"not an image", {"kind": "blob", "n_bytes": 12}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_media(media, 4, 3).collect()}
+    d = mc.parse_ppm(bytes(out[1].payload))
+    assert (d["width"], d["height"]) == (4, 3)
+    assert bytes(out[2].payload).startswith(b"RSZ|4x3|")
+
+
 def test_parse_mp3_property_random_frame_walks():
     """Property test: an MPEG-1/2 Layer III stream with ANY
     per-frame bitrate sequence (VBR), random padding bits, an
