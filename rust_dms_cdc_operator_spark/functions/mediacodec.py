@@ -217,6 +217,79 @@ def parse_wav(payload: bytes) -> dict:
     )
 
 
+def resample_wav(
+    payload: bytes, rate: int, mono: bool = False
+) -> bytes:
+    """REAL resample (+ optional mono downmix) for PCM RIFF/WAVE:
+    like :func:`resize_netpbm`, raw PCM is an uncompressed sample
+    grid, so nearest-neighbor rate conversion is one numpy
+    fancy-index and downmix is a channel mean — no audio library.
+    This is the canonical corpus-normalization step (16 kHz mono)
+    executed for real. 8-bit (unsigned) and 16-bit (signed LE)
+    sample widths are wired — the widths PCM WAV actually uses.
+    Output is a canonical 44-byte-header WAV; feeding it back
+    through :func:`parse_wav` yields the target rate/channels, which
+    is how the tests close the loop."""
+    import numpy as np  # noqa: PLC0415
+
+    if rate <= 0:
+        raise ValueError("target rate must be positive")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnknownMediaError("not a RIFF/WAVE header")
+    fmt_code = channels = src_rate = bits = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = off + 8
+        if cid == b"fmt " and size >= 16:
+            fmt_code, channels, src_rate, _br, _ba, bits = (
+                struct.unpack_from("<HHIIHH", payload, body)
+            )
+        elif cid == b"data":
+            data = payload[body : body + size]
+            if len(data) < size:
+                raise ValueError("truncated WAV data chunk")
+        off = body + size + (size & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code != 1:
+        raise UnknownMediaError(
+            f"only PCM (fmt 1) is wired, got fmt {fmt_code}"
+        )
+    if bits == 16:
+        dtype, mid = np.dtype("<i2"), None
+    elif bits == 8:
+        dtype, mid = np.dtype("u1"), None
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    if channels < 1 or src_rate < 1:
+        raise ValueError("bad WAV channel count / sample rate")
+    frame = channels * dtype.itemsize
+    n = len(data) // frame
+    arr = np.frombuffer(data[: n * frame], dtype=dtype).reshape(n, channels)
+    if mono and channels > 1:
+        # mean in a wide accumulator, truncate back (8-bit is
+        # unsigned so the plain mean is already in range)
+        arr = (arr.astype(np.int32).sum(axis=1) // channels).astype(
+            dtype
+        ).reshape(n, 1)
+        channels = 1
+    n_out = n * rate // src_rate
+    idx = (np.arange(n_out, dtype=np.int64) * src_rate) // rate
+    out = arr[idx]
+    body = out.tobytes()
+    block = channels * dtype.itemsize
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                      rate * block, block, bits)
+        + b"data" + struct.pack("<I", len(body))
+    )
+    return hdr + body
+
+
 def _pil_decode(payload: bytes) -> dict:  # pragma: no cover - needs PIL
     import io  # noqa: PLC0415
 

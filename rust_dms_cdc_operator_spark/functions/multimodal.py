@@ -238,6 +238,48 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def resample_audio_media(
+    media: DataFrame, rate: int, mono: bool = False
+) -> DataFrame:
+    """Arrow-batched audio normalization — the 16 kHz-mono step every
+    speech corpus runs before featurization: PCM WAV payloads get a
+    REAL nearest-neighbor resample + channel downmix
+    (`mediacodec.resample_wav` — raw PCM needs only index
+    arithmetic); non-PCM/undecodable payloads pass through UNCHANGED
+    (unlike resize's stub fallback, silently fabricating audio bytes
+    would poison a training corpus — pass-through keeps the row alive
+    and `decode_media_features` downstream still reports its true
+    rate for filtering). Same (media_id, payload, meta) contract in
+    and out, so it pipelines with decode/feature stages."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        def one(p) -> bytes:
+            if p is not None and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                try:
+                    return mediacodec.resample_wav(p, rate, mono=mono)
+                except (NotImplementedError, ValueError):
+                    pass
+            return p
+
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(one)
+            kinds = pd.DataFrame(
+                [m or {} for m in pdf["meta"]], index=pdf.index
+            ).get("kind")
+            n_bytes = out["payload"].str.len().fillna(0).astype("int64")
+            out["meta"] = pd.DataFrame(
+                {"kind": kinds, "n_bytes": n_bytes}, index=pdf.index
+            ).to_dict("records")
+            yield out
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -1327,6 +1327,97 @@ def test_resize_media_real_netpbm_path(spark):
     assert bytes(out[2].payload).startswith(b"RSZ|4x3|")
 
 
+def test_resample_wav_real_pcm():
+    """Real PCM resample/downmix: exact frame duplication on 2x
+    upsample, exact source-frame picks on downsample, integer-mean
+    mono downmix, 8-bit width, parse_wav closing the loop, and the
+    non-PCM refusal."""
+    import struct
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    def wav(frames, rate=8000, bits=16, channels=2):
+        fmt = "<h" if bits == 16 else "<B"
+        body = b"".join(
+            struct.pack(fmt, s) for fr in frames for s in fr
+        )
+        block = channels * (bits // 8)
+        return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                              rate * block, block, bits)
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    frames = [(0, 100), (1000, 2000), (-500, 500), (30000, -30000)]
+    src = wav(frames)
+
+    # 2x upsample duplicates each frame; parse_wav sees the new rate
+    up = mc.resample_wav(src, 16000)
+    d = mc.parse_wav(up)
+    assert (d["sample_rate_hz"], d["n_samples"], d["channels"]) == (
+        16000, 8, 2,
+    )
+    vals = struct.unpack("<16h", up[44:])
+    assert vals == (0, 100, 0, 100, 1000, 2000, 1000, 2000,
+                    -500, 500, -500, 500, 30000, -30000, 30000, -30000)
+
+    # 2x downsample picks source frames 0 and 2
+    down = mc.resample_wav(src, 4000)
+    assert struct.unpack("<4h", down[44:]) == (0, 100, -500, 500)
+
+    # mono downmix is the truncated integer channel mean
+    m = mc.resample_wav(src, 8000, mono=True)
+    dm = mc.parse_wav(m)
+    assert (dm["channels"], dm["n_samples"]) == (1, 4)
+    assert struct.unpack("<4h", m[44:]) == (50, 1500, 0, 0)
+
+    # 8-bit unsigned path, identity rate
+    src8 = wav([(7, 9), (200, 100)], bits=8)
+    m8 = mc.resample_wav(src8, 8000, mono=True)
+    assert mc.parse_wav(m8)["n_samples"] == 2
+    assert m8[44:] == bytes([8, 150])
+
+    with pytest.raises(NotImplementedError):
+        # IEEE-float WAV (fmt 3) is not PCM
+        bad = bytearray(src)
+        bad[20:22] = struct.pack("<H", 3)
+        mc.resample_wav(bytes(bad), 8000)
+    with pytest.raises(ValueError):
+        mc.resample_wav(src, 0)
+    with pytest.raises(NotImplementedError):
+        mc.resample_wav(b"\xff\xd8 not audio", 8000)
+
+
+def test_resample_audio_media_paths(spark):
+    """resample_audio_media: WAV payloads come out at the target
+    rate/channels (verified through the real decode stage); non-audio
+    payloads pass through byte-identical — never fabricated."""
+    import struct
+
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media_features,
+        resample_audio_media,
+    )
+
+    body = struct.pack("<8h", *range(8))  # 4 stereo frames
+    src = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", len(body)) + body)
+    rows = [
+        (1, src, {"kind": "audio", "n_bytes": len(src)}),
+        (2, b"plain bytes", {"kind": "blob", "n_bytes": 11}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resample_audio_media(media, 16000, mono=True)
+    feats = {r.media_id: r for r in decode_media_features(out).collect()}
+    assert (feats[1].sample_rate_hz, feats[1].channels,
+            feats[1].n_samples) == (16000, 1, 8)
+    raw = {r.media_id: bytes(r.payload) for r in out.collect()}
+    assert raw[2] == b"plain bytes"
+
+
 def test_parse_mp3_property_random_frame_walks():
     """Property test: an MPEG-1/2 Layer III stream with ANY
     per-frame bitrate sequence (VBR), random padding bits, an
