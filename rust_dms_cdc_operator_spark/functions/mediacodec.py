@@ -98,18 +98,22 @@ def parse_ppm(payload: bytes) -> dict:
     )
 
 
-def _netpbm_header(payload: bytes) -> tuple[str, int, int, int, int]:
-    """Parse a binary netpbm (P5/P6) header: returns (magic, width,
-    height, maxval, raster_offset). Raw raster data starts exactly
-    one whitespace byte after the maxval token."""
-    magic = payload[:2].decode("ascii", "replace")
+def _netpbm_header(
+    payload: bytes, start: int = 0
+) -> tuple[str, int, int, int, int]:
+    """Parse a binary netpbm (P5/P6) header at ``start``: returns
+    (magic, width, height, maxval, absolute_raster_offset). Raw
+    raster data starts exactly one whitespace byte after the maxval
+    token. The offset form lets multi-frame walks avoid re-slicing
+    the stream per frame (O(n²) copies on long streams)."""
+    magic = payload[start : start + 2].decode("ascii", "replace")
     if magic not in ("P5", "P6"):
         raise UnknownMediaError(
             f"not a binary netpbm header: {magic!r} (P2/P3 are ASCII)"
         )
     toks: list[int] = []
-    i = 2
-    while len(toks) < 3 and i < min(len(payload), 512):
+    i = start + 2
+    while len(toks) < 3 and i < min(len(payload), start + 512):
         c = payload[i]
         if c == ord("#"):
             nl = payload.find(b"\n", i)
@@ -215,6 +219,38 @@ def parse_wav(payload: bytes) -> dict:
         n_samples=n_samples,
         duration_ms=(n_samples * 1000) // rate if rate else None,
     )
+
+
+def split_netpbm_stream(
+    payload: bytes, max_frames: int | None = None
+) -> list[bytes]:
+    """REAL frame extraction for concatenated binary netpbm (the
+    multi-image stream the netpbm tools emit, and the one
+    'video-like' format raw bytes can split without a codec): each
+    P5/P6 frame is self-delimiting — header plus a computable
+    ``w*h*channels*bytes-per-sample`` raster — so the walk slices
+    exact frames one header-parse at a time. Strict by design: a
+    truncated final raster or non-netpbm bytes at a frame boundary
+    raise ``ValueError`` (unlike the MP3 walk there is no trailer
+    convention to stop at); callers that want salvage catch and fall
+    back. ``max_frames`` stops the walk early without reading the
+    remainder."""
+    frames: list[bytes] = []
+    off = 0
+    n = len(payload)
+    while off < n and (max_frames is None or len(frames) < max_frames):
+        magic, w, h, maxval, data_off = _netpbm_header(payload, off)
+        if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+            raise ValueError("bad netpbm frame geometry/maxval")
+        item = (3 if magic == "P6" else 1) * (1 if maxval < 256 else 2)
+        end = data_off + w * h * item
+        if end > n:
+            raise ValueError("truncated netpbm frame raster")
+        frames.append(payload[off:end])
+        off = end
+    if not frames:
+        raise ValueError("empty netpbm stream")
+    return frames
 
 
 def resample_wav(

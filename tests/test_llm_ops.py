@@ -1418,6 +1418,67 @@ def test_resample_audio_media_paths(spark):
     assert raw[2] == b"plain bytes"
 
 
+def test_split_netpbm_stream_real_frames():
+    """Concatenated-netpbm splitting: exact frame boundaries across
+    mixed P6/P5 frames (comments, 16-bit samples), max_frames early
+    stop, and the strict truncation/garbage contract."""
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    f1 = b"P6\n# two by one\n2 1\n255\n" + b"\x01\x02\x03\x04\x05\x06"
+    f2 = b"P5 3 1 255 " + b"\x0a\x0b\x0c"
+    f3 = b"P5 1 2 65535 " + b"\x11\x22\x33\x44"  # 16-bit samples
+    stream = f1 + f2 + f3
+
+    got = mc.split_netpbm_stream(stream)
+    assert got == [f1, f2, f3]
+    for fr, (w, h) in zip(got, [(2, 1), (3, 1), (1, 2)]):
+        d = mc.parse_ppm(fr)
+        assert (d["width"], d["height"]) == (w, h)
+
+    assert mc.split_netpbm_stream(stream, max_frames=2) == [f1, f2]
+
+    with pytest.raises(ValueError):
+        mc.split_netpbm_stream(stream[:-1])  # truncated final raster
+    with pytest.raises(NotImplementedError):
+        mc.split_netpbm_stream(f1 + b"JUNK")  # garbage at a boundary
+    with pytest.raises(ValueError):
+        mc.split_netpbm_stream(b"")
+
+
+def test_split_media_frames_paths(spark):
+    """split_media_frames: netpbm streams explode into REAL decodable
+    frames; other payloads take the stride fallback; null payloads
+    vanish."""
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        split_media_frames,
+    )
+
+    frame = b"P6\n4 4\n255\n" + bytes(range(48))
+    stream = frame * 5
+    rows = [
+        (1, stream, {"kind": "video", "n_bytes": len(stream)}),
+        (2, b"opaque-compressed-blob-" * 10, {"kind": "video", "n_bytes": 230}),
+        (3, None, {"kind": "video", "n_bytes": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = split_media_frames(media, max_frames=3, fallback_stride=100)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.media_id, []).append(r)
+    assert sorted(by) == [1, 2]
+    f1 = sorted(by[1], key=lambda r: r.frame_idx)
+    assert len(f1) == 3  # capped below the 5 frames present
+    assert all(bytes(r.frame) == frame for r in f1)
+    d = mc.parse_ppm(bytes(f1[0].frame))
+    assert (d["width"], d["height"]) == (4, 4)
+    f2 = sorted(by[2], key=lambda r: r.frame_idx)
+    assert [len(bytes(r.frame)) for r in f2] == [100, 100, 30]
+
+
 def test_parse_mp3_property_random_frame_walks():
     """Property test: an MPEG-1/2 Layer III stream with ANY
     per-frame bitrate sequence (VBR), random padding bits, an
