@@ -253,23 +253,15 @@ def split_netpbm_stream(
     return frames
 
 
-def resample_wav(
-    payload: bytes, rate: int, mono: bool = False
-) -> bytes:
-    """REAL resample (+ optional mono downmix) for PCM RIFF/WAVE:
-    like :func:`resize_netpbm`, raw PCM is an uncompressed sample
-    grid, so nearest-neighbor rate conversion is one numpy
-    fancy-index and downmix is a channel mean — no audio library.
-    This is the canonical corpus-normalization step (16 kHz mono)
-    executed for real. 8-bit (unsigned) and 16-bit (signed LE)
-    sample widths are wired — the widths PCM WAV actually uses.
-    Output is a canonical 44-byte-header WAV; feeding it back
-    through :func:`parse_wav` yields the target rate/channels, which
-    is how the tests close the loop."""
+def _pcm_frames(payload: bytes):
+    """Decode a PCM RIFF/WAVE payload to its raw frame grid: returns
+    ``(arr, src_rate, bits)`` where ``arr`` is an (n_frames,
+    channels) numpy view of the samples (int16 LE or uint8 — the
+    widths PCM WAV actually uses). Shared by the resample and
+    feature-extraction paths; non-PCM formats are refused, never
+    guessed."""
     import numpy as np  # noqa: PLC0415
 
-    if rate <= 0:
-        raise ValueError("target rate must be positive")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise UnknownMediaError("not a RIFF/WAVE header")
     fmt_code = channels = src_rate = bits = None
@@ -295,9 +287,9 @@ def resample_wav(
             f"only PCM (fmt 1) is wired, got fmt {fmt_code}"
         )
     if bits == 16:
-        dtype, mid = np.dtype("<i2"), None
+        dtype = np.dtype("<i2")
     elif bits == 8:
-        dtype, mid = np.dtype("u1"), None
+        dtype = np.dtype("u1")
     else:
         raise ValueError(f"unsupported PCM bit depth {bits}")
     if channels < 1 or src_rate < 1:
@@ -305,6 +297,29 @@ def resample_wav(
     frame = channels * dtype.itemsize
     n = len(data) // frame
     arr = np.frombuffer(data[: n * frame], dtype=dtype).reshape(n, channels)
+    return arr, src_rate, bits
+
+
+def resample_wav(
+    payload: bytes, rate: int, mono: bool = False
+) -> bytes:
+    """REAL resample (+ optional mono downmix) for PCM RIFF/WAVE:
+    like :func:`resize_netpbm`, raw PCM is an uncompressed sample
+    grid, so nearest-neighbor rate conversion is one numpy
+    fancy-index and downmix is a channel mean — no audio library.
+    This is the canonical corpus-normalization step (16 kHz mono)
+    executed for real. 8-bit (unsigned) and 16-bit (signed LE)
+    sample widths are wired — the widths PCM WAV actually uses.
+    Output is a canonical 44-byte-header WAV; feeding it back
+    through :func:`parse_wav` yields the target rate/channels, which
+    is how the tests close the loop."""
+    import numpy as np  # noqa: PLC0415
+
+    if rate <= 0:
+        raise ValueError("target rate must be positive")
+    arr, src_rate, bits = _pcm_frames(payload)
+    dtype = arr.dtype
+    n, channels = arr.shape
     if mono and channels > 1:
         # mean in a wide accumulator, truncate back (8-bit is
         # unsigned so the plain mean is already in range)
@@ -324,6 +339,90 @@ def resample_wav(
         + b"data" + struct.pack("<I", len(body))
     )
     return hdr + body
+
+
+def pcm_window_features(
+    payload: bytes, window_ms: int = 25
+) -> list[dict]:
+    """REAL windowed audio features over PCM WAV — the standard
+    VAD/quality prefilter a speech corpus runs before transcription:
+    per fixed window (default 25 ms), RMS energy, zero-crossing
+    count, and peak amplitude, computed on the integer-mean mono
+    downmix with plain numpy reductions (no audio library). 8-bit
+    unsigned samples are centered at 128 first so silence is 0 for
+    both widths. The final partial window is emitted (its ``n``
+    says how many frames it covers) — tail silence/clipping is
+    exactly what corpus filters look for. Returns a list of dicts
+    ``{window_idx, n, rms, zero_crossings, peak}``; RMS is a float
+    from an exact integer sum of squares, so it is deterministic
+    across executors."""
+    import numpy as np  # noqa: PLC0415
+
+    if window_ms <= 0:
+        raise ValueError("window_ms must be positive")
+    arr, src_rate, bits = _pcm_frames(payload)
+    n, channels = arr.shape
+    if n == 0:
+        return []
+    x = arr.astype(np.int32)
+    if channels > 1:
+        x = x.sum(axis=1) // channels
+    else:
+        x = x[:, 0]
+    if bits == 8:
+        x = x - 128  # unsigned: center so silence is 0
+    win = max(1, src_rate * window_ms // 1000)
+    out: list[dict] = []
+    for w0 in range(0, n, win):
+        w = x[w0 : w0 + win]
+        sumsq = int((w.astype(np.int64) ** 2).sum())
+        signs = np.sign(w)
+        nz = signs[signs != 0]
+        crossings = int((nz[1:] != nz[:-1]).sum()) if nz.size > 1 else 0
+        out.append(
+            {
+                "window_idx": w0 // win,
+                "n": int(w.size),
+                "rms": float((sumsq / w.size) ** 0.5),
+                "zero_crossings": crossings,
+                "peak": int(np.abs(w).max()),
+            }
+        )
+    return out
+
+
+def netpbm_channel_stats(payload: bytes) -> list[dict]:
+    """REAL per-channel pixel statistics for binary netpbm — the
+    brightness/contrast prefilter an image corpus runs before
+    training (all-black scans, blown-out pages): per channel, mean
+    (float from an exact integer sum), min, max over the raw sample
+    grid. 16-bit maxvals decode big-endian per the netpbm spec.
+    Returns ``[{channel, mean, min, max}, ...]``."""
+    import numpy as np  # noqa: PLC0415
+
+    magic, w, h, maxval, off = _netpbm_header(payload)
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError("bad netpbm geometry/maxval")
+    ch = 3 if magic == "P6" else 1
+    if maxval < 256:
+        dtype = np.dtype("u1")
+    else:
+        dtype = np.dtype(">u2")  # netpbm raw 2-byte samples are BE
+    need = w * h * ch * dtype.itemsize
+    data = payload[off : off + need]
+    if len(data) < need:
+        raise ValueError("truncated netpbm raster")
+    arr = np.frombuffer(data, dtype=dtype).reshape(-1, ch)
+    sums = arr.astype(np.int64).sum(axis=0)
+    return [
+        {
+            "channel": c,
+            "mean": float(sums[c] / arr.shape[0]),
+            "min": int(arr[:, c].min()),
+            "max": int(arr[:, c].max()),
+        }
+        for c in range(ch)
+    ]
 
 
 def _pil_decode(payload: bytes) -> dict:  # pragma: no cover - needs PIL

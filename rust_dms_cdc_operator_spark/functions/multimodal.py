@@ -280,6 +280,106 @@ def resample_audio_media(
     return media.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_window_features(
+    media: DataFrame, window_ms: int = 25
+) -> DataFrame:
+    """REAL windowed audio features (RMS / zero crossings / peak per
+    25 ms window by default) over PCM WAV payloads — the VAD-style
+    prefilter that finds silence, clipping, and dead channels before
+    a corpus pays for transcription. Exploding shape: one payload →
+    one row per window (`mediacodec.pcm_window_features`).
+    Non-PCM/undecodable payloads contribute no rows — the poison-pill
+    convention of the exploding ops (decode_media_features is the
+    place to census undecodables)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    wins = mediacodec.pcm_window_features(
+                        p, window_ms=window_ms
+                    )
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                rows.extend(
+                    (int(mid), w["window_idx"], w["n"], w["rms"],
+                     w["zero_crossings"], w["peak"])
+                    for w in wins
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "n_frames", "rms",
+                         "zero_crossings", "peak"],
+            )
+
+    return media.mapInPandas(batches, AUDIO_WINDOWS_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channel", T.IntegerType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+        T.StructField("min_val", T.IntegerType(), False),
+        T.StructField("max_val", T.IntegerType(), False),
+    ]
+)
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """REAL per-channel pixel statistics (mean/min/max) over binary
+    netpbm payloads — the brightness/contrast prefilter for scanned
+    or synthetic image corpora (`mediacodec.netpbm_channel_stats`).
+    One payload → one row per channel; undecodable payloads
+    contribute no rows, same convention as the other exploding
+    ops."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    stats = mediacodec.netpbm_channel_stats(p)
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                rows.extend(
+                    (int(mid), s["channel"], s["mean"], s["min"], s["max"])
+                    for s in stats
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "channel", "mean", "min_val",
+                         "max_val"],
+            )
+
+    return media.mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

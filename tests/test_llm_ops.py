@@ -1479,6 +1479,114 @@ def test_split_media_frames_paths(spark):
     assert [len(bytes(r.frame)) for r in f2] == [100, 100, 30]
 
 
+def test_pcm_window_features_exact():
+    """Windowed RMS/ZCR/peak over PCM: exact integer expectations on
+    hand-computed windows, stereo integer-mean downmix, 8-bit
+    centering, and the partial final window."""
+    import math
+    import struct
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    def wav(samples, rate=1000, bits=16, channels=1):
+        fmt = "<h" if bits == 16 else "<B"
+        body = b"".join(struct.pack(fmt, s) for s in samples)
+        block = channels * (bits // 8)
+        return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                              rate * block, block, bits)
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    # mono 16-bit at 1000 Hz, 4 ms windows -> 4-frame windows
+    w = mc.pcm_window_features(wav([3, -4, 0, 5, 6, -8]), window_ms=4)
+    assert len(w) == 2
+    assert (w[0]["n"], w[0]["zero_crossings"], w[0]["peak"]) == (4, 2, 5)
+    assert w[0]["rms"] == math.sqrt(50 / 4)
+    assert (w[1]["n"], w[1]["zero_crossings"], w[1]["peak"]) == (2, 1, 8)
+    assert w[1]["rms"] == math.sqrt(100 / 2)
+
+    # stereo downmix: (3,5),(-4,-2) -> mono 4,-3
+    ws = mc.pcm_window_features(
+        wav([3, 5, -4, -2], channels=2), window_ms=4
+    )
+    assert (ws[0]["peak"], ws[0]["zero_crossings"]) == (4, 1)
+    assert ws[0]["rms"] == math.sqrt((16 + 9) / 2)
+
+    # 8-bit unsigned centers at 128 so silence is 0
+    w8 = mc.pcm_window_features(
+        wav([128, 130, 126], bits=8), window_ms=4
+    )
+    assert (w8[0]["peak"], w8[0]["zero_crossings"]) == (2, 1)
+    assert w8[0]["rms"] == math.sqrt(8 / 3)
+
+    assert mc.pcm_window_features(wav([])) == []
+    with pytest.raises(ValueError):
+        mc.pcm_window_features(wav([1]), window_ms=0)
+    with pytest.raises(NotImplementedError):
+        mc.pcm_window_features(b"\x89PNG not audio")
+
+
+def test_netpbm_channel_stats_exact():
+    """Per-channel mean/min/max over raw rasters: exact values for
+    8-bit RGB, big-endian 16-bit graymap, and the truncation
+    contract."""
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    img = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 200, 100, 0])
+    s = mc.netpbm_channel_stats(img)
+    assert s[0] == {"channel": 0, "mean": 105.0, "min": 10, "max": 200}
+    assert s[1] == {"channel": 1, "mean": 60.0, "min": 20, "max": 100}
+    assert s[2] == {"channel": 2, "mean": 15.0, "min": 0, "max": 30}
+
+    g16 = b"P5 2 1 65535 " + b"\x01\x02" + b"\xff\xfe"  # BE: 258, 65534
+    s16 = mc.netpbm_channel_stats(g16)
+    assert s16 == [
+        {"channel": 0, "mean": (258 + 65534) / 2, "min": 258, "max": 65534}
+    ]
+
+    with pytest.raises(ValueError):
+        mc.netpbm_channel_stats(img[:-1])
+    with pytest.raises(NotImplementedError):
+        mc.netpbm_channel_stats(b"GIF89a not raw")
+
+
+def test_audio_image_feature_wrappers(spark):
+    """audio_window_features / image_channel_stats over a mixed
+    batch: PCM and netpbm payloads explode into feature rows, the
+    poison pill contributes none."""
+    import struct
+
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_window_features,
+        image_channel_stats,
+    )
+
+    body = struct.pack("<4h", 100, -100, 50, -50)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(body)) + body)
+    img = b"P6\n1 2\n255\n" + bytes([1, 2, 3, 5, 6, 7])
+    rows = [
+        (1, wav, {"kind": "audio", "n_bytes": len(wav)}),
+        (2, img, {"kind": "image", "n_bytes": len(img)}),
+        (3, b"poison", {"kind": "blob", "n_bytes": 6}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    aw = audio_window_features(media, window_ms=1000).collect()
+    assert len(aw) == 1 and aw[0].media_id == 1
+    assert (aw[0].n_frames, aw[0].peak, aw[0].zero_crossings) == (4, 100, 3)
+
+    st = {(r.media_id, r.channel): r for r in image_channel_stats(media).collect()}
+    assert sorted(st) == [(2, 0), (2, 1), (2, 2)]
+    assert (st[(2, 0)].mean, st[(2, 0)].min_val, st[(2, 0)].max_val) == (3.0, 1, 5)
+
+
 def test_parse_mp3_property_random_frame_walks():
     """Property test: an MPEG-1/2 Layer III stream with ANY
     per-frame bitrate sequence (VBR), random padding bits, an
