@@ -1479,6 +1479,74 @@ def test_split_media_frames_paths(spark):
     assert [len(bytes(r.frame)) for r in f2] == [100, 100, 30]
 
 
+def test_raw_transform_properties():
+    """Property tests for the raw-format transforms: netpbm resize
+    always re-decodes to the target geometry and is the identity at
+    source dims; WAV resample at the source rate is byte-identical
+    modulo the canonical header; NN double-resize to the same target
+    equals single-resize (index maps compose through exact pixel
+    copies when upscaling by an integer factor)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w0=st.integers(min_value=1, max_value=12),
+        h0=st.integers(min_value=1, max_value=12),
+        w1=st.integers(min_value=1, max_value=20),
+        h1=st.integers(min_value=1, max_value=20),
+        k=st.integers(min_value=1, max_value=3),
+        data=st.data(),
+    )
+    def check_img(w0, h0, w1, h1, k, data):
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w0 * h0 * 3, max_size=w0 * h0 * 3,
+                )
+            )
+        )
+        img = b"P6\n%d %d\n255\n" % (w0, h0) + raster
+        out = mc.resize_netpbm(img, w1, h1)
+        d = mc.parse_ppm(out)
+        assert (d["width"], d["height"]) == (w1, h1)
+        assert mc.resize_netpbm(img, w0, h0).endswith(raster)
+        # integer-factor upscale then identity-resize is stable
+        up = mc.resize_netpbm(img, w0 * k, h0 * k)
+        assert mc.resize_netpbm(up, w0 * k, h0 * k) == up
+
+    check_img()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+        ch=st.integers(min_value=1, max_value=2),
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=2, max_size=40,
+        ),
+    )
+    def check_wav(rate, ch, samples):
+        n = len(samples) - len(samples) % ch
+        body = struct.pack("<%dh" % n, *samples[:n])
+        block = ch * 2
+        src = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                             rate * block, block, 16)
+               + b"data" + struct.pack("<I", len(body)) + body)
+        same = mc.resample_wav(src, rate)
+        assert same[44:] == body  # identity modulo canonical header
+        d = mc.parse_wav(same)
+        assert (d["sample_rate_hz"], d["channels"]) == (rate, ch)
+
+    check_wav()
+
+
 def test_pcm_window_features_exact():
     """Windowed RMS/ZCR/peak over PCM: exact integer expectations on
     hand-computed windows, stereo integer-mean downmix, 8-bit
