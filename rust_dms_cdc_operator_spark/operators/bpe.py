@@ -75,15 +75,20 @@ def word_frequency_table(
     return [(r["word"], int(r["cnt"])) for r in wf.collect()]
 
 
-def _pair_counts(
+def _pair_stats(
     seqs: dict[str, tuple[tuple[str, ...], int]],
-) -> dict[tuple[str, str], int]:
+) -> tuple[dict[tuple[str, str], int], dict[tuple[str, str], set]]:
+    """Pair frequency table plus the inverted index pair → words
+    containing it — the index is what makes each merge step cost
+    O(words actually containing the pair), not O(vocabulary)."""
     counts: dict[tuple[str, str], int] = {}
-    for sym, cnt in seqs.values():
+    index: dict[tuple[str, str], set] = {}
+    for w, (sym, cnt) in seqs.items():
         for i in range(len(sym) - 1):
             p = (sym[i], sym[i + 1])
             counts[p] = counts.get(p, 0) + cnt
-    return counts
+            index.setdefault(p, set()).add(w)
+    return counts, index
 
 
 def _merge_word(
@@ -118,7 +123,7 @@ def train_bpe(
     seqs: dict[str, tuple[tuple[str, ...], int]] = {
         w: (tuple(w) + (EOW,), c) for w, c in table if w
     }
-    counts = _pair_counts(seqs)
+    counts, index = _pair_stats(seqs)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         if not counts:
@@ -128,25 +133,26 @@ def train_bpe(
         if counts[best] < 2:
             break
         merges.append(best)
-        a, b = best
-        # incremental update: only words containing the pair change
-        for w, (sym, cnt) in list(seqs.items()):
-            hit = any(
-                sym[i] == a and sym[i + 1] == b
-                for i in range(len(sym) - 1)
-            )
-            if not hit:
-                continue
+        # incremental update via the inverted index: only the words
+        # that actually contain the pair are touched
+        for w in list(index.get(best, ())):
+            sym, cnt = seqs[w]
             for i in range(len(sym) - 1):
                 p = (sym[i], sym[i + 1])
                 counts[p] -= cnt
                 if counts[p] <= 0:
-                    del counts[p]
+                    counts.pop(p, None)
+                ws = index.get(p)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        del index[p]
             new = _merge_word(sym, best)
             seqs[w] = (new, cnt)
             for i in range(len(new) - 1):
                 p = (new[i], new[i + 1])
                 counts[p] = counts.get(p, 0) + cnt
+                index.setdefault(p, set()).add(w)
     return merges
 
 
