@@ -96,6 +96,42 @@ def test_bpe_token_count_distributed(spark, corpus):
     assert got == {10: 5, 11: 4, 12: 0, 13: 0}
 
 
+def test_bpe_feeds_sequence_packing(spark, corpus):
+    """The pretraining chain: train BPE → count tokens per doc →
+    pack_sequences on the BPE counts. Pack offsets must be the exact
+    running BPE-token prefix sums modulo the budget — i.e. the two
+    operators agree on where every document's tokens land."""
+    from rust_dms_cdc_operator_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe,
+    )
+    from rust_dms_cdc_operator_spark.operators.split import pack_sequences
+
+    merges = train_bpe(corpus, num_merges=6, max_word_types=100)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["lowest newest", "low low low", "widest lower", "newest",
+             "low lower lowest", "widest widest"]
+        )],
+        "doc_id long, text string",
+    )
+    counted = bpe_token_count(docs, merges)
+    packed = {
+        r.doc_id: r
+        for r in pack_sequences(
+            counted, "doc_id", "n_bpe_tokens", budget=7
+        ).collect()
+    }
+    counts = {
+        r.doc_id: r.n_bpe_tokens for r in counted.collect()
+    }
+    prefix = 0
+    for did in sorted(counts):
+        assert packed[did].pack_id == prefix // 7, did
+        assert packed[did].pack_offset == prefix % 7, did
+        prefix += counts[did]
+
+
 def test_bpe_compression_monotone(corpus, spark):
     """More merges never increase the token count of corpus text —
     the property that makes BPE a compressor."""
