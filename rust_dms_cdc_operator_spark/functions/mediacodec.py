@@ -535,6 +535,91 @@ def parse_gif(payload: bytes) -> dict:
     return _result(codec="gif", width=width, height=height, channels=3)
 
 
+def gif_frame_census(payload: bytes) -> dict:
+    """REAL animated-GIF structure walk WITHOUT LZW decompression —
+    every GIF block is length-prefixed, so frame boundaries are pure
+    offset arithmetic: logical screen descriptor (+ optional global
+    color table, size from the packed flags), then a block stream of
+    extensions (0x21: label byte + length-prefixed sub-blocks; the
+    Netscape application extension carries the animation loop count,
+    graphic-control extensions carry per-frame delays) and image
+    descriptors (0x2C: 9-byte geometry + optional local color table +
+    LZW-min-code byte + length-prefixed data sub-blocks), ending at
+    the 0x3B trailer. Returns ``{n_frames, loop_count,
+    total_duration_ms, width, height}`` — the census a media-curation
+    pass needs (is it animated? how long?) at header-walk cost.
+    ``loop_count`` is None for a plain still, 0 meaning
+    loop-forever per the Netscape convention. A missing trailer on an
+    otherwise well-formed stream is tolerated (truncated uploads are
+    routine); a malformed block raises ``ValueError``."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnknownMediaError("not a GIF magic")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    off = 13
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        off += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(o: int) -> int:
+        while True:
+            if o >= len(payload):
+                raise ValueError("truncated GIF sub-block chain")
+            n = payload[o]
+            o += 1
+            if n == 0:
+                return o
+            o += n
+
+    n_frames = 0
+    loop_count = None
+    total_cs = 0  # graphic-control delays, in centiseconds
+    while off < len(payload):
+        b = payload[off]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if off + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[off + 1]
+            body = off + 2
+            if label == 0xF9 and body < len(payload) and payload[body] >= 4:
+                # graphic control: block size, packed, delay u16le
+                (delay,) = struct.unpack_from("<H", payload, body + 2)
+                total_cs += delay
+            if label == 0xFF and body < len(payload) and payload[body] == 11:
+                app = payload[body + 1 : body + 12]
+                if app in (b"NETSCAPE2.0", b"ANIMEXTS1.0"):
+                    sub = body + 12
+                    if sub + 4 <= len(payload) and payload[sub] == 3:
+                        (loop_count,) = struct.unpack_from(
+                            "<H", payload, sub + 2
+                        )
+            off = skip_subblocks(body)
+        elif b == 0x2C:  # image descriptor
+            if off + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            ipacked = payload[off + 9]
+            off += 10
+            if ipacked & 0x80:  # local color table
+                off += 3 * (2 << (ipacked & 0x07))
+            off += 1  # LZW minimum code size
+            off = skip_subblocks(off)
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if n_frames == 0:
+        raise ValueError("GIF contains no image data")
+    return {
+        "n_frames": n_frames,
+        "loop_count": loop_count,
+        "total_duration_ms": total_cs * 10,
+        "width": width,
+        "height": height,
+    }
+
+
 def parse_tiff(payload: bytes) -> dict:
     """TIFF header + first IFD walk: byte order from the II/MM magic,
     IFD offset at 4, then 12-byte tag entries scanned for ImageWidth

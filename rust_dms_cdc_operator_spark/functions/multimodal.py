@@ -380,6 +380,54 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
+GIF_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("loop_count", T.IntegerType(), True),
+        T.StructField("total_duration_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def gif_animation_census(media: DataFrame) -> DataFrame:
+    """REAL animated-GIF census (`mediacodec.gif_frame_census` —
+    frame count, Netscape loop count, summed frame delays) at
+    header-walk cost, no LZW decode: the is-it-animated/how-long
+    filter a media-curation pass runs. One row per decodable GIF;
+    other payloads contribute no rows (exploding-op convention)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    c = mediacodec.gif_frame_census(p)
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                rows.append(
+                    (int(mid), c["n_frames"], c["loop_count"],
+                     c["total_duration_ms"], c["width"], c["height"])
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "loop_count",
+                         "total_duration_ms", "width", "height"],
+            )
+            out["loop_count"] = out["loop_count"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(batches, GIF_CENSUS_SCHEMA)
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1547,6 +1547,88 @@ def test_raw_transform_properties():
     check_wav()
 
 
+def _gif(frames, loop=None, gct_bits=None, delays=None):
+    """Hand-assemble an animated GIF: optional global color table,
+    optional Netscape loop extension, per-frame graphic-control
+    delays, length-prefixed image data sub-blocks, trailer."""
+    import struct
+
+    packed = 0x80 | (gct_bits - 1) if gct_bits else 0
+    out = bytearray(b"GIF89a" + struct.pack("<HH", 11, 7)
+                    + bytes([packed, 0, 0]))
+    if gct_bits:
+        out += b"\x00" * (3 * (1 << gct_bits))
+    if loop is not None:
+        out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+                + struct.pack("<H", loop) + b"\x00")
+    for i in range(frames):
+        if delays:
+            out += (b"\x21\xf9\x04\x00" + struct.pack("<H", delays[i])
+                    + b"\x00\x00")
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 11, 7) + b"\x00"
+        out += b"\x02" + bytes([2, 0x4C, 0x01]) + b"\x00"  # lzw min + data
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frame_census_goldens():
+    """Animated-GIF walk without LZW decode: frame counts, Netscape
+    loop count, summed centisecond delays, color-table skips, the
+    truncation tolerance, and the malformed-block contract."""
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    # 3 frames, loop forever, 10ms+20ms+30ms
+    c = mc.gif_frame_census(_gif(3, loop=0, delays=[1, 2, 3]))
+    assert c == {"n_frames": 3, "loop_count": 0,
+                 "total_duration_ms": 60, "width": 11, "height": 7}
+
+    # still GIF with a global color table: one frame, no animation
+    s = mc.gif_frame_census(_gif(1, gct_bits=4))
+    assert (s["n_frames"], s["loop_count"], s["total_duration_ms"]) == (
+        1, None, 0,
+    )
+
+    # finite loop count
+    assert mc.gif_frame_census(_gif(2, loop=5))["loop_count"] == 5
+
+    # missing trailer tolerated (truncated upload), complete frames kept
+    t = mc.gif_frame_census(_gif(2, delays=[4, 4])[:-1])
+    assert t["n_frames"] == 2 and t["total_duration_ms"] == 80
+
+    with pytest.raises(ValueError):
+        mc.gif_frame_census(_gif(1)[:20])  # truncated mid-descriptor
+    with pytest.raises(ValueError):
+        g = bytearray(_gif(1))
+        g[13] = 0x99  # unknown block id
+        mc.gif_frame_census(bytes(g))
+    with pytest.raises(ValueError):
+        mc.gif_frame_census(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # no frames
+    with pytest.raises(NotImplementedError):
+        mc.gif_frame_census(b"P6 1 1 255  ")
+
+
+def test_gif_animation_census_wrapper(spark):
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        gif_animation_census,
+    )
+
+    rows = [
+        (1, _gif(4, loop=0, delays=[5, 5, 5, 5]),
+         {"kind": "image", "n_bytes": None}),
+        (2, _gif(1), {"kind": "image", "n_bytes": None}),
+        (3, b"not a gif", {"kind": "blob", "n_bytes": 9}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in gif_animation_census(media).collect()}
+    assert sorted(got) == [1, 2]
+    assert (got[1].n_frames, got[1].loop_count,
+            got[1].total_duration_ms) == (4, 0, 200)
+    assert (got[2].n_frames, got[2].loop_count) == (1, None)
+
+
 def test_pcm_window_features_exact():
     """Windowed RMS/ZCR/peak over PCM: exact integer expectations on
     hand-computed windows, stereo integer-mean downmix, 8-bit
