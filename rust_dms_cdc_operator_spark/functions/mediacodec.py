@@ -620,6 +620,85 @@ def gif_frame_census(payload: bytes) -> dict:
     }
 
 
+def png_animation_census(payload: bytes) -> dict:
+    """REAL APNG census from the PNG chunk walk (chunks are
+    length-prefixed: u32-BE length + type + data + CRC): ``acTL``
+    carries frame/play counts, each ``fcTL`` a delay fraction
+    (num/den seconds, den 0 meaning 1/100s per the spec). A PNG
+    without ``acTL`` is a still: one frame, no loop. Missing IEND is
+    tolerated (truncated uploads); a chunk running past the payload
+    raises. Returns the same shape as :func:`gif_frame_census`."""
+    if payload[:8] != _PNG_SIG:
+        raise UnknownMediaError("not a PNG signature")
+    if payload[12:16] != b"IHDR" or len(payload) < 26:
+        raise ValueError("PNG without leading IHDR chunk")
+    width, height = struct.unpack_from(">II", payload, 16)
+    n_frames = None
+    num_plays = None
+    total_ms = 0
+    off = 8
+    while off + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        body = off + 8
+        if body + length + 4 > len(payload):
+            if ctype == b"IEND":
+                break
+            raise ValueError("PNG chunk runs past payload end")
+        if ctype == b"IEND":
+            break
+        if ctype == b"acTL" and length >= 8:
+            n_frames, num_plays = struct.unpack_from(">II", payload, body)
+        elif ctype == b"fcTL" and length >= 26:
+            num, den = struct.unpack_from(">HH", payload, body + 20)
+            total_ms += num * 1000 // (den if den else 100)
+        off = body + length + 4  # skip data + CRC
+    if n_frames is None:
+        return {
+            "n_frames": 1, "loop_count": None, "total_duration_ms": 0,
+            "width": width, "height": height,
+        }
+    return {
+        "n_frames": int(n_frames),
+        # APNG num_plays 0 means loop forever — same as GIF's 0
+        "loop_count": int(num_plays),
+        "total_duration_ms": total_ms,
+        "width": width,
+        "height": height,
+    }
+
+
+def tiff_page_census(payload: bytes) -> dict:
+    """REAL multi-page TIFF census: each IFD ends with the u32 offset
+    of the next IFD (0 = last), so page count is a chain walk — the
+    structure every scanned-document corpus needs censused before
+    OCR. Geometry comes from the first page
+    (:func:`parse_tiff`). A cycle or out-of-bounds link raises."""
+    first = parse_tiff(payload)  # validates magic + first IFD
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    seen: set[int] = set()
+    pages = 0
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD chain cycle")
+        seen.add(ifd_off)
+        if ifd_off + 2 > len(payload):
+            raise ValueError("TIFF IFD offset past end of payload")
+        (n_tags,) = struct.unpack_from(bo + "H", payload, ifd_off)
+        next_at = ifd_off + 2 + 12 * n_tags
+        if next_at + 4 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        pages += 1
+        (ifd_off,) = struct.unpack_from(bo + "I", payload, next_at)
+    return {
+        "n_pages": pages,
+        "width": first["width"],
+        "height": first["height"],
+        "channels": first["channels"],
+    }
+
+
 def parse_tiff(payload: bytes) -> dict:
     """TIFF header + first IFD walk: byte order from the II/MM magic,
     IFD offset at 4, then 12-byte tag entries scanned for ImageWidth

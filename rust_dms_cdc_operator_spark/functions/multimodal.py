@@ -428,6 +428,71 @@ def gif_animation_census(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, GIF_CENSUS_SCHEMA)
 
 
+MULTI_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("loop_count", T.IntegerType(), True),
+        T.StructField("total_duration_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def multi_image_census(media: DataFrame) -> DataFrame:
+    """Multi-image payload census across the formats whose structure
+    is walkable without pixel decode: animated GIF
+    (`gif_frame_census`), APNG (`png_animation_census`), and
+    multi-page TIFF (`tiff_page_census` — frames = pages, no
+    animation timing). The is-it-animated / how-many-pages questions
+    a curation pass asks of a 100 TB image shard, answered at
+    header-walk cost. One row per census-able payload; everything
+    else contributes no rows (exploding-op convention)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        def census(p):
+            if p[:6] in (b"GIF87a", b"GIF89a"):
+                c = mediacodec.gif_frame_census(p)
+                return ("gif", c["n_frames"], c["loop_count"],
+                        c["total_duration_ms"], c["width"], c["height"])
+            if p[:8] == mediacodec._PNG_SIG:
+                c = mediacodec.png_animation_census(p)
+                return ("png", c["n_frames"], c["loop_count"],
+                        c["total_duration_ms"], c["width"], c["height"])
+            if p[:4] in (b"II*\x00", b"MM\x00*"):
+                c = mediacodec.tiff_page_census(p)
+                return ("tiff", c["n_pages"], None, 0,
+                        c["width"], c["height"])
+            return None
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    c = census(p)
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                if c is not None:
+                    rows.append((int(mid), *c))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "codec", "n_frames", "loop_count",
+                         "total_duration_ms", "width", "height"],
+            )
+            out["loop_count"] = out["loop_count"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(batches, MULTI_IMAGE_SCHEMA)
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

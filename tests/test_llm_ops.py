@@ -1629,6 +1629,106 @@ def test_gif_animation_census_wrapper(spark):
     assert (got[2].n_frames, got[2].loop_count) == (1, None)
 
 
+def _apng(frames, plays, delays_cs):
+    """Hand-assemble an APNG skeleton: signature, IHDR, acTL, one
+    fcTL per frame (delay in centiseconds via den=100), IEND. Chunk
+    CRCs are not validated by the walk, so zeros suffice."""
+    import struct
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 5, 8, 2, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", frames, plays))
+    for d in delays_cs:
+        out += chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", 0, 9, 5, 0, 0, d, 100, 0, 0),
+        )
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _multi_tiff(bo, pages, w=800, h=600):
+    """Chained-IFD TIFF: each page's IFD carries width/height SHORT
+    tags and links to the next."""
+    import struct
+
+    out = bytearray(b"II*\x00" if bo == "<" else b"MM\x00*")
+    out += struct.pack(bo + "I", 8)  # first IFD right after header
+    ifd_size = 2 + 12 * 2 + 4
+    for p in range(pages):
+        base = 8 + p * ifd_size
+        out += struct.pack(bo + "H", 2)
+        for tag, val in ((256, w), (257, h)):
+            out += struct.pack(bo + "HHI", tag, 3, 1)
+            out += struct.pack(bo + "H", val) + b"\x00\x00"
+        nxt = 8 + (p + 1) * ifd_size if p + 1 < pages else 0
+        out += struct.pack(bo + "I", nxt)
+    return bytes(out)
+
+
+def test_png_tiff_census_goldens():
+    """APNG chunk census and TIFF page-chain census: frame/page
+    counts, delay sums, loop semantics, stills, cycle detection."""
+    import struct
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    a = mc.png_animation_census(_apng(3, 0, [10, 20, 30]))
+    assert a == {"n_frames": 3, "loop_count": 0,
+                 "total_duration_ms": 600, "width": 9, "height": 5}
+
+    # plain PNG: a still
+    s = mc.png_animation_census(_golden_png())
+    assert (s["n_frames"], s["loop_count"], s["total_duration_ms"]) == (
+        1, None, 0,
+    )
+
+    for bo in ("<", ">"):
+        t = mc.tiff_page_census(_multi_tiff(bo, 4))
+        assert t == {"n_pages": 4, "width": 800, "height": 600,
+                     "channels": 1}
+    assert mc.tiff_page_census(_multi_tiff("<", 1))["n_pages"] == 1
+
+    # IFD cycle must raise, not loop forever
+    cyc = bytearray(_multi_tiff("<", 2))
+    last_link = 8 + 2 * (2 + 12 * 2 + 4) - 4
+    cyc[last_link : last_link + 4] = struct.pack("<I", 8)
+    with pytest.raises(ValueError):
+        mc.tiff_page_census(bytes(cyc))
+    with pytest.raises(ValueError):
+        mc.png_animation_census(_apng(2, 0, [5])[:30])  # chunk past end
+
+
+def test_multi_image_census_wrapper(spark):
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        multi_image_census,
+    )
+
+    rows = [
+        (1, _gif(3, loop=0, delays=[2, 2, 2]), {"kind": "image", "n_bytes": None}),
+        (2, _apng(2, 5, [50, 50]), {"kind": "image", "n_bytes": None}),
+        (3, _multi_tiff("<", 7), {"kind": "doc", "n_bytes": None}),
+        (4, b"RIFF....WAVE", {"kind": "audio", "n_bytes": None}),  # no row
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multi_image_census(media).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert (got[1].codec, got[1].n_frames, got[1].total_duration_ms) == (
+        "gif", 3, 60,
+    )
+    assert (got[2].codec, got[2].n_frames, got[2].loop_count,
+            got[2].total_duration_ms) == ("png", 2, 5, 1000)
+    assert (got[3].codec, got[3].n_frames, got[3].loop_count) == (
+        "tiff", 7, None,
+    )
+
+
 def test_pcm_window_features_exact():
     """Windowed RMS/ZCR/peak over PCM: exact integer expectations on
     hand-computed windows, stereo integer-mean downmix, 8-bit
