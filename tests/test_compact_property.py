@@ -34,7 +34,7 @@ def python_replay(events: list[tuple[str, int, str]]) -> dict[int, str]:
     return state
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=3, deadline=None, derandomize=True)
 @given(st.lists(SCENARIO, min_size=40, max_size=40))
 def test_window_compaction_equals_sequential_replay(spark, scenarios):
     rows = []
@@ -54,7 +54,7 @@ def test_window_compaction_equals_sequential_replay(spark, scenarios):
     assert got == expected
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=3, deadline=None, derandomize=True)
 @given(
     st.lists(  # 2-3 microbatches of events over a small key space
         st.lists(

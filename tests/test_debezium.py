@@ -90,7 +90,7 @@ def test_debezium_compact_property(spark, tmp_path):
 
     counter = iter(range(10_000))
 
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=12, deadline=None, derandomize=True)
     @given(ops)
     def check(seq):
         events = []

@@ -22,7 +22,7 @@ DOC = st.lists(WORD, min_size=1, max_size=12).map(" ".join)
 CORPUS = st.lists(DOC, min_size=2, max_size=10)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=3, deadline=None, derandomize=True)
 @given(st.lists(CORPUS, min_size=8, max_size=8))
 def test_banded_pairs_equal_bruteforce(spark, corpora):
     rows = []

@@ -98,7 +98,7 @@ def test_interval_join_property_vs_bruteforce(spark):
     FACT = st.tuples(st.integers(0, 999), TS)
     IV = st.tuples(st.integers(0, 99), TS, st.integers(0, 600))
 
-    @settings(max_examples=3, deadline=None)
+    @settings(max_examples=3, deadline=None, derandomize=True)
     @given(
         st.lists(FACT, min_size=1, max_size=40),
         st.lists(IV, min_size=1, max_size=12),
