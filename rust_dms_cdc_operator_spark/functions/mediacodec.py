@@ -887,6 +887,149 @@ def parse_mp3(payload: bytes) -> dict:
     )
 
 
+#: EXIF IFD0 tags worth surfacing: tag → (name, type class)
+_EXIF_TAGS = {
+    270: "description",   # ImageDescription, ASCII
+    271: "make",          # Make, ASCII
+    272: "model",         # Model, ASCII
+    274: "orientation",   # Orientation, SHORT 1-8
+    306: "datetime",      # DateTime, ASCII "YYYY:MM:DD HH:MM:SS"
+}
+
+
+def jpeg_exif(payload: bytes) -> dict:
+    """REAL EXIF metadata from a JPEG — the APP1 segment is a TIFF
+    file ('Exif\\0\\0' + byte-order header + IFD0), so the same IFD
+    tag walk that censuses TIFFs reads orientation / camera make +
+    model / timestamps here. Orientation (tag 274, values 1-8) is the
+    one every image pipeline must honor before training — a rotated
+    corpus is a silent augmentation bug. Returns a dict of the
+    :data:`_EXIF_TAGS` found (possibly empty — most synthetic or
+    stripped JPEGs carry no APP1); non-JPEG payloads raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnknownMediaError("not a JPEG SOI marker")
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            break
+        marker = payload[i + 1]
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDA:  # start of scan: no APP1 will follow
+            break
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            return _exif_ifd0(payload[i + 10 : i + 2 + seg_len])
+        i += 2 + seg_len
+    return {}
+
+
+def _exif_ifd0(tiff: bytes) -> dict:
+    """Walk IFD0 of the embedded TIFF for the tags in
+    :data:`_EXIF_TAGS`. SHORT values inline; ASCII values inline when
+    count <= 4 else at the u32 offset (offsets are relative to the
+    TIFF header, as the spec demands)."""
+    if tiff[:4] == b"II*\x00":
+        bo = "<"
+    elif tiff[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("bad EXIF TIFF header")
+    (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
+    if ifd_off + 2 > len(tiff):
+        raise ValueError("EXIF IFD offset past end")
+    (n_tags,) = struct.unpack_from(bo + "H", tiff, ifd_off)
+    out: dict = {}
+    for t in range(n_tags):
+        ent = ifd_off + 2 + 12 * t
+        if ent + 12 > len(tiff):
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, count = struct.unpack_from(bo + "HHI", tiff, ent)
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        if typ == 3 and count == 1:  # SHORT
+            (val,) = struct.unpack_from(bo + "H", tiff, ent + 8)
+            out[name] = int(val)
+        elif typ == 2:  # ASCII, NUL-terminated
+            if count <= 4:
+                raw = tiff[ent + 8 : ent + 8 + count]
+            else:
+                (off,) = struct.unpack_from(bo + "I", tiff, ent + 8)
+                if off + count > len(tiff):
+                    raise ValueError("EXIF ASCII value past end")
+                raw = tiff[off : off + count]
+            out[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
+    return out
+
+
+#: ID3v2 text frames worth surfacing for dedup/curation keys
+_ID3_TEXT_FRAMES = {
+    b"TIT2": "title",
+    b"TPE1": "artist",
+    b"TALB": "album",
+    b"TDRC": "date",     # v2.4 recording time
+    b"TYER": "date",     # v2.3 year
+    b"TCON": "genre",
+    b"TRCK": "track",
+}
+
+
+def id3v2_tags(payload: bytes) -> dict:
+    """REAL ID3v2.3/2.4 text-frame extraction from an MP3 payload —
+    (title, artist, album) are the metadata dedup keys an audio
+    corpus groups on before any acoustic matching. Frame sizes are
+    syncsafe in v2.4, plain big-endian in v2.3 (misreading one as
+    the other walks into garbage — version-dispatched here); text
+    encodings 0/1/2/3 (latin-1, UTF-16 BOM, UTF-16BE, UTF-8) all
+    decoded. Returns the frames found from
+    :data:`_ID3_TEXT_FRAMES` (empty for tagless audio); payloads
+    without an ID3v2 header raise."""
+    if payload[:3] != b"ID3":
+        raise UnknownMediaError("no ID3v2 header")
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    version = payload[3]
+    sz = payload[6:10]
+    if any(b & 0x80 for b in sz):
+        raise ValueError("ID3v2 size bytes are not syncsafe")
+    tag_end = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+    tag_end = min(tag_end, len(payload))
+    out: dict = {}
+    off = 10
+    while off + 10 <= tag_end:
+        fid = payload[off : off + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw_sz = payload[off + 4 : off + 8]
+        if version >= 4:
+            if any(b & 0x80 for b in raw_sz):
+                raise ValueError("non-syncsafe v2.4 frame size")
+            fsz = ((raw_sz[0] << 21) | (raw_sz[1] << 14)
+                   | (raw_sz[2] << 7) | raw_sz[3])
+        else:
+            (fsz,) = struct.unpack(">I", raw_sz)
+        body = off + 10
+        if body + fsz > tag_end:
+            raise ValueError("ID3v2 frame runs past tag end")
+        name = _ID3_TEXT_FRAMES.get(fid)
+        if name is not None and fsz >= 1:
+            enc = payload[body]
+            raw = payload[body + 1 : body + fsz]
+            codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                     3: "utf-8"}.get(enc)
+            if codec is not None:
+                out.setdefault(
+                    name,
+                    raw.decode(codec, "replace").rstrip("\x00"),
+                )
+        off = body + fsz
+    return out
+
+
 def decode(payload: bytes) -> dict:
     """Sniff the payload magic and decode its header for real.
 

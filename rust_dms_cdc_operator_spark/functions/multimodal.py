@@ -428,6 +428,58 @@ def gif_animation_census(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, GIF_CENSUS_SCHEMA)
 
 
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+    ]
+)
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """REAL embedded-metadata extraction, exploded to (media_id,
+    source, key, value) rows: JPEG EXIF IFD0 (orientation — the
+    rotate-before-training flag — camera make/model, timestamps) and
+    MP3 ID3v2 text frames (title/artist/album — the metadata dedup
+    keys). The exploded string shape feeds ordinary groupBy dedup
+    and pivots without a per-format schema; payloads with no readable
+    metadata contribute no rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        def extract(p):
+            if p[:2] == b"\xff\xd8":
+                return "exif", mediacodec.jpeg_exif(p)
+            if p[:3] == b"ID3":
+                return "id3", mediacodec.id3v2_tags(p)
+            return None, {}
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    src, tags = extract(p)
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                if src:
+                    rows.extend(
+                        (int(mid), src, k, str(v))
+                        for k, v in sorted(tags.items())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "source", "key", "value"]
+            )
+
+    return media.mapInPandas(batches, METADATA_SCHEMA)
+
+
 MULTI_IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

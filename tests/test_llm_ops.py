@@ -1729,6 +1729,127 @@ def test_multi_image_census_wrapper(spark):
     )
 
 
+def _exif_jpeg(orientation=6, make="ACME", bo="<"):
+    """JPEG with an APP1 EXIF segment: TIFF header + IFD0 carrying
+    Orientation (SHORT), Make (ASCII at an offset), DateTime."""
+    import struct
+
+    dt = b"2024:01:02 03:04:05\x00"
+    mk = make.encode() + b"\x00"
+    # IFD0 at offset 8; value area after the IFD
+    n_tags = 3
+    ifd_end = 8 + 2 + 12 * n_tags + 4
+    tiff = bytearray(b"II*\x00" if bo == "<" else b"MM\x00*")
+    tiff += struct.pack(bo + "I", 8)
+    tiff += struct.pack(bo + "H", n_tags)
+    # Make (271): ASCII at offset ifd_end
+    tiff += struct.pack(bo + "HHI", 271, 2, len(mk))
+    tiff += struct.pack(bo + "I", ifd_end)
+    # Orientation (274): SHORT inline
+    tiff += struct.pack(bo + "HHI", 274, 3, 1)
+    tiff += struct.pack(bo + "H", orientation) + b"\x00\x00"
+    # DateTime (306): ASCII at offset ifd_end + len(mk)
+    tiff += struct.pack(bo + "HHI", 306, 2, len(dt))
+    tiff += struct.pack(bo + "I", ifd_end + len(mk))
+    tiff += struct.pack(bo + "I", 0)  # no next IFD
+    tiff += mk + dt
+    app1 = b"Exif\x00\x00" + bytes(tiff)
+    sof = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+           + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+           + b"\x01" + b"\x01\x11\x00")
+    return (b"\xff\xd8" + b"\xff\xe1"
+            + (len(app1) + 2).to_bytes(2, "big") + app1
+            + sof + b"\xff\xd9")
+
+
+def _id3_mp3(version=4, frames=(("TIT2", "Song"), ("TPE1", "Band"))):
+    """MP3 payload that is just an ID3v2 tag (+ one audio frame):
+    v2.4 syncsafe or v2.3 plain frame sizes, UTF-8 text."""
+    import struct
+
+    body = bytearray()
+    for fid, text in frames:
+        data = b"\x03" + text.encode("utf-8")
+        if version >= 4:
+            n = len(data)
+            sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F])
+        else:
+            sz = struct.pack(">I", len(data))
+        body += fid.encode() + sz + b"\x00\x00" + data
+    n = len(body)
+    hdr = (b"ID3" + bytes([version, 0, 0])
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F]))
+    # one MPEG-1 L3 frame so the payload is also walkable audio
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+    return bytes(hdr) + bytes(body) + frame
+
+
+def test_jpeg_exif_and_id3_tags():
+    """EXIF IFD0 extraction (both byte orders, inline SHORT +
+    offset ASCII) and ID3v2.3/2.4 text frames (size encodings,
+    UTF-8/UTF-16), plus the no-metadata and error contracts."""
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    for bo in ("<", ">"):
+        e = mc.jpeg_exif(_exif_jpeg(orientation=6, make="ACME", bo=bo))
+        assert e == {"make": "ACME", "orientation": 6,
+                     "datetime": "2024:01:02 03:04:05"}, (bo, e)
+
+    # stripped JPEG: empty dict, not an error
+    jpg = (b"\xff\xd8\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+           + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+           + b"\x01\x01\x11\x00" + b"\xff\xd9")
+    assert mc.jpeg_exif(jpg) == {}
+
+    t4 = mc.id3v2_tags(_id3_mp3(4))
+    assert t4 == {"title": "Song", "artist": "Band"}
+    t3 = mc.id3v2_tags(_id3_mp3(3, (("TALB", "LP"), ("TYER", "1999"))))
+    assert t3 == {"album": "LP", "date": "1999"}
+    # UTF-16 with BOM (encoding byte 1)
+    import struct as _s
+    data = b"\x01" + "Tïtle".encode("utf-16")
+    body = b"TIT2" + bytes([0, 0, 0, len(data)]) + b"\x00\x00" + data
+    n = len(body)
+    raw = (b"ID3\x04\x00\x00"
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F]) + body)
+    assert mc.id3v2_tags(raw) == {"title": "Tïtle"}
+
+    with pytest.raises(NotImplementedError):
+        mc.id3v2_tags(b"\xff\xfb\x90\x00")  # tagless audio
+    with pytest.raises(ValueError):
+        bad = bytearray(_id3_mp3(4))
+        bad[6] = 0xFF  # non-syncsafe tag size
+        mc.id3v2_tags(bytes(bad))
+    # the MP3 frame walk still reads the tagged payload
+    assert mc.parse_mp3(_id3_mp3(4))["n_samples"] == 1152
+
+
+def test_extract_media_metadata_wrapper(spark):
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_metadata,
+    )
+
+    rows = [
+        (1, _exif_jpeg(orientation=8), {"kind": "image", "n_bytes": None}),
+        (2, _id3_mp3(4), {"kind": "audio", "n_bytes": None}),
+        (3, b"P6 1 1 255  ", {"kind": "image", "n_bytes": None}),  # no rows
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r.media_id, r.key): (r.source, r.value)
+           for r in extract_media_metadata(media).collect()}
+    assert got[(1, "orientation")] == ("exif", "8")
+    assert got[(1, "make")] == ("exif", "ACME")
+    assert got[(2, "title")] == ("id3", "Song")
+    assert got[(2, "artist")] == ("id3", "Band")
+    assert not any(mid == 3 for mid, _ in got)
+
+
 def test_pcm_window_features_exact():
     """Windowed RMS/ZCR/peak over PCM: exact integer expectations on
     hand-computed windows, stereo integer-mean downmix, 8-bit
