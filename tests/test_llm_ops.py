@@ -1850,6 +1850,61 @@ def test_extract_media_metadata_wrapper(spark):
     assert not any(mid == 3 for mid, _ in got)
 
 
+def test_multimodal_pipeline_composition(spark):
+    """The real multimodal ops compose: concatenated netpbm stream →
+    split_media_frames → resize_media → image_channel_stats, with
+    EXACT invariants — integer-factor NN upscale duplicates every
+    pixel k² times, so per-channel means/min/max are IDENTICAL to the
+    source frame's; each split frame re-decodes to its own
+    geometry."""
+    import pyspark.sql.functions as F
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        image_channel_stats,
+        resize_media,
+        split_media_frames,
+    )
+
+    f1 = b"P6\n2 2\n255\n" + bytes([10, 0, 0, 250, 0, 0,
+                                    10, 100, 0, 250, 100, 200])
+    f2 = b"P6\n3 1\n255\n" + bytes([5, 5, 5, 10, 10, 10, 30, 30, 30])
+    media = spark.createDataFrame(
+        [(7, f1 + f2, {"kind": "video", "n_bytes": None})], MEDIA_SCHEMA
+    )
+    frames = split_media_frames(media, max_frames=8)
+    fmedia = frames.select(
+        F.col("frame_idx").cast("long").alias("media_id"),
+        F.col("frame").alias("payload"),
+        F.struct(F.lit("image").alias("kind"),
+                 F.lit(None).cast("long").alias("n_bytes")).alias("meta"),
+    )
+    resized = resize_media(fmedia, 6, 6)  # 2x2->6,6 and 3x1->6,6
+    stats = {
+        (r.media_id, r.channel): r
+        for r in image_channel_stats(resized).collect()
+    }
+    # frame 0 is a 3x upscale of 2x2 (integer factor both axes):
+    # means must equal the source's exactly
+    src0 = mc.netpbm_channel_stats(f1)
+    for c in range(3):
+        assert stats[(0, c)].mean == src0[c]["mean"], c
+        assert stats[(0, c)].min_val == src0[c]["min"]
+        assert stats[(0, c)].max_val == src0[c]["max"]
+    # frame 1 (3x1 -> 6x6): 2x/6x integer factors, same invariant
+    src1 = mc.netpbm_channel_stats(f2)
+    for c in range(3):
+        assert stats[(1, c)].mean == src1[c]["mean"], c
+    # every split frame re-decodes to its resized geometry
+    from rust_dms_cdc_operator_spark.functions.multimodal import (
+        decode_media_features,
+    )
+
+    dec = decode_media_features(resized).collect()
+    assert {(r.width, r.height) for r in dec} == {(6, 6)}
+
+
 def test_pcm_window_features_exact():
     """Windowed RMS/ZCR/peak over PCM: exact integer expectations on
     hand-computed windows, stereo integer-mean downmix, 8-bit
