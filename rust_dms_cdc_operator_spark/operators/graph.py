@@ -78,6 +78,40 @@ def connected_components(
         .persist()
     )
     try:
+        # FAST PATH: if the RAW edge list already fits the same
+        # bounded driver collect the contracted path is allowed (≤
+        # driver_threshold edges, a few MB), union-find it directly.
+        # The label/jump/contract machinery exists to SHRINK a big
+        # graph down to that bound — when the input is already under
+        # it, the machinery is ~6 fixed scheduler jobs spent
+        # shrinking nothing (measured 15 s → 3 s on the sf0.1
+        # embedding near-dup graph, 277 edges). The count also
+        # materializes the persist the slow path needs anyway, and
+        # comp = min member is algorithm-independent, so both paths
+        # return identical rows.
+        n_sym = sym.count()
+        if n_sym <= 2 * driver_threshold:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in sym.collect():
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comp_min: dict[int, int] = {}
+            for node in parent:
+                root = find(node)
+                comp_min[root] = min(comp_min.get(root, node), node)
+            rows = [(n, comp_min[find(n)]) for n in parent]
+            return edges.sparkSession.createDataFrame(
+                rows, "node long, comp long"
+            )
         # level-0 round: node's label = min(self, direct neighbors).
         # This is a FOREST: following comp pointers always ends at a
         # local-minimum node (comp(r) == r).
