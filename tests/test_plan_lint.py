@@ -80,6 +80,38 @@ def test_bnlj_only_on_allowlist(plans):
     assert offenders == [], offenders
 
 
+def test_no_hof_in_join_conditions(plans):
+    """No interpreted higher-order function (aggregate/zip_with/
+    transform over arrays) may appear inside a join condition.
+    Catalyst pushes a post-join filter over such an expression into
+    the join predicate, PREPENDED to the cheap conjuncts — so the
+    HOF evaluates on every joined row instead of the survivors (the
+    round-6 embedding_neardup_pairs find: the cosine ran on 400k
+    block-joined rows instead of 4.9k gap survivors, 6x the query
+    cost). The fix is structural — generate candidates narrow and
+    attach the arrays by id ABOVE the join — so a regression here
+    means a new query re-inlined payload arrays into candidate
+    generation.
+
+    The flagged shape is precisely the MIXED condition: an HOF
+    sharing one join condition with cheap range conjuncts (an
+    ``<`` / id-gap bound) — that is candidate generation evaluating
+    the expensive expression pre-prune. An HOF ALONE in a fetch
+    join's condition (narrow-then-fetch's top join) evaluates once
+    per already-pruned candidate and is fine."""
+    hof_markers = ("zip_with(", "aggregate(transform(")
+    offenders = []
+    for name, plan in plans.items():
+        for line in plan.splitlines():
+            stripped = line.strip()
+            if not stripped.startswith("Join condition:"):
+                continue
+            if any(m in stripped for m in hof_markers) and " < " in stripped:
+                offenders.append((name, stripped[:120]))
+                break
+    assert offenders == [], offenders
+
+
 def test_allowlist_not_stale(plans):
     """Every allowlisted query still exists and still uses a BNLJ —
     prune the list when a plan improves."""
