@@ -2078,6 +2078,72 @@ def test_parse_mp3_property_random_frame_walks():
     check()
 
 
+def test_mediacodec_transforms_fuzz_exception_contract():
+    """The same poison-pill contract for every NON-decode codec
+    entry point added in round 6 (transforms, censuses, metadata):
+    each is wrapped by an Arrow batch loop that catches ONLY
+    UnknownMediaError/ValueError/struct.error — an IndexError
+    escaping a truncated-input walk would kill the whole task.
+    Seeded fuzz: valid-prefix + garbage, random truncations of VALID
+    payloads (the nastiest real-world case), and pure noise, against
+    all ten entry points."""
+    import random
+    import struct
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    entry_points = [
+        lambda p: mc.resize_netpbm(p, 3, 3),
+        lambda p: mc.resample_wav(p, 16000, mono=True),
+        lambda p: mc.split_netpbm_stream(p, max_frames=4),
+        lambda p: mc.pcm_window_features(p, window_ms=10),
+        lambda p: mc.netpbm_channel_stats(p),
+        lambda p: mc.gif_frame_census(p),
+        lambda p: mc.png_animation_census(p),
+        lambda p: mc.tiff_page_census(p),
+        lambda p: mc.jpeg_exif(p),
+        lambda p: mc.id3v2_tags(p),
+    ]
+    valid = [
+        b"P6\n2 2\n255\n" + bytes(range(12)),
+        b"P5 3 1 65535 " + bytes(6),
+        _golden_wav(),
+        _gif(2, loop=0, delays=[1, 1]),
+        _apng(2, 0, [5, 5]),
+        _multi_tiff("<", 3),
+        _multi_tiff(">", 2),
+        _exif_jpeg(),
+        _id3_mp3(4),
+        _id3_mp3(3),
+    ]
+    magics = [
+        b"P6", b"P5", b"RIFF", b"RIFFxxxxWAVE", b"GIF89a",
+        b"\x89PNG\r\n\x1a\n", b"II*\x00", b"MM\x00*", b"\xff\xd8",
+        b"ID3", b"",
+    ]
+    rng = random.Random(99)
+    for _ in range(8000):
+        mode = rng.random()
+        if mode < 0.45:
+            payload = rng.choice(magics) + bytes(
+                rng.getrandbits(8) for _ in range(rng.randint(0, 80))
+            )
+        elif mode < 0.85:
+            v = rng.choice(valid)
+            payload = v[: rng.randint(0, len(v))]  # truncation
+        else:
+            v = bytearray(rng.choice(valid))  # random corruption
+            for _ in range(rng.randint(1, 4)):
+                if v:
+                    v[rng.randrange(len(v))] = rng.getrandbits(8)
+            payload = bytes(v)
+        for fn in entry_points:
+            try:
+                fn(payload)
+            except (NotImplementedError, ValueError, struct.error):
+                pass  # the contract: only these may surface
+
+
 def test_mediacodec_fuzz_exception_contract():
     """Poison-pill contract: decode() may reject garbage ONLY with the
     exception types the Arrow batch loop catches (UnknownMediaError/
