@@ -987,12 +987,19 @@ def id3v2_tags(payload: bytes) -> dict:
     encodings 0/1/2/3 (latin-1, UTF-16 BOM, UTF-16BE, UTF-8) all
     decoded. Returns the frames found from
     :data:`_ID3_TEXT_FRAMES` (empty for tagless audio); payloads
-    without an ID3v2 header raise."""
+    without an ID3v2 header raise, and ID3v2.2 (3-byte frame layout)
+    is refused with :class:`UnknownMediaError` rather than misread."""
     if payload[:3] != b"ID3":
         raise UnknownMediaError("no ID3v2 header")
     if len(payload) < 10:
         raise ValueError("truncated ID3v2 header")
     version = payload[3]
+    if version < 3:
+        # v2.2 frames use 3-byte IDs + 3-byte sizes; walking them with
+        # the 4-byte v2.3/2.4 layout reads garbage and silently returns
+        # wrong/empty metadata. Honest refusal, like Layer I/II MP3 and
+        # non-PCM WAV — never a fabricated answer.
+        raise UnknownMediaError(f"ID3v2.{version} unsupported (need >=2.3)")
     sz = payload[6:10]
     if any(b & 0x80 for b in sz):
         raise ValueError("ID3v2 size bytes are not syncsafe")

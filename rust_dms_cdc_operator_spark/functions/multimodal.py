@@ -261,7 +261,7 @@ def resample_audio_media(
             if p is not None and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                 try:
                     return mediacodec.resample_wav(p, rate, mono=mono)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct_error):
                     pass
             return p
 

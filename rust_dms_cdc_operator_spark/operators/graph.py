@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 DRIVER_UF_THRESHOLD = 200_000
@@ -109,9 +110,20 @@ def connected_components(
                 root = find(node)
                 comp_min[root] = min(comp_min.get(root, node), node)
             rows = [(n, comp_min[find(n)]) for n in parent]
-            return edges.sparkSession.createDataFrame(
-                rows, "node long, comp long"
+            # schema derives from the INPUT edge type (union of src/dst
+            # already coerced them to a common type), so int/string node
+            # ids get the same output schema the distributed path would
+            # produce — which path the edge count selects must never be
+            # observable. Python min()/max() on str matches F.least's
+            # lexicographic order, so values agree too.
+            node_type = sym.schema["a"].dataType
+            out_schema = T.StructType(
+                [  # nullable=True: what groupBy/join infer distributed
+                    T.StructField("node", node_type, True),
+                    T.StructField("comp", node_type, True),
+                ]
             )
+            return edges.sparkSession.createDataFrame(rows, out_schema)
         # level-0 round: node's label = min(self, direct neighbors).
         # This is a FOREST: following comp pointers always ends at a
         # local-minimum node (comp(r) == r).

@@ -200,3 +200,28 @@ def test_label_propagation_matches_python_replay(spark):
             nxt[v] = best
         labels = nxt
     assert got == labels
+
+
+def test_cc_schema_identical_across_paths(spark):
+    """Which path the edge count selects (driver union-find fast path
+    vs distributed contraction) must never be observable: the output
+    schema derives from the INPUT edge column type on both paths —
+    long, int, and string node ids all round-trip (ADVICE r6: the fast
+    path used to hardcode `node long, comp long`)."""
+    for ddl, edges, want in [
+        ("id_a long, id_b long", [(2, 1), (3, 2)], {1: 1, 2: 1, 3: 1}),
+        ("id_a int, id_b int", [(2, 1), (3, 2)], {1: 1, 2: 1, 3: 1}),
+        (
+            "id_a string, id_b string",
+            [("b", "a"), ("c", "b"), ("z", "y")],
+            {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"},
+        ),
+    ]:
+        df = spark.createDataFrame(edges, ddl)
+        fast = connected_components(df)  # 2-3 edges → driver path
+        slow = connected_components(df, driver_threshold=0)  # forced
+        assert fast.schema == slow.schema
+        in_type = df.schema["id_a"].dataType
+        assert [f.dataType for f in fast.schema.fields] == [in_type] * 2
+        assert {r.node: r.comp for r in fast.collect()} == want
+        assert {r.node: r.comp for r in slow.collect()} == want

@@ -2171,3 +2171,77 @@ def test_mediacodec_fuzz_exception_contract():
             mc.decode(payload)
         except (NotImplementedError, ValueError, struct.error):
             pass  # the contract: only these may surface
+
+
+def test_multimodal_wrapper_fuzz_poison_pills(spark):
+    """Wrapper-level poison-pill gate: the Spark `mapInPandas` wrappers
+    themselves (not just the mediacodec entry points they call) must
+    survive any byte sequence. Round 6's entry-point fuzz missed a
+    wrapper/codec catch-tuple mismatch: resample_audio_media caught
+    only (NotImplementedError, ValueError) while resample_wav raises
+    struct.error on a truncated fmt chunk — one bad row would have
+    killed a whole 100 TB task. This gate pushes a corpus of valid
+    payloads, their truncations (every fmt-chunk-relevant cut of a
+    valid WAV included explicitly), and magic-prefixed garbage through
+    EVERY multimodal wrapper and asserts each job completes."""
+    import random
+    import struct
+
+    from rust_dms_cdc_operator_spark.functions import multimodal as mm
+
+    wav = _golden_wav()
+    fmt_at = wav.index(b"fmt ")
+    corpus = [wav[:fmt_at + 8 + k] for k in range(0, 17)]  # fmt-body cuts
+    valid = [
+        wav,
+        b"P6\n2 2\n255\n" + bytes(range(12)),
+        _gif(2, loop=0, delays=[1, 1]),
+        _apng(2, 0, [5, 5]),
+        _multi_tiff("<", 2),
+        _exif_jpeg(),
+        _id3_mp3(4),
+        _golden_png(),
+    ]
+    magics = [
+        b"P6", b"P5", b"RIFF", b"RIFFxxxxWAVE", b"GIF89a",
+        b"\x89PNG\r\n\x1a\n", b"II*\x00", b"MM\x00*", b"\xff\xd8",
+        b"ID3", b"BM", b"",
+    ]
+    rng = random.Random(7)
+    for _ in range(150):
+        mode = rng.random()
+        if mode < 0.4:
+            corpus.append(rng.choice(magics) + bytes(
+                rng.getrandbits(8) for _ in range(rng.randint(0, 60))))
+        elif mode < 0.8:
+            v = rng.choice(valid)
+            corpus.append(v[: rng.randint(0, len(v))])
+        else:
+            v = bytearray(rng.choice(valid))
+            for _ in range(rng.randint(1, 4)):
+                if v:
+                    v[rng.randrange(len(v))] = rng.getrandbits(8)
+            corpus.append(bytes(v))
+    corpus.extend(valid + [None])
+    rows = [
+        (i, p, {"kind": "blob", "n_bytes": len(p) if p else 0})
+        for i, p in enumerate(corpus)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).coalesce(4)
+    media.persist()
+    wrappers = [
+        lambda df: mm.decode_media_features(df),
+        lambda df: mm.extract_media_features(df),
+        lambda df: mm.resize_media(df, 3, 3),
+        lambda df: mm.resample_audio_media(df, 16000, mono=True),
+        lambda df: mm.audio_window_features(df, window_ms=10),
+        lambda df: mm.image_channel_stats(df),
+        lambda df: mm.gif_animation_census(df),
+        lambda df: mm.extract_media_metadata(df),
+        lambda df: mm.multi_image_census(df),
+        lambda df: mm.split_media_frames(df, max_frames=3),
+        lambda df: mm.sample_frames(df, every_n_bytes=64),
+    ]
+    for wrap in wrappers:
+        assert wrap(media).count() >= 0  # completing IS the assertion
+    media.unpersist()

@@ -1281,3 +1281,48 @@ def test_stream_stream_join_across_batches(spark, tmp_path):
     q.awaitTermination()
     got = [(r.click_id, r.purchase_id) for r in spark.read.parquet(str(out)).collect()]
     assert got == [(1, 3)], got  # cross-batch pair joined; out-of-bound pair not
+
+
+def test_cms_accumulate_corrupt_accumulator_fails_loudly(spark, tmp_path):
+    """The streaming CMS accumulator's first-batch detection is an
+    explicit existence probe, never try/except-as-control-flow (r6
+    verdict): a healthy run merges batches exactly (2+3 occurrences of
+    'a' estimate as 5), and a CORRUPT accumulator part file fails the
+    microbatch loudly — silently resetting the sketch would undercount
+    every key seen before the crash."""
+    import pytest
+
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        cms_accumulate,
+        cms_estimate,
+    )
+
+    acc = str(tmp_path / "acc")
+    b1 = spark.createDataFrame([("a",), ("a",), ("b",)], "word string")
+    b2 = spark.createDataFrame([("a",), ("a",), ("a",)], "word string")
+    cms_accumulate(b1, acc, "word", width=64)
+    cms_accumulate(b2, acc, "word", width=64)
+    probes = spark.createDataFrame([("a",), ("b",)], "word string")
+    est = {
+        r.word: r.cms_count
+        for r in cms_estimate(
+            spark.read.parquet(acc), probes, "word", width=64
+        ).collect()
+    }
+    assert est["a"] == 5 and est["b"] == 1  # merged, not reset
+
+    # corrupt the accumulator: the next microbatch must raise, and the
+    # (corrupt) accumulator must NOT be silently overwritten
+    import os
+
+    part = next(
+        os.path.join(acc, n)
+        for n in os.listdir(acc)
+        if n.startswith("part-")
+    )
+    with open(part, "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        cms_accumulate(b1, acc, "word", width=64)
+    with open(part, "rb") as fh:
+        assert fh.read() == b"not a parquet file"  # left for forensics
