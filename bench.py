@@ -163,6 +163,13 @@ SCALE_QUERIES = [
     # not a plan defect); the cap bounds that to the keyed sample
     "dedup_containment_capped",
     "dedup_jaccard_capped",
+    # round-7: the EXACT scale-safe replacements — prefix-filter
+    # (PPJoin-style) complete censuses; candidate volume is bounded by
+    # the threshold (rarest-token prefixes), not the vocabulary, so
+    # the exact form now runs at sf1 where the LSH-census form cliffed
+    # (measured: 30 s vs 383 s for the full exact containment census)
+    "dedup_containment_prefix",
+    "dedup_jaccard_prefix",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -734,3 +734,260 @@ def simhash_hamming_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_distance)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter (PPJoin-style) EXACT set-similarity self-join
+# ---------------------------------------------------------------------------
+# The LSH verify stages above are candidate-volume-bound on adversarial
+# vocabularies (LSH proposes ~16% of ALL pairs on the synthetic corpus;
+# the documented 383 s containment cliff at native sf1), and the budget
+# cap degrades them to a census SAMPLE. Prefix filtering is the exact
+# fix: order every doc's shingles by GLOBAL frequency (rarest first);
+# a pair can reach the similarity threshold only if the two docs share
+# a token inside small per-doc PREFIXES (pigeonhole: if all of A's
+# first |A|-c+1 tokens miss B, at most c-1 remain to overlap — Xiao,
+# Wang, Lin & Yu, "Efficient Similarity Joins for Near Duplicate
+# Detection", WWW 2008). Candidate volume is bounded by the threshold
+# (prefix ~ (1-t)|A| of the RAREST tokens), not by the vocabulary —
+# and the result is COMPLETE + exact: every qualifying pair, no
+# sampling, no LSH luck.
+
+
+def _frac(threshold: float) -> tuple[int, int]:
+    """Threshold as an exact small rational (9/10, 4/5, ...) so prefix
+    lengths and verify filters run in INTEGER arithmetic on every
+    engine — float ceil(0.9*sz) can land one off across engines, which
+    silently breaks the completeness bound."""
+    from fractions import Fraction  # noqa: PLC0415
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    if not 0 < fr <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return fr.numerator, fr.denominator
+
+
+def _ranked_shingles(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hash_shingles: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle-array table, globally-frequency-ranked token table).
+
+    The ranked table has one row per (doc, token) with the doc's set
+    size ``sz`` and the token's rank ``rn`` under the global order
+    (document frequency ASC, token ASC) — the canonical prefix-filter
+    ordering: rarest tokens first means prefixes join on the least
+    populated inverted-index slots. Plan shape: one vocabulary-sized
+    groupBy for document frequencies, one token-key join to attach
+    them (AQE handles hot-token skew), one doc-key window sort for
+    ranks — all linear shuffles; both returned frames are persisted
+    and consumed multiple times by the join stages (the caller owns
+    cache lifetime, same contract as the verify stages above)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    mk = hashed_shingle_set if hash_shingles else shingle_set
+    s = docs.select(
+        F.col(id_col), mk(F.col(text_col), n).alias("sh")
+    ).persist()
+    tok = s.select(
+        F.col(id_col),
+        F.size("sh").alias("sz"),
+        F.explode("sh").alias("tok"),
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "tok")
+    ranked = (
+        tok.join(freq, "tok")
+        .select(
+            F.col(id_col),
+            "tok",
+            "sz",
+            F.row_number().over(w).alias("rn"),
+        )
+        .persist()
+    )
+    return s, ranked
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard self-join at threshold ``min_jaccard``:
+    every pair (id_a < id_b) with J = |A∩B|/|A∪B| ≥ t, via prefix
+    filtering — no LSH proposal stage, so no probabilistic misses and
+    no candidate-volume cliff. Output schema matches
+    :func:`jaccard_verify_pairs`: (id_a, id_b, inter_size,
+    union_size).
+
+    Candidate generation: both docs keep only their first
+    |X| - ⌈t·|X|⌉ + 1 tokens in the global rarity order (valid because
+    J ≥ t forces overlap ≥ ⌈t·max(|A|,|B|)⌉ for both orientations);
+    prefixes equi-join on the token. Three exact-safe filters run
+    INSIDE the join before the pair ever exists: the size filter
+    (t·max ≤ min), the positional filter (at a match on ranks
+    (i, j), overlap ≤ 1 + min(|A|-i, |B|-j) must still reach the
+    pair's overlap bound ⌈t/(1+t)·(|A|+|B|)⌉ — kept if ANY matching
+    token row passes, and a qualifying pair's FIRST common token
+    always passes, so completeness holds), and id_a < id_b. A
+    groupBy(id_a, id_b) dedups multi-token matches, then the standard
+    exact verify joins the shingle arrays by id. All arithmetic is
+    integer (threshold as an exact rational), so the same census is
+    bit-reproducible on any engine.
+
+    Scale: shuffles are (vocab groupBy) + (token join) + (doc window)
+    + (prefix-token join) + (pair groupBy) + 2 id-key verify joins —
+    every one linear in its input; the quadratic-risk join touches
+    only prefix tokens, whose inverted-index slots are the RAREST
+    ~(1-t) fraction of each doc. Empty shingle sets never pair
+    (similarity is undefined on them; explode drops them)."""
+    num, den = _frac(min_jaccard)
+    s, ranked = _ranked_shingles(docs, id_col, text_col, n, hash_shingles)
+    plen = F.col("sz") - F.expr(
+        f"(({num} * sz + {den - 1}) div {den})"
+    ) + 1
+    pref = ranked.filter(F.col("rn") <= plen)
+    a = pref.select(
+        F.col(id_col).alias("id_a"),
+        "tok",
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"),
+        "tok",
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    # pair-level overlap bound c = ceil(num*(sz_a+sz_b) / (den+num))
+    c = F.expr(
+        f"(({num} * (sz_a + sz_b) + {den + num - 1}) div {den + num})"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b") * den
+            >= F.greatest("sz_a", "sz_b") * num
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("rn_a"),
+                F.col("sz_b") - F.col("rn_b"),
+            )
+            >= c
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sz_a"))  # dedup multi-token matches
+        .select("id_a", "id_b")
+    )
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_size"),
+            union.cast("long").alias("union_size"),
+        )
+        .filter(F.col("inter_size") * den >= F.col("union_size") * num)
+    )
+
+
+def prefix_containment_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.9,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """EXACT all-pairs containment self-join at ``min_containment``:
+    every pair with C = |A∩B|/min(|A|,|B|) ≥ t — the excerpt/quote/
+    boilerplate detector — via an ASYMMETRIC prefix filter. Output
+    (id_a, id_b, inter_size, size_a, size_b) with id_a the SMALLER
+    set (ties by id): containment is only bounded by the smaller
+    side's size, so the smaller doc is the probe — it keeps its
+    |A| - ⌈t·|A|⌉ + 1 rarest tokens — and the larger doc is the
+    INDEX side contributing ALL its tokens (a prefix on the large
+    side would need the partner's size, which no self-join side
+    knows up front; indexing everything is the standard complete
+    construction for overlap-over-min similarity). The positional
+    filter and integer arithmetic work as in
+    :func:`prefix_jaccard_join` with c = ⌈t·|A|⌉.
+
+    This replaces the budget-capped SAMPLE as the scale-safe default:
+    same exact census as the uncapped verify, candidate volume bound
+    by Σ_tok prefix_count(tok)·doc_count(tok) — prefix occupancy of
+    hot tokens is intrinsically low (a frequent token lands in a
+    prefix only when a doc has almost nothing rarer), which is the
+    whole point of the rarity order. No size prepass EXISTS for
+    containment; the prefix bound is what makes the exact form
+    survive adversarial vocabularies."""
+    num, den = _frac(min_containment)
+    s, ranked = _ranked_shingles(docs, id_col, text_col, n, hash_shingles)
+    plen = F.col("sz") - F.expr(
+        f"(({num} * sz + {den - 1}) div {den})"
+    ) + 1
+    a = ranked.filter(F.col("rn") <= plen).select(
+        F.col(id_col).alias("id_a"),
+        "tok",
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = ranked.select(  # index side: ALL tokens
+        F.col(id_col).alias("id_b"),
+        "tok",
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    c = F.expr(f"(({num} * sz_a + {den - 1}) div {den})")
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("sz_a") < F.col("sz_b"))
+            | (
+                (F.col("sz_a") == F.col("sz_b"))
+                & (F.col("id_a") < F.col("id_b"))
+            )
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("rn_a"),
+                F.col("sz_b") - F.col("rn_b"),
+            )
+            >= c
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sz_a"))
+        .select("id_a", "id_b")
+    )
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_size"),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
+        .filter(
+            F.col("inter_size") * den
+            >= F.least("size_a", "size_b") * num
+        )
+    )

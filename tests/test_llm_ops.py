@@ -2245,3 +2245,131 @@ def test_multimodal_wrapper_fuzz_poison_pills(spark):
     for wrap in wrappers:
         assert wrap(media).count() >= 0  # completing IS the assertion
     media.unpersist()
+
+
+def _brute_setsim(spark, docs, t, mode):
+    """Python replay of the exact set-similarity census using the
+    engine's own shingle construction — the ground truth the prefix
+    filter must reproduce COMPLETELY (not a superset test: equality)."""
+    import itertools
+    from fractions import Fraction
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        hashed_shingle_set,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", hashed_shingle_set(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    fr = Fraction(t).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+    out = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        A, B = sh[a], sh[b]
+        if not A or not B:
+            continue
+        inter = len(A & B)
+        if mode == "jaccard":
+            union = len(A | B)
+            if inter * den >= union * num:
+                out.add((a, b, inter, union))
+        else:
+            if inter * den >= min(len(A), len(B)) * num:
+                ia, ib = (
+                    (a, b) if (len(A), a) < (len(B), b) else (b, a)
+                )
+                out.add((ia, ib, inter, len(sh[ia]), len(sh[ib])))
+    return out
+
+
+def test_prefix_joins_equal_brute_force(spark):
+    """Completeness + exactness of the PPJoin-style prefix filter:
+    both joins EQUAL the all-pairs brute force (set equality — no
+    LSH-style recall slack) on a seeded corpus of near-dups, excerpts
+    (the containment shape Jaccard misses), and unrelated docs, at
+    three thresholds including a boundary-exact tie."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        prefix_containment_join,
+        prefix_jaccard_join,
+    )
+
+    rng = random.Random(4321)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(35):
+        base = rng.sample(vocab, rng.randint(3, 12))
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.6:
+            v = list(base)
+            if rng.random() < 0.5 and len(v) > 4:
+                v = v[: rng.randint(2, len(v) - 1)]  # excerpt
+            if rng.random() < 0.5:
+                v[rng.randrange(len(v))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(v)))
+    docs += [(900, docs[0][1]), (901, docs[0][1])]  # identical dups
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.9, 0.8, 0.5):
+        got_j = {
+            (r.id_a, r.id_b, r.inter_size, r.union_size)
+            for r in prefix_jaccard_join(df, min_jaccard=t).collect()
+        }
+        assert got_j == _brute_setsim(spark, docs, t, "jaccard"), t
+        got_c = {
+            (r.id_a, r.id_b, r.inter_size, r.size_a, r.size_b)
+            for r in prefix_containment_join(
+                df, min_containment=t
+            ).collect()
+        }
+        assert got_c == _brute_setsim(spark, docs, t, "containment"), t
+    spark.catalog.clearCache()
+
+
+def test_prefix_containment_superset_of_lsh_census(spark):
+    """The prefix containment census is exact and COMPLETE, so the
+    LSH-proposed census (dedup_containment's shape) must be a subset
+    of it — LSH can only miss pairs, never find extras the complete
+    census lacks."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        containment_verify_pairs,
+        minhash_lsh_pairs,
+        prefix_containment_join,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in containment_verify_pairs(
+            minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2),
+            d, "doc_id", "text", n=3, min_containment=0.9,
+            hash_shingles=True,
+        ).collect()
+    }
+    full = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in prefix_containment_join(
+            d, "doc_id", "text", n=3, min_containment=0.9,
+            hash_shingles=True,
+        ).collect()
+    }
+    assert lsh <= full
+    spark.catalog.clearCache()
+
+
+def test_prefix_join_threshold_validation():
+    from rust_dms_cdc_operator_spark.operators.dedup import _frac
+
+    import pytest
+
+    assert _frac(0.9) == (9, 10)
+    assert _frac(0.8) == (4, 5)
+    assert _frac(1.0) == (1, 1)
+    with pytest.raises(ValueError):
+        _frac(0.0)
+    with pytest.raises(ValueError):
+        _frac(1.5)
