@@ -958,6 +958,7 @@ ORACLE_SQL: dict[str, str] = {
 from rust_dms_cdc_operator_spark.inventory_llm import (  # noqa: E402
     ORACLE_SQL_LLM,
     QUERIES_LLM,
+    oracle_sql_overrides,  # noqa: F401  (re-export: per-sf ANN oracles)
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

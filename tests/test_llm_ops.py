@@ -2373,3 +2373,33 @@ def test_prefix_join_threshold_validation():
         _frac(0.0)
     with pytest.raises(ValueError):
         _frac(1.5)
+
+
+def test_trained_registry_and_overrides():
+    """Per-sf trained-artifact registry: sf0.01 resolves to the python
+    constants the driver's static oracles embed; generated scales
+    resolve to their JSON; unknown tags resolve to None and produce
+    NO override (callers fall back to the static strings). The
+    re-rendered oracle for a generated scale embeds that scale's
+    centroids, not sf0.01's."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        oracle_sql_overrides,
+    )
+    from rust_dms_cdc_operator_spark.ivf_constants import (
+        _IVF_TRAINED_CENTROIDS_SF001,
+    )
+    from rust_dms_cdc_operator_spark.trained import load_ivf, load_pq
+
+    assert load_ivf("sf0.01") is _IVF_TRAINED_CENTROIDS_SF001
+    assert load_ivf("no-such-sf") is None and load_pq("no-such-sf") is None
+    assert oracle_sql_overrides("/root/testdata/sf0.01") == {}
+    assert oracle_sql_overrides("/tmp/no-such-sf") == {}
+
+    ov = oracle_sql_overrides("/root/testdata/sf0.1")
+    assert sorted(ov) == [
+        "sim_ivf_probe_partitioned", "sim_ivf_trained",
+        "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk", "sim_pq_topk",
+    ]
+    c01 = load_ivf("sf0.1")
+    assert c01 is not None and c01 != _IVF_TRAINED_CENTROIDS_SF001
+    assert str(c01[0][0]) in ov["sim_ivf_trained"]

@@ -6,15 +6,17 @@ canonical values. Usage:
     python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
 
 
-Caveat: five oracle rows embed sf0.01-trained artifact literals
-(``sim_ivf_trained`` / ``sim_ivf_probe_partitioned``: centroids,
-ivf_constants.py; ``sim_pq_topk`` / ``sim_ivfpq_topk`` /
-``sim_ivfpq_probe_partitioned``: PQ codebooks, pq_constants.py), so
-they hash-match ONLY at the driver's correctness scale (sf0.01) —
-running this tool with --sf-dir at another scale reports exactly
-those five as FAIL by design; every other oracle is
-scale-independent (full-sweep evidence: 126/131 at sf0.1, the five
-misses being precisely this list).
+Trained-artifact oracles are scale-parameterized (round 7): the five
+ANN oracles (``sim_ivf_trained`` / ``sim_ivf_probe_partitioned``:
+centroids; ``sim_pq_topk`` / ``sim_ivfpq_topk`` /
+``sim_ivfpq_probe_partitioned``: PQ codebooks) embed the sf0.01
+artifacts in their static driver strings, and at any other --sf-dir
+this tool re-renders them from the per-sf trained/ JSON registry
+(``inventory_llm.oracle_sql_overrides``; regenerate artifacts with
+tools/gen_ivf_centroids.py / gen_pq_codebooks.py <sf_dir>). With
+artifacts generated (sf0.001 / sf0.1 / spark-graft-sf1-native are
+committed) all five hash-match at every scale — zero by-design
+exclusions remain in the sweep.
 """
 
 from __future__ import annotations
@@ -92,6 +94,18 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    # per-scale trained-artifact oracles: the five ANN oracles embed
+    # sf0.01-trained literals in their static driver strings; at any
+    # other --sf-dir, re-render them from the trained/ registry (if
+    # generated for that tag) so the sweep is scale-independent
+    from rust_dms_cdc_operator_spark.inventory import (
+        oracle_sql_overrides,
+    )
+
+    overrides = oracle_sql_overrides(args.sf_dir)
+    if overrides:
+        print(f"(per-sf trained oracles: {sorted(overrides)})")
+        oracles = {**oracles, **overrides}
     names = args.names or list(queries)
     failures = []
     for name in names:

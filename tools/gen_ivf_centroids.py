@@ -24,16 +24,27 @@ from rust_dms_cdc_operator_spark.session import get_spark
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="gen-ivf-centroids")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         (F.col("vec_id") > 0) & (F.col("vec_id") <= 2048)
     )
     cents = train_ivf_centroids(e, "embedding", n_lists=8, seed=42)
-    print("_IVF_TRAINED_CENTROIDS_SF001 = [")
-    for c in cents:
-        print(f"    {c},")
-    print("]")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag == "sf0.01":
+        # the driver scale keeps python constants (static oracle string)
+        print("_IVF_TRAINED_CENTROIDS_SF001 = [")
+        for c in cents:
+            print(f"    {c},")
+        print("]")
+    else:
+        # every other scale goes to the trained/ JSON registry that
+        # inventory_llm.oracle_sql_overrides() renders per-sf oracles from
+        from rust_dms_cdc_operator_spark.trained import save
+
+        print("wrote", save("ivf", tag, cents))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,15 @@ def main() -> None:
         (F.col("vec_id") > 0) & (F.col("vec_id") <= 2048)
     )
     books = train_pq_codebooks(e, "embedding", m=8, n_codes=16, seed=42)
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag != "sf0.01":
+        # non-driver scales: trained/ JSON registry for per-sf oracles
+        from rust_dms_cdc_operator_spark.trained import save
+
+        print("wrote", save("pq", tag, books))
+        return
     out = [
         '"""Seed-42 PQ codebooks (8 subspaces x 16 codes, int8 grid) for',
         "the sf0.01 embeddings table (0 < vec_id <= 2048) — regenerate",
