@@ -353,6 +353,27 @@ def q_v2_chunked_hash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunked_hash_diff(o, _mutated_orders(spark, sf_dir), ["o_orderkey"], 500)
 
 
+def q_v2_resume_from_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 with the reference's resumable ``start_position``
+    (dms-cdc-operator-client/src/main.rs:91-93, pgdatadiff's resume
+    knob): the diff restarts at row position 1000 — chunks below
+    position // chunk_size are skipped entirely — and reports EVERY
+    remaining chunk (only_mismatches=False), so the oracle checks
+    both the skip boundary and the match/mismatch flags after it.
+    Same single-pass grouped-rank plan as v2_chunked_hash_diff; the
+    filter on chunk_id sits above the aggregation, so resume is a
+    predicate, not a second scan."""
+    o = _t(spark, sf_dir, "orders")
+    return chunked_hash_diff(
+        o,
+        _mutated_orders(spark, sf_dir),
+        ["o_orderkey"],
+        chunk_size=500,
+        start_position=1000,
+        only_mismatches=False,
+    )
+
+
 # ---------------------------------------------------------------- V3
 def q_v3_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level drill-down: changed rows + source-only rows."""
@@ -802,6 +823,32 @@ ORACLE_SQL: dict[str, str] = {
                            AND source_rows = target_rows, FALSE)
         ORDER BY 1
     """,
+    "v2_resume_from_position": f"""
+        WITH mutated AS ({_MUTATED_ORDERS}),
+        s AS (
+          SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500)
+                      AS BIGINT) AS chunk_id,
+                 {_orders_row_md5('orders')} AS row_md5
+          FROM orders),
+        t AS (
+          SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500)
+                      AS BIGINT) AS chunk_id,
+                 {_orders_row_md5('mutated')} AS row_md5
+          FROM mutated),
+        sh AS (SELECT chunk_id, md5(string_agg(row_md5, '' ORDER BY row_md5)) AS source_hash,
+                      count(*) AS source_rows
+               FROM s GROUP BY chunk_id),
+        th AS (SELECT chunk_id, md5(string_agg(row_md5, '' ORDER BY row_md5)) AS target_hash,
+                      count(*) AS target_rows
+               FROM t GROUP BY chunk_id)
+        SELECT coalesce(sh.chunk_id, th.chunk_id) AS chunk_id,
+               source_hash, source_rows, target_hash, target_rows,
+               coalesce(source_hash = target_hash
+                        AND source_rows = target_rows, FALSE) AS chunks_match
+        FROM sh FULL JOIN th ON sh.chunk_id = th.chunk_id
+        WHERE coalesce(sh.chunk_id, th.chunk_id) >= 1000 // 500
+        ORDER BY 1
+    """,
     "v3_row_diff": f"""
         WITH mutated AS (
           SELECT * FROM ({_MUTATED_ORDERS}) WHERE o_orderkey % 501 <> 1)
@@ -977,6 +1024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_delete": q_d1_delete,
     "v1_count_diff": q_v1_count_diff,
     "v2_chunked_hash_diff": q_v2_chunked_hash_diff,
+    "v2_resume_from_position": q_v2_resume_from_position,
     "v3_row_diff": q_v3_row_diff,
     "c1_chunk_sizes": q_c1_chunk_sizes,
     "p9_geometry_rewrite": q_p9_geometry_rewrite,

@@ -56,3 +56,15 @@ def save(kind: str, tag: str, data) -> str:
     with open(path, "w") as fh:
         json.dump(data, fh)
     return path
+
+
+def load_bpe(tag: str):
+    """Trained BPE merge list for an sf tag, or None if not generated."""
+    if tag == "sf0.01":
+        from rust_dms_cdc_operator_spark.bpe_constants import (  # noqa: PLC0415
+            _BPE_MERGES_SF001,
+        )
+
+        return _BPE_MERGES_SF001
+    loaded = _load("bpe", tag)
+    return None if loaded is None else [tuple(m) for m in loaded]

@@ -146,3 +146,36 @@ def test_bpe_compression_monotone(corpus, spark):
         if prev is not None:
             assert n <= prev, (k, n, prev)
         prev = n
+
+
+def test_bpe_oracle_sql_matches_python_segmenter(spark):
+    """The docs_bpe_tokens oracle's recursive-CTE greedy apply must
+    reproduce bpe_segment_word EXACTLY — same rank-order rule, same
+    first-position tie-break — on adversarial words: unseen chars,
+    single chars, words where two different merge orders would give
+    different lengths if the tie rule were wrong."""
+    import duckdb
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        _bpe_tokens_oracle_sql,
+    )
+    from rust_dms_cdc_operator_spark.operators.bpe import (
+        bpe_segment_word,
+    )
+
+    merges = [("e", "r"), ("e", "</w>"), ("l", "l"), ("ll", "o"),
+              ("h", "e"), ("he", "llo"), ("r", "e</w>")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = ["hello", "here", "er", "x", "ll", "lll", "eeee", "rere"]
+    want = {w: len(bpe_segment_word(w, ranks)) for w in words}
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({i}, '{w}')" for i, w in enumerate(words))
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM (VALUES {rows}) "
+            "t(doc_id, text)")
+    got = dict(
+        con.sql(_bpe_tokens_oracle_sql(merges)).fetchall()
+    )
+    # one word per doc → doc count == word count
+    for i, w in enumerate(words):
+        assert got[i] == want[w], (w, got[i], want[w])
