@@ -67,10 +67,20 @@ def row_digest(df: DataFrame, cols: Sequence[str] | None = None) -> Column:
 
 
 def count_diff(source: DataFrame, target: DataFrame) -> DataFrame:
-    """V1: row-count equality, as a one-row DataFrame report."""
-    s = source.agg(F.count(F.lit(1)).alias("source_rows"))
-    t = target.agg(F.count(F.lit(1)).alias("target_rows"))
-    return s.crossJoin(t).withColumn(
+    """V1: row-count equality, as a one-row DataFrame report.
+
+    One tagged union + ONE global aggregation — no join at all (the
+    previous shape crossJoined two 1-row aggregates: correct and
+    O(1), but it kept a BroadcastNestedLoopJoin in the lint allowlist
+    for no benefit; a global agg always returns exactly one row, so
+    the union shape is strictly simpler)."""
+    u = source.select(F.lit(True).alias("_is_src")).unionByName(
+        target.select(F.lit(False).alias("_is_src"))
+    )
+    return u.agg(
+        F.count(F.when(F.col("_is_src"), 1)).alias("source_rows"),
+        F.count(F.when(~F.col("_is_src"), 1)).alias("target_rows"),
+    ).withColumn(
         "counts_match", F.col("source_rows") == F.col("target_rows")
     )
 

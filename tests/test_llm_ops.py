@@ -2397,6 +2397,7 @@ def test_trained_registry_and_overrides():
 
     ov = oracle_sql_overrides("/root/testdata/sf0.1")
     assert sorted(ov) == [
+        "docs_bpe_tokens",
         "sim_ivf_probe_partitioned", "sim_ivf_trained",
         "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk", "sim_pq_topk",
     ]

@@ -31,7 +31,6 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "q11_important_stock",      # scalar threshold subquery
     "q22_dormant_customers",    # scalar avg-balance subquery
-    "v1_count_diff",            # two scalar counts
     "sim_batch_topk",           # broadcast query-vector set (k rows)
     "dedup_triangle_stats",     # scalar edge/wedge/triangle totals
     "events_funnel",            # scalar stage totals
