@@ -1081,3 +1081,133 @@ def decode(payload: bytes) -> dict:
         "pillow (pixel access) or librosa/av (compressed audio/video "
         "sample access) to widen coverage"
     )
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                   b"udta", b"edts"}
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    payload[start:end]. Size 1 → 64-bit largesize follows the type;
+    size 0 → box extends to the end of the enclosing space; any other
+    size < 8 is corrupt. A box running past its enclosing space
+    raises — truncated uploads fail loudly, never walk garbage."""
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, off)
+        btype = payload[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("mp4 largesize runs past payload")
+            (size,) = struct.unpack_from(">Q", payload, body)
+            body += 8
+            if size < 16:
+                raise ValueError("mp4 largesize smaller than header")
+            box_end = off + size
+        elif size == 0:
+            box_end = end
+        elif size < 8:
+            raise ValueError(f"mp4 box size {size} smaller than header")
+        else:
+            box_end = off + size
+        if box_end > end:
+            raise ValueError("mp4 box runs past enclosing box")
+        yield btype, body, box_end
+        off = box_end
+    if off != end and end - off > 0:
+        # trailing bytes too small to hold a box header
+        raise ValueError("mp4 trailing garbage shorter than a box header")
+
+
+def _mp4_trak(payload: bytes, start: int, end: int) -> dict:
+    """One trak subtree: handler fourcc (hdlr, inside mdia) and the
+    tkhd 16.16 fixed-point display dimensions."""
+    out = {"handler": None, "width": None, "height": None}
+
+    def walk(s: int, e: int) -> None:
+        for btype, body, bend in _mp4_boxes(payload, s, e):
+            if btype == b"tkhd":
+                if payload[body] == 1:  # version 1: 64-bit times
+                    w_off = body + 4 + 8 + 8 + 4 + 4 + 8 + 8 + 8 + 36
+                else:
+                    w_off = body + 4 + 4 + 4 + 4 + 4 + 4 + 8 + 8 + 36
+                if w_off + 8 > bend:
+                    raise ValueError("tkhd too short for dimensions")
+                w, h = struct.unpack_from(">II", payload, w_off)
+                out["width"], out["height"] = w >> 16, h >> 16
+            elif btype == b"hdlr":
+                if body + 12 > bend:
+                    raise ValueError("hdlr too short for handler type")
+                out["handler"] = payload[body + 8 : body + 12].decode(
+                    "latin-1"
+                )
+            elif btype in _MP4_CONTAINERS:
+                walk(body, bend)
+
+    walk(start, end)
+    return out
+
+
+def mp4_box_census(payload: bytes) -> dict:
+    """REAL ISO-BMFF (MP4/MOV) container census from the box walk —
+    the metadata pass a video corpus runs BEFORE deciding what to
+    hand the (heavyweight, GPU-bound) frame decoder: brand, movie
+    duration from mvhd (duration/timescale), track inventory split
+    by hdlr handler (vide/soun), the first video track's tkhd
+    display dimensions, and total mdat payload bytes. Sample DECODE
+    is deliberately not attempted — compressed video needs av/ffmpeg
+    (UnknownMediaError elsewhere); the container structure itself is
+    plain length-prefixed boxes the stdlib walks exactly. Non-BMFF
+    payloads raise UnknownMediaError (the ftyp probe is the magic);
+    truncated/corrupt boxes raise ValueError/struct.error — the
+    poison-pill contract every census in this module keeps."""
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise UnknownMediaError("not an ISO-BMFF payload (no ftyp)")
+    major_brand = payload[8:12].decode("latin-1")
+    duration_ms = None
+    tracks: list[dict] = []
+    mdat_bytes = 0
+    for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if btype == b"mdat":
+            mdat_bytes += bend - body
+        elif btype == b"moov":
+            for itype, ibody, ibend in _mp4_boxes(payload, body, bend):
+                if itype == b"mvhd":
+                    if payload[ibody] == 1:
+                        if ibody + 4 + 16 + 12 > ibend:
+                            raise ValueError("mvhd v1 too short")
+                        (ts,) = struct.unpack_from(
+                            ">I", payload, ibody + 4 + 16
+                        )
+                        (dur,) = struct.unpack_from(
+                            ">Q", payload, ibody + 4 + 20
+                        )
+                    else:
+                        if ibody + 4 + 8 + 8 > ibend:
+                            raise ValueError("mvhd v0 too short")
+                        ts, dur = struct.unpack_from(
+                            ">II", payload, ibody + 12
+                        )
+                    if ts == 0:
+                        raise ValueError("mvhd timescale is zero")
+                    duration_ms = dur * 1000 // ts
+                elif itype == b"trak":
+                    tracks.append(_mp4_trak(payload, ibody, ibend))
+    if duration_ms is None:
+        raise ValueError("ISO-BMFF payload without a moov/mvhd box")
+    vids = [t for t in tracks if t["handler"] == "vide"]
+    first_vid = vids[0] if vids else {"width": None, "height": None}
+    return {
+        "major_brand": major_brand,
+        "n_tracks": len(tracks),
+        "n_video_tracks": len(vids),
+        "n_audio_tracks": sum(
+            1 for t in tracks if t["handler"] == "soun"
+        ),
+        "duration_ms": int(duration_ms),
+        "width": first_vid["width"],
+        "height": first_vid["height"],
+        "mdat_bytes": mdat_bytes,
+    }

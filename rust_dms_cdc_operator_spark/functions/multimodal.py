@@ -653,3 +653,62 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, out_schema)
+
+
+VIDEO_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("major_brand", T.StringType(), False),
+        T.StructField("n_tracks", T.IntegerType(), False),
+        T.StructField("n_video_tracks", T.IntegerType(), False),
+        T.StructField("n_audio_tracks", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mdat_bytes", T.LongType(), False),
+    ]
+)
+
+
+def video_container_census(media: DataFrame) -> DataFrame:
+    """REAL ISO-BMFF (MP4/MOV) container census
+    (`mediacodec.mp4_box_census`): brand, mvhd movie duration, track
+    inventory split by handler, first video track's display
+    dimensions, total mdat bytes — the metadata pass a video corpus
+    runs BEFORE routing anything to the (GPU-bound) frame decoder,
+    at box-walk cost with zero sample decode. One row per decodable
+    BMFF payload; other payloads contribute no rows (the
+    exploding-op convention the GIF census set)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    c = mediacodec.mp4_box_census(p)
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                rows.append(
+                    (int(mid), c["major_brand"], c["n_tracks"],
+                     c["n_video_tracks"], c["n_audio_tracks"],
+                     c["duration_ms"], c["width"], c["height"],
+                     c["mdat_bytes"])
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "major_brand", "n_tracks",
+                         "n_video_tracks", "n_audio_tracks",
+                         "duration_ms", "width", "height",
+                         "mdat_bytes"],
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(batches, VIDEO_CENSUS_SCHEMA)

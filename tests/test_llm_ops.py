@@ -2241,6 +2241,7 @@ def test_multimodal_wrapper_fuzz_poison_pills(spark):
         lambda df: mm.multi_image_census(df),
         lambda df: mm.split_media_frames(df, max_frames=3),
         lambda df: mm.sample_frames(df, every_n_bytes=64),
+        lambda df: mm.video_container_census(df),
     ]
     for wrap in wrappers:
         assert wrap(media).count() >= 0  # completing IS the assertion
@@ -2404,3 +2405,125 @@ def test_trained_registry_and_overrides():
     c01 = load_ivf("sf0.1")
     assert c01 is not None and c01 != _IVF_TRAINED_CENTROIDS_SF001
     assert str(c01[0][0]) in ov["sim_ivf_trained"]
+
+
+def _mp4(dur_ms=1250, w=64, h=48, n_audio=1, mdat=12, brand=b"isom",
+         timescale=1000, v1=False):
+    """Minimal well-formed ISO-BMFF payload: ftyp + moov{mvhd,
+    vide trak, n_audio soun traks} + mdat.  v1=True emits the 64-bit
+    mvhd/tkhd variants so both version branches of the walker are
+    golden-tested, not just fuzzed."""
+    import struct
+
+    def u32(n):
+        return struct.pack(">I", n)
+
+    def box(btype, body):
+        return u32(8 + len(body)) + btype + body
+
+    dur = dur_ms * timescale // 1000
+    if v1:
+        mvhd = box(b"mvhd", b"\x01\0\0\0" + b"\0" * 16 + u32(timescale)
+                   + struct.pack(">Q", dur) + b"\0" * 80)
+        tk_pre = b"\x01\0\0\0" + b"\0" * 16 + u32(1) + u32(0) \
+            + struct.pack(">Q", dur)
+    else:
+        mvhd = box(b"mvhd", b"\0" * 12 + u32(timescale) + u32(dur)
+                   + b"\0" * 80)
+        tk_pre = b"\0" * 4 + b"\0" * 8 + u32(1) + u32(0) + u32(dur)
+
+    def trak(wf, hf, tag):
+        tkhd = box(b"tkhd", tk_pre + b"\0" * 16 + b"\0" * 36
+                   + u32(wf * 65536) + u32(hf * 65536))
+        hdlr = box(b"hdlr", b"\0" * 8 + tag + b"\0" * 12 + b"\0")
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    moov = box(b"moov", mvhd + trak(w, h, b"vide")
+               + b"".join(trak(0, 0, b"soun") for _ in range(n_audio)))
+    return (box(b"ftyp", brand + u32(0x200)) + moov
+            + box(b"mdat", b"\0" * mdat))
+
+
+def test_mediacodec_mp4_goldens():
+    """ISO-BMFF census goldens: both mvhd/tkhd version branches,
+    non-trivial timescale arithmetic, multi-audio track inventory,
+    and the honest-refusal/poison contract (no ftyp -> UnknownMedia;
+    truncated or size-corrupt boxes -> ValueError, never IndexError)."""
+    import random
+    import struct
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    for v1 in (False, True):
+        c = mc.mp4_box_census(_mp4(dur_ms=1250, w=64, h=48, n_audio=2,
+                                   mdat=12, v1=v1))
+        assert c == {
+            "major_brand": "isom", "n_tracks": 3, "n_video_tracks": 1,
+            "n_audio_tracks": 2, "duration_ms": 1250, "width": 64,
+            "height": 48, "mdat_bytes": 12,
+        }
+    # 90000 Hz MPEG timescale: duration_ms comes from dur/timescale
+    c = mc.mp4_box_census(_mp4(dur_ms=2000, timescale=90000, n_audio=0))
+    assert (c["duration_ms"], c["n_tracks"], c["n_audio_tracks"]) \
+        == (2000, 1, 0)
+    assert mc.mp4_box_census(_mp4(brand=b"qt  "))["major_brand"] == "qt  "
+
+    with pytest.raises(NotImplementedError):
+        mc.mp4_box_census(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)  # not BMFF
+    with pytest.raises(ValueError):
+        mc.mp4_box_census(_mp4()[:40])  # truncated mid-moov
+    bad = bytearray(_mp4())
+    bad[16:20] = struct.pack(">I", 3)  # moov size < header
+    with pytest.raises(ValueError):
+        mc.mp4_box_census(bytes(bad))
+    no_moov = _mp4()[:16] + _mp4()[-20:]  # ftyp + mdat only
+    with pytest.raises(ValueError):
+        mc.mp4_box_census(no_moov)
+
+    # seeded fuzz: ftyp-prefixed garbage + truncations/bitflips of a
+    # valid payload may refuse only via the batch-loop catch tuple
+    rng = random.Random(99)
+    valid = _mp4(n_audio=1)
+    for _ in range(4000):
+        mode = rng.random()
+        if mode < 0.4:
+            p = valid[:8] + bytes(rng.getrandbits(8)
+                                  for _ in range(rng.randint(0, 80)))
+        elif mode < 0.7:
+            p = valid[: rng.randint(0, len(valid))]
+        else:
+            b = bytearray(valid)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] = rng.getrandbits(8)
+            p = bytes(b)
+        try:
+            mc.mp4_box_census(p)
+        except (NotImplementedError, ValueError, struct.error):
+            pass
+
+
+def test_video_container_census(spark):
+    """Wrapper gate: well-formed MP4s yield one census row each with
+    exact fields; non-BMFF and poisoned payloads contribute no rows
+    and kill nothing (the exploding-op convention)."""
+    from rust_dms_cdc_operator_spark.functions import multimodal as mm
+
+    rows = [
+        (0, _mp4(dur_ms=750, w=32, h=16, n_audio=0, mdat=5),
+         {"kind": "video", "n_bytes": 0}),
+        (1, _mp4(dur_ms=1500, w=128, h=96, n_audio=1, mdat=40, v1=True),
+         {"kind": "video", "n_bytes": 0}),
+        (2, b"GIF89a" + b"\0" * 30, {"kind": "image", "n_bytes": 0}),
+        (3, _mp4()[:33], {"kind": "video", "n_bytes": 0}),
+        (4, None, {"kind": "video", "n_bytes": 0}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict()
+           for r in mm.video_container_census(media).collect()}
+    assert sorted(got) == [0, 1]
+    assert got[0]["duration_ms"] == 750 and got[0]["width"] == 32 \
+        and got[0]["n_audio_tracks"] == 0 and got[0]["mdat_bytes"] == 5
+    assert got[1]["height"] == 96 and got[1]["n_tracks"] == 2 \
+        and got[1]["n_video_tracks"] == 1
