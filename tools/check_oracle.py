@@ -17,6 +17,22 @@ tools/gen_ivf_centroids.py / gen_pq_codebooks.py <sf_dir>). With
 artifacts generated (sf0.001 / sf0.1 / spark-graft-sf1-native are
 committed) all five hash-match at every scale — zero by-design
 exclusions remain in the sweep.
+
+Digest mode (round 7): pair-producing censuses are quadratic in
+adversarial input — ``dedup_minhash_lsh`` alone returns 200.8M rows
+at native sf1, far past what a driver can collect (the exact failure
+a 100 TB validation job would hit). Above ``--digest-threshold``
+rows, the sweep stops collecting and instead has BOTH engines compute
+an order-insensitive exact digest — row count + sums of two disjoint
+60-bit md5 slices over identically-rendered canonical row strings
+(sorted column order, '\\x1f' separator, '<null>' marker, fixed
+timestamp format) — and compares the three scalars. This is the same
+check at any scale for O(1) driver bytes: a single differing row,
+extra row, or duplicate-count change moves the sums. Digest mode
+requires digest-safe column types (ints/strings/bools/dates/
+timestamps — doubles/decimals/arrays render engine-specifically and
+stay on the value-compare path); the Spark result is persisted so
+count + digest share one computation.
 """
 
 from __future__ import annotations
@@ -70,9 +86,81 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
 
 
+# ---------------------------------------------------------------- digest mode
+# Types whose string rendering is verified identical across Spark and
+# DuckDB (probed this round: md5, conv/hex-cast, date_format/strftime,
+# boolean and date casts). Doubles/decimals/arrays are NOT here: their
+# textual renderings are engine-specific, so results containing them
+# stay on the exact value-compare path.
+_SPARK_DIGEST_SAFE = {"tinyint", "smallint", "int", "bigint", "string",
+                      "boolean", "date"}
+_DUCK_DIGEST_SAFE = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+                     "VARCHAR", "BOOLEAN", "DATE"}
+
+
+def _spark_digest(sdf):
+    """(n, d1, d2) over canonical row strings, or None if a column
+    type is not digest-safe. All work stays JVM-side; the driver
+    receives three scalars no matter how many rows the result has."""
+    from pyspark.sql import functions as F
+
+    cells = []
+    for c, t in sorted(sdf.dtypes, key=lambda ct: ct[0].lower()):
+        if t.startswith("timestamp"):
+            cell = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif t in _SPARK_DIGEST_SAFE:
+            cell = F.col(c).cast("string")
+        else:
+            return None
+        cells.append(F.coalesce(cell, F.lit("<null>")))
+    h = F.md5(F.concat_ws("\x1f", *cells))
+    row = sdf.select(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)").alias("h1"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("decimal(38,0)").alias("h2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h1").alias("d1"),
+        F.sum("h2").alias("d2"),
+    ).collect()[0]
+    return int(row[0]), int(row[1] or 0), int(row[2] or 0)
+
+
+def _duck_digest(con, sql: str):
+    """Same three scalars from DuckDB, or None if a column type is
+    not digest-safe. DESCRIBE binds without executing, so the type
+    check is free; the aggregation streams — nothing is fetched."""
+    desc = con.sql(f"DESCRIBE {sql}").fetchall()
+    cells = []
+    for row in desc:
+        cname, ctype = row[0], row[1].upper()
+        q = f'"{cname}"'
+        if ctype.startswith("TIMESTAMP"):
+            expr = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+        elif ctype in _DUCK_DIGEST_SAFE:
+            expr = f"CAST({q} AS VARCHAR)"
+        else:
+            return None
+        cells.append((cname.lower(), f"coalesce({expr}, '<null>')"))
+    cells.sort(key=lambda x: x[0])
+    rowexpr = "concat_ws(chr(31), " + ", ".join(e for _, e in cells) + ")"
+    n, d1, d2 = con.sql(
+        f"SELECT count(*), "
+        f"coalesce(sum(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)), 0), "
+        f"coalesce(sum(CAST(('0x' || substr(h, 17, 15)) AS BIGINT)), 0) "
+        f"FROM (SELECT md5({rowexpr}) AS h FROM ({sql}) t) u"
+    ).fetchall()[0]
+    return int(n), int(d1), int(d2)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--digest-threshold", type=int, default=2_000_000,
+        help="results larger than this compare by exact in-engine "
+             "digest (count + md5-slice sums) instead of collecting",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -108,12 +196,51 @@ def main() -> int:
         oracles = {**oracles, **overrides}
     names = args.names or list(queries)
     failures = []
+    n_digest = 0
     for name in names:
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf_dir)
             s_cols = sdf.columns
+            sdf = sdf.persist()
+            n_s = sdf.count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if n_s > args.digest_threshold and name in oracles:
+            # digest path: three scalars per engine, never collected
+            try:
+                sd = _spark_digest(sdf)
+                sdf.unpersist()
+                if sd is None:
+                    failures.append(name)
+                    print(f"FAIL  {name}: {n_s} rows but result has "
+                          "digest-unsafe column types (double/decimal/"
+                          "array) — cannot compare at this scale")
+                    continue
+                dd = _duck_digest(con, oracles[name])
+                if dd is None:
+                    failures.append(name)
+                    print(f"FAIL  {name}: oracle has digest-unsafe "
+                          f"column types at {n_s} rows")
+                    continue
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: digest error: {e}")
+                continue
+            n_digest += 1
+            if sd == dd:
+                print(f"OK    {name}: {n_s} rows (exact digest "
+                      f"{sd[1]:x}/{sd[2]:x})  ({time.time()-t0:.1f}s)")
+            else:
+                failures.append(name)
+                print(f"FAIL  {name}: digest mismatch spark={sd} "
+                      f"duckdb={dd}")
+            continue
+        try:
             s_rows = [tuple(r) for r in sdf.collect()]
+            sdf.unpersist()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -151,7 +278,8 @@ def main() -> int:
         else:
             failures.append(name)
 
-    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    extra = f" ({n_digest} via exact digest)" if n_digest else ""
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match{extra}")
     return 1 if failures else 0
 
 
