@@ -1211,3 +1211,163 @@ def mp4_box_census(payload: bytes) -> dict:
         "height": first_vid["height"],
         "mdat_bytes": mdat_bytes,
     }
+
+
+# --------------------------------------------------------------- Matroska
+_EBML_HEADER = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+_MKV_DOCTYPE = 0x4282
+_MKV_TS_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+_MKV_VOID = 0xEC
+
+
+def _ebml_vint(payload: bytes, off: int, end: int, keep_marker: bool):
+    """Decode one EBML variable-length integer at ``off``.
+
+    The count of leading zero bits in the first byte gives the width
+    (1-8 bytes); element IDs keep the marker bit (that is how the
+    spec writes them), sizes strip it. An all-ones size means
+    "unknown size" (streamed Matroska) — unsupported here, the caller
+    raises. Truncation raises ValueError: poison-pill contract."""
+    if off >= end:
+        raise ValueError("EBML vint at end of payload")
+    b0 = payload[off]
+    if b0 == 0:
+        raise ValueError("EBML vint with >8-byte width")
+    length = 1
+    mask = 0x80
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    if off + length > end:
+        raise ValueError("EBML vint runs past payload")
+    val = b0 if keep_marker else (b0 & (mask - 1))
+    unknown = (b0 & (mask - 1)) == mask - 1
+    for i in range(1, length):
+        b = payload[off + i]
+        val = (val << 8) | b
+        unknown = unknown and b == 0xFF
+    return val, length, (unknown and not keep_marker)
+
+
+def _ebml_children(payload: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for the EBML elements
+    in payload[start:end]. Skipping unknown elements by their declared
+    size is the EBML forward-compatibility contract."""
+    off = start
+    while off < end:
+        eid, idlen, _ = _ebml_vint(payload, off, end, keep_marker=True)
+        off += idlen
+        size, szlen, unknown = _ebml_vint(
+            payload, off, end, keep_marker=False
+        )
+        if unknown:
+            raise ValueError("EBML unknown-size element unsupported")
+        off += szlen
+        if off + size > end:
+            raise ValueError("EBML element runs past enclosing space")
+        yield eid, off, off + size
+        off += size
+
+
+def _ebml_uint(payload: bytes, start: int, end: int) -> int:
+    if end - start > 8 or end == start:
+        raise ValueError("EBML uint width out of range")
+    return int.from_bytes(payload[start:end], "big")
+
+
+def _ebml_float(payload: bytes, start: int, end: int) -> float:
+    width = end - start
+    if width == 4:
+        return struct.unpack_from(">f", payload, start)[0]
+    if width == 8:
+        return struct.unpack_from(">d", payload, start)[0]
+    raise ValueError(f"EBML float of width {width}")
+
+
+def mkv_census(payload: bytes) -> dict:
+    """REAL Matroska/WebM (EBML) container census — the sibling of
+    :func:`mp4_box_census` for the other mainstream video container:
+    DocType, track inventory split by TrackType (1=video, 2=audio),
+    first video track's pixel dimensions, movie duration from
+    Info.Duration x Info.TimestampScale, and total Void padding
+    bytes. EBML is length-prefixed varint soup the stdlib walks
+    exactly; sample decode is deliberately not attempted (compressed
+    frames need av/ffmpeg). Non-EBML payloads raise UnknownMediaError
+    (magic probe); truncated/corrupt elements raise ValueError or
+    struct.error — the module-wide poison-pill contract."""
+    if payload is None or len(payload) < 5 or payload[:4] != bytes.fromhex(
+        "1A45DFA3"
+    ):
+        raise UnknownMediaError("not an EBML payload")
+    doc_type = None
+    ts_scale = 1_000_000  # EBML default: 1 ms
+    duration = None
+    tracks: list[dict] = []
+    void_bytes = 0
+    for eid, body, bend in _ebml_children(payload, 0, len(payload)):
+        if eid == _EBML_HEADER:
+            for cid, cb, ce in _ebml_children(payload, body, bend):
+                if cid == _MKV_DOCTYPE:
+                    doc_type = payload[cb:ce].decode("latin-1")
+        elif eid == _MKV_SEGMENT:
+            for cid, cb, ce in _ebml_children(payload, body, bend):
+                if cid == _MKV_INFO:
+                    for iid, ib, ie in _ebml_children(payload, cb, ce):
+                        if iid == _MKV_TS_SCALE:
+                            ts_scale = _ebml_uint(payload, ib, ie)
+                        elif iid == _MKV_DURATION:
+                            duration = _ebml_float(payload, ib, ie)
+                elif cid == _MKV_TRACKS:
+                    for tid, tb, te in _ebml_children(payload, cb, ce):
+                        if tid != _MKV_TRACK_ENTRY:
+                            continue
+                        t = {"type": None, "width": None, "height": None}
+                        for aid, ab, ae in _ebml_children(
+                            payload, tb, te
+                        ):
+                            if aid == _MKV_TRACK_TYPE:
+                                t["type"] = _ebml_uint(payload, ab, ae)
+                            elif aid == _MKV_VIDEO:
+                                for vid, vb, ve in _ebml_children(
+                                    payload, ab, ae
+                                ):
+                                    if vid == _MKV_PIXEL_W:
+                                        t["width"] = _ebml_uint(
+                                            payload, vb, ve
+                                        )
+                                    elif vid == _MKV_PIXEL_H:
+                                        t["height"] = _ebml_uint(
+                                            payload, vb, ve
+                                        )
+                        tracks.append(t)
+                elif cid == _MKV_VOID:
+                    void_bytes += ce - cb
+    if doc_type is None:
+        raise ValueError("EBML payload without a DocType")
+    if duration is None:
+        raise ValueError("Matroska segment without Info.Duration")
+    if ts_scale == 0:
+        raise ValueError("Matroska TimestampScale is zero")
+    vids = [t for t in tracks if t["type"] == 1]
+    first = vids[0] if vids else {"width": None, "height": None}
+    # duration is in TimestampScale (ns) units; both factors are
+    # integral by construction in real muxers, so the int() is exact
+    return {
+        "doc_type": doc_type,
+        "n_tracks": len(tracks),
+        "n_video_tracks": len(vids),
+        "n_audio_tracks": sum(1 for t in tracks if t["type"] == 2),
+        "duration_ms": int(duration * ts_scale) // 1_000_000,
+        "width": first["width"],
+        "height": first["height"],
+        "void_bytes": void_bytes,
+    }

@@ -712,3 +712,62 @@ def video_container_census(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, VIDEO_CENSUS_SCHEMA)
+
+
+MKV_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("doc_type", T.StringType(), False),
+        T.StructField("n_tracks", T.IntegerType(), False),
+        T.StructField("n_video_tracks", T.IntegerType(), False),
+        T.StructField("n_audio_tracks", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("void_bytes", T.LongType(), False),
+    ]
+)
+
+
+def mkv_container_census(media: DataFrame) -> DataFrame:
+    """REAL Matroska/WebM (EBML) container census
+    (`mediacodec.mkv_census`): DocType, per-TrackType inventory,
+    first video track's pixel dimensions, Duration x TimestampScale
+    movie length, Void padding bytes — the metadata pass before
+    anything reaches a (GPU-bound) frame decoder, at EBML-walk cost
+    with zero sample decode. One row per decodable EBML payload;
+    other payloads contribute no rows (the exploding-op convention
+    the GIF census set)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    c = mediacodec.mkv_census(p)
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                rows.append(
+                    (int(mid), c["doc_type"], c["n_tracks"],
+                     c["n_video_tracks"], c["n_audio_tracks"],
+                     c["duration_ms"], c["width"], c["height"],
+                     c["void_bytes"])
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "doc_type", "n_tracks",
+                         "n_video_tracks", "n_audio_tracks",
+                         "duration_ms", "width", "height",
+                         "void_bytes"],
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(batches, MKV_CENSUS_SCHEMA)

@@ -2086,7 +2086,8 @@ def test_mediacodec_transforms_fuzz_exception_contract():
     escaping a truncated-input walk would kill the whole task.
     Seeded fuzz: valid-prefix + garbage, random truncations of VALID
     payloads (the nastiest real-world case), and pure noise, against
-    all ten entry points."""
+    all twelve entry points (incl. the MP4 box walker and the EBML
+    census)."""
     import random
     import struct
 
@@ -2103,6 +2104,8 @@ def test_mediacodec_transforms_fuzz_exception_contract():
         lambda p: mc.tiff_page_census(p),
         lambda p: mc.jpeg_exif(p),
         lambda p: mc.id3v2_tags(p),
+        lambda p: mc.mp4_box_census(p),
+        lambda p: mc.mkv_census(p),
     ]
     valid = [
         b"P6\n2 2\n255\n" + bytes(range(12)),
@@ -2115,11 +2118,13 @@ def test_mediacodec_transforms_fuzz_exception_contract():
         _exif_jpeg(),
         _id3_mp3(4),
         _id3_mp3(3),
+        _mp4(n_audio=1),
+        _mkv(n_audio=1),
     ]
     magics = [
         b"P6", b"P5", b"RIFF", b"RIFFxxxxWAVE", b"GIF89a",
         b"\x89PNG\r\n\x1a\n", b"II*\x00", b"MM\x00*", b"\xff\xd8",
-        b"ID3", b"",
+        b"ID3", b"", b"\x1a\x45\xdf\xa3", _mp4()[:8],
     ]
     rng = random.Random(99)
     for _ in range(8000):
@@ -2527,3 +2532,118 @@ def test_video_container_census(spark):
         and got[0]["n_audio_tracks"] == 0 and got[0]["mdat_bytes"] == 5
     assert got[1]["height"] == 96 and got[1]["n_tracks"] == 2 \
         and got[1]["n_video_tracks"] == 1
+
+
+def _mkv(dur=1500.0, scale=1_000_000, w=320, h=240, n_audio=1,
+         void=5, doctype=b"matroska", f32=False, with_scale=True):
+    """Python-side Matroska builder (independent of the JVM synth in
+    q_mm_mkv_census): EBML header + Segment{Info, Tracks, Void}."""
+    import struct
+
+    def elem(eid_hex, body):
+        assert len(body) < 127
+        return bytes.fromhex(eid_hex) + bytes([0x80 | len(body)]) + body
+
+    def elem2(eid_hex, body):  # 2-byte size varint
+        return bytes.fromhex(eid_hex) \
+            + (0x4000 | len(body)).to_bytes(2, "big") + body
+
+    hdr = elem("1A45DFA3", elem("4282", doctype))
+    info_kids = b""
+    if with_scale:
+        info_kids += elem("2AD7B1", scale.to_bytes(4, "big"))
+    info_kids += elem("4489", struct.pack(">f" if f32 else ">d", dur))
+    info = elem("1549A966", info_kids)
+    vid = elem("E0", elem("B0", w.to_bytes(2, "big"))
+               + elem("BA", h.to_bytes(2, "big")))
+    te_v = elem("AE", elem("83", b"\x01") + vid)
+    te_a = elem("AE", elem("83", b"\x02"))
+    tracks = elem2("1654AE6B", te_v + te_a * n_audio)
+    pad = elem("EC", b"\x00" * void)
+    return hdr + elem2("18538067", info + tracks + pad)
+
+
+def test_mediacodec_mkv_goldens():
+    """EBML census goldens: double and float Duration encodings,
+    TimestampScale default when Info omits it, webm DocType,
+    multi-audio inventory, and the refusal contract (non-EBML magic
+    -> UnknownMedia; truncation / unknown-size elements -> ValueError,
+    never IndexError)."""
+    import random
+    import struct
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    c = mc.mkv_census(_mkv(dur=1500.0, w=320, h=240, n_audio=2, void=7))
+    assert c == {
+        "doc_type": "matroska", "n_tracks": 3, "n_video_tracks": 1,
+        "n_audio_tracks": 2, "duration_ms": 1500, "width": 320,
+        "height": 240, "void_bytes": 7,
+    }
+    # 4-byte float Duration and a 1-ns TimestampScale
+    c = mc.mkv_census(_mkv(dur=2_000_000_000.0, scale=1, f32=True,
+                           n_audio=0))
+    assert (c["duration_ms"], c["n_audio_tracks"]) == (2000, 0)
+    # Info without TimestampScale: EBML default 1e6 ns applies
+    c = mc.mkv_census(_mkv(dur=250.0, with_scale=False))
+    assert c["duration_ms"] == 250
+    assert mc.mkv_census(_mkv(doctype=b"webm"))["doc_type"] == "webm"
+
+    with pytest.raises(NotImplementedError):
+        mc.mkv_census(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+    with pytest.raises(ValueError):
+        mc.mkv_census(_mkv()[:30])  # truncated mid-Info
+    # unknown-size Segment (streamed Matroska): honest refusal
+    seg = _mkv()
+    idx = seg.index(bytes.fromhex("18538067")) + 4
+    unk = bytearray(seg)
+    unk[idx:idx + 2] = b"\x7f\xff"  # 2-byte all-ones size = unknown
+    with pytest.raises(ValueError):
+        mc.mkv_census(bytes(unk))
+
+    rng = random.Random(99)
+    valid = _mkv(n_audio=1)
+    for _ in range(4000):
+        mode = rng.random()
+        if mode < 0.4:
+            p = valid[:5] + bytes(rng.getrandbits(8)
+                                  for _ in range(rng.randint(0, 80)))
+        elif mode < 0.7:
+            p = valid[: rng.randint(0, len(valid))]
+        else:
+            b = bytearray(valid)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] = rng.getrandbits(8)
+            p = bytes(b)
+        try:
+            mc.mkv_census(p)
+        except (NotImplementedError, ValueError, struct.error):
+            pass
+
+
+def test_mkv_container_census(spark):
+    """Wrapper gate: well-formed Matroska payloads yield one census
+    row each; non-EBML and poisoned payloads contribute no rows and
+    kill nothing (the exploding-op convention)."""
+    from rust_dms_cdc_operator_spark.functions import multimodal as mm
+
+    rows = [
+        (0, _mkv(dur=750.0, w=32, h=16, n_audio=0, void=3),
+         {"kind": "video", "n_bytes": 0}),
+        (1, _mkv(dur=1500.0, w=128, h=96, n_audio=2, void=0,
+                 doctype=b"webm"),
+         {"kind": "video", "n_bytes": 0}),
+        (2, b"GIF89a" + b"\0" * 30, {"kind": "image", "n_bytes": 0}),
+        (3, _mkv()[:25], {"kind": "video", "n_bytes": 0}),
+        (4, None, {"kind": "video", "n_bytes": 0}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict()
+           for r in mm.mkv_container_census(media).collect()}
+    assert sorted(got) == [0, 1]
+    assert got[0]["duration_ms"] == 750 and got[0]["width"] == 32 \
+        and got[0]["n_audio_tracks"] == 0 and got[0]["void_bytes"] == 3
+    assert got[1]["doc_type"] == "webm" and got[1]["n_tracks"] == 3 \
+        and got[1]["height"] == 96
