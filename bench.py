@@ -170,6 +170,11 @@ SCALE_QUERIES = [
     # (measured: 30 s vs 383 s for the full exact containment census)
     "dedup_containment_prefix",
     "dedup_jaccard_prefix",
+    # round-7: runtime Bloom-filter join pruning (the probe-side
+    # filter must hold its selectivity at 10x) and the one-scan
+    # composite quality gate
+    "events_bloom_prune",
+    "docs_gopher_rules",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -161,6 +161,13 @@ def main() -> int:
         help="results larger than this compare by exact in-engine "
              "digest (count + md5-slice sums) instead of collecting",
     )
+    ap.add_argument(
+        "--per-query-timeout", type=float, default=0.0,
+        help="seconds before a single query's Spark jobs are "
+             "cancelled and its DuckDB oracle interrupted; the query "
+             "is recorded as TIMEOUT instead of wedging the sweep "
+             "(0 = no limit)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -196,90 +203,144 @@ def main() -> int:
         oracles = {**oracles, **overrides}
     names = args.names or list(queries)
     failures = []
+    timeouts = []
     n_digest = 0
     for name in names:
         t0 = time.time()
-        try:
-            sdf = queries[name](spark, args.sf_dir)
-            s_cols = sdf.columns
-            sdf = sdf.persist()
-            n_s = sdf.count()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
-        if n_s > args.digest_threshold and name in oracles:
-            # digest path: three scalars per engine, never collected
-            try:
-                sd = _spark_digest(sdf)
-                sdf.unpersist()
-                if sd is None:
-                    failures.append(name)
-                    print(f"FAIL  {name}: {n_s} rows but result has "
-                          "digest-unsafe column types (double/decimal/"
-                          "array) — cannot compare at this scale")
-                    continue
-                dd = _duck_digest(con, oracles[name])
-                if dd is None:
-                    failures.append(name)
-                    print(f"FAIL  {name}: oracle has digest-unsafe "
-                          f"column types at {n_s} rows")
-                    continue
-            except Exception as e:  # noqa: BLE001
-                failures.append(name)
-                print(f"FAIL  {name}: digest error: {e}")
-                continue
-            n_digest += 1
-            if sd == dd:
-                print(f"OK    {name}: {n_s} rows (exact digest "
-                      f"{sd[1]:x}/{sd[2]:x})  ({time.time()-t0:.1f}s)")
+        # per-query watchdog: past the deadline, cancel the Spark jobs
+        # AND interrupt the DuckDB oracle — the query is recorded as
+        # TIMEOUT and the sweep moves on (a 200M-edge recursive-CTE
+        # oracle must not wedge the other 150 checks)
+        fired = {"t": False}
+        timer = None
+        if args.per_query_timeout > 0:
+            import threading
+
+            def _fire(f=fired):
+                f["t"] = True
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    con.interrupt()
+                except Exception:  # noqa: BLE001
+                    pass
+
+            timer = threading.Timer(args.per_query_timeout, _fire)
+            timer.daemon = True
+            timer.start()
+
+        def _bail(kind: str, e: Exception) -> None:
+            if fired["t"]:
+                timeouts.append(name)
+                print(f"TIMEOUT  {name}: exceeded "
+                      f"{args.per_query_timeout:.0f}s ({kind} phase)")
             else:
                 failures.append(name)
-                print(f"FAIL  {name}: digest mismatch spark={sd} "
-                      f"duckdb={dd}")
-            continue
-        try:
-            s_rows = [tuple(r) for r in sdf.collect()]
-            sdf.unpersist()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
-        if name not in oracles:
-            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle, rows-only)")
-            continue
-        try:
-            rel = con.sql(oracles[name])
-            d_cols = [c.lower() for c in rel.columns]
-            d_rows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
+                print(f"FAIL  {name}: {kind} error: {e}")
 
-        ok = True
-        if sorted(c.lower() for c in s_cols) != sorted(d_cols):
-            ok = False
-            print(f"FAIL  {name}: columns {sorted(s_cols)} vs {sorted(d_cols)}")
-        elif len(s_rows) != len(d_rows):
-            ok = False
-            print(f"FAIL  {name}: rowcount {len(s_rows)} vs {len(d_rows)}")
-        else:
-            cs = canon_rows([c.lower() for c in s_cols], s_rows)
-            cd = canon_rows(d_cols, d_rows)
-            if cs != cd:
+        def _run_one() -> None:
+            nonlocal n_digest
+            try:
+                sdf = queries[name](spark, args.sf_dir)
+                s_cols = sdf.columns
+                sdf = sdf.persist()
+                n_s = sdf.count()
+            except Exception as e:  # noqa: BLE001
+                _bail("spark", e)
+                return
+            if n_s > args.digest_threshold and name in oracles:
+                # digest path: three scalars per engine, never collected
+                try:
+                    sd = _spark_digest(sdf)
+                    sdf.unpersist()
+                    if sd is None:
+                        failures.append(name)
+                        print(f"FAIL  {name}: {n_s} rows but result has "
+                              "digest-unsafe column types (double/"
+                              "decimal/array) — cannot compare at this "
+                              "scale")
+                        return
+                    dd = _duck_digest(con, oracles[name])
+                    if dd is None:
+                        failures.append(name)
+                        print(f"FAIL  {name}: oracle has digest-unsafe "
+                              f"column types at {n_s} rows")
+                        return
+                except Exception as e:  # noqa: BLE001
+                    _bail("digest", e)
+                    return
+                n_digest += 1
+                if sd == dd:
+                    print(f"OK    {name}: {n_s} rows (exact digest "
+                          f"{sd[1]:x}/{sd[2]:x})  ({time.time()-t0:.1f}s)")
+                else:
+                    failures.append(name)
+                    print(f"FAIL  {name}: digest mismatch spark={sd} "
+                          f"duckdb={dd}")
+                return
+            try:
+                s_rows = [tuple(r) for r in sdf.collect()]
+                sdf.unpersist()
+            except Exception as e:  # noqa: BLE001
+                _bail("spark", e)
+                return
+            if name not in oracles:
+                print(f"ROWS  {name}: {len(s_rows)} rows "
+                      "(no oracle, rows-only)")
+                return
+            try:
+                rel = con.sql(oracles[name])
+                d_cols = [c.lower() for c in rel.columns]
+                d_rows = rel.fetchall()
+            except Exception as e:  # noqa: BLE001
+                _bail("duckdb", e)
+                return
+
+            ok = True
+            if sorted(c.lower() for c in s_cols) != sorted(d_cols):
                 ok = False
-                bad = next(i for i in range(len(cs)) if cs[i] != cd[i])
-                print(f"FAIL  {name}: first differing row #{bad}:")
-                print(f"      spark : {cs[bad]}")
-                print(f"      duckdb: {cd[bad]}")
-        if ok:
-            print(f"OK    {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
-        else:
-            failures.append(name)
+                print(f"FAIL  {name}: columns {sorted(s_cols)} "
+                      f"vs {sorted(d_cols)}")
+            elif len(s_rows) != len(d_rows):
+                ok = False
+                print(f"FAIL  {name}: rowcount {len(s_rows)} "
+                      f"vs {len(d_rows)}")
+            else:
+                cs = canon_rows([c.lower() for c in s_cols], s_rows)
+                cd = canon_rows(d_cols, d_rows)
+                if cs != cd:
+                    ok = False
+                    bad = next(
+                        i for i in range(len(cs)) if cs[i] != cd[i]
+                    )
+                    print(f"FAIL  {name}: first differing row #{bad}:")
+                    print(f"      spark : {cs[bad]}")
+                    print(f"      duckdb: {cd[bad]}")
+            if ok:
+                print(f"OK    {name}: {len(s_rows)} rows  "
+                      f"({time.time()-t0:.1f}s)")
+            else:
+                failures.append(name)
+
+        try:
+            _run_one()
+        finally:
+            if timer is not None:
+                timer.cancel()
+            if fired["t"]:
+                # a timed-out query may leak its persist(); drop it so
+                # the remaining sweep is not memory-pressured
+                try:
+                    spark.catalog.clearCache()
+                except Exception:  # noqa: BLE001
+                    pass
 
     extra = f" ({n_digest} via exact digest)" if n_digest else ""
-    print(f"\n{len(names) - len(failures)}/{len(names)} queries match{extra}")
+    skipped = f", {len(timeouts)} TIMEOUT: {timeouts}" if timeouts else ""
+    print(f"\n{len(names) - len(failures) - len(timeouts)}/{len(names)} "
+          f"queries match{extra}{skipped}")
     return 1 if failures else 0
 
 
