@@ -1037,6 +1037,58 @@ def id3v2_tags(payload: bytes) -> dict:
     return out
 
 
+def parse_flac(payload: bytes) -> dict:
+    """REAL FLAC header decode: magic + metadata-block walk to
+    STREAMINFO (the mandatory first block), unpacking the 64-bit
+    packed field — sample rate (20 bits), channels-1 (3), bits per
+    sample-1 (5), total samples (36). Sample DECODE is deliberately
+    not attempted (FLAC frames need a codec library); the stream
+    facts a corpus census needs live entirely in STREAMINFO. Non-FLAC
+    magics raise UnknownMediaError; truncated/corrupt blocks raise
+    ValueError — the module poison-pill contract."""
+    if payload is None or len(payload) < 8 or payload[:4] != b"fLaC":
+        raise UnknownMediaError("not a FLAC payload")
+    off = 4
+    info = None
+    last = False
+    while not last:
+        if off + 4 > len(payload):
+            raise ValueError("FLAC metadata header runs past payload")
+        hdr = payload[off]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        if btype == 127:
+            raise ValueError("FLAC metadata block type 127 is invalid")
+        length = int.from_bytes(payload[off + 1:off + 4], "big")
+        body = off + 4
+        if body + length > len(payload):
+            raise ValueError("FLAC metadata block runs past payload")
+        if btype == 0:
+            if length < 34:
+                raise ValueError("FLAC STREAMINFO shorter than 34 bytes")
+            packed = int.from_bytes(payload[body + 10:body + 18], "big")
+            sr = packed >> 44
+            if sr == 0:
+                raise ValueError("FLAC sample rate is zero")
+            info = (
+                sr,
+                ((packed >> 41) & 0x7) + 1,
+                ((packed >> 36) & 0x1F) + 1,
+                packed & ((1 << 36) - 1),
+            )
+        off = body + length
+    if info is None:
+        raise ValueError("FLAC without a STREAMINFO block")
+    sr, channels, _bps, total = info
+    return _result(
+        codec="flac",
+        channels=channels,
+        sample_rate_hz=sr,
+        n_samples=total,
+        duration_ms=(total * 1000) // sr,
+    )
+
+
 def decode(payload: bytes) -> dict:
     """Sniff the payload magic and decode its header for real.
 
@@ -1070,6 +1122,8 @@ def decode(payload: bytes) -> dict:
         return parse_tiff(payload)
     if payload[:1] == b"P" and payload[1:2].isdigit():
         return parse_ppm(payload)
+    if payload[:4] == b"fLaC":
+        return parse_flac(payload)
     if payload[:3] == b"ID3" or (
         payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
@@ -1077,7 +1131,8 @@ def decode(payload: bytes) -> dict:
         return parse_mp3(payload)
     raise UnknownMediaError(
         f"no decoder wired for magic {payload[:8]!r}; stdlib covers "
-        "netpbm/PNG/JPEG/BMP/GIF/TIFF/WebP/WAV/MP3 headers — install "
+        "netpbm/PNG/JPEG/BMP/GIF/TIFF/WebP/WAV/MP3/FLAC headers — "
+        "install "
         "pillow (pixel access) or librosa/av (compressed audio/video "
         "sample access) to widen coverage"
     )

@@ -2086,8 +2086,8 @@ def test_mediacodec_transforms_fuzz_exception_contract():
     escaping a truncated-input walk would kill the whole task.
     Seeded fuzz: valid-prefix + garbage, random truncations of VALID
     payloads (the nastiest real-world case), and pure noise, against
-    all twelve entry points (incl. the MP4 box walker and the EBML
-    census)."""
+    all thirteen entry points (incl. the MP4 box walker, the EBML
+    census, and the FLAC STREAMINFO parse)."""
     import random
     import struct
 
@@ -2106,6 +2106,7 @@ def test_mediacodec_transforms_fuzz_exception_contract():
         lambda p: mc.id3v2_tags(p),
         lambda p: mc.mp4_box_census(p),
         lambda p: mc.mkv_census(p),
+        lambda p: mc.parse_flac(p),
     ]
     valid = [
         b"P6\n2 2\n255\n" + bytes(range(12)),
@@ -2120,6 +2121,7 @@ def test_mediacodec_transforms_fuzz_exception_contract():
         _id3_mp3(3),
         _mp4(n_audio=1),
         _mkv(n_audio=1),
+        _flac(),
     ]
     magics = [
         b"P6", b"P5", b"RIFF", b"RIFFxxxxWAVE", b"GIF89a",
@@ -2647,3 +2649,69 @@ def test_mkv_container_census(spark):
         and got[0]["n_audio_tracks"] == 0 and got[0]["void_bytes"] == 3
     assert got[1]["doc_type"] == "webm" and got[1]["n_tracks"] == 3 \
         and got[1]["height"] == 96
+
+
+def _flac(sr=44100, ch=2, bps=16, total=132300, pad=None):
+    """Python-side FLAC builder (independent of the JVM bit-packing
+    in q_mm_decode_flac)."""
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    si = (b"\x10\x00\x10\x00" + b"\x00" * 6
+          + packed.to_bytes(8, "big") + b"\x00" * 16)
+    out = b"fLaC"
+    if pad is None:
+        out += b"\x80\x00\x00\x22" + si
+    else:
+        out += b"\x00\x00\x00\x22" + si
+        out += b"\x81" + len(pad).to_bytes(3, "big") + pad
+    return out
+
+
+def test_mediacodec_flac_goldens():
+    """FLAC STREAMINFO goldens: bit-field unpacking, last-block walk
+    over a trailing PADDING block, and the refusal contract (non-FLAC
+    magic -> UnknownMedia; truncation / zero rate / missing
+    STREAMINFO -> ValueError, never IndexError)."""
+    import random
+    import struct
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.functions import mediacodec as mc
+
+    c = mc.parse_flac(_flac(sr=48000, ch=1, bps=24, total=96000))
+    assert (c["codec"], c["channels"], c["sample_rate_hz"],
+            c["n_samples"], c["duration_ms"]) \
+        == ("flac", 1, 48000, 96000, 2000)
+    c = mc.parse_flac(_flac(pad=b"\x00" * 9))
+    assert (c["channels"], c["duration_ms"]) == (2, 3000)
+    # decode() dispatches on the fLaC magic
+    assert mc.decode(_flac())["codec"] == "flac"
+
+    with pytest.raises(NotImplementedError):
+        mc.parse_flac(b"OggS" + b"\0" * 40)
+    with pytest.raises(ValueError):
+        mc.parse_flac(_flac()[:20])  # truncated mid-STREAMINFO
+    with pytest.raises(ValueError):
+        mc.parse_flac(_flac(sr=0))  # zero sample rate
+    no_si = b"fLaC" + b"\x81\x00\x00\x02" + b"\x00\x00"  # padding only
+    with pytest.raises(ValueError):
+        mc.parse_flac(no_si)
+
+    rng = random.Random(99)
+    valid = _flac(pad=b"\x00" * 4)
+    for _ in range(4000):
+        mode = rng.random()
+        if mode < 0.4:
+            p = valid[:4] + bytes(rng.getrandbits(8)
+                                  for _ in range(rng.randint(0, 60)))
+        elif mode < 0.7:
+            p = valid[: rng.randint(0, len(valid))]
+        else:
+            b = bytearray(valid)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] = rng.getrandbits(8)
+            p = bytes(b)
+        try:
+            mc.parse_flac(p)
+        except (NotImplementedError, ValueError, struct.error):
+            pass
