@@ -192,38 +192,50 @@ def train_ivf_centroids(
     seed: int = 42,
     max_iter: int = 5,
     round_digits: int = 4,
+    order_col: str = "vec_id",
+    max_train: int = 4096,
 ) -> list[list[float]]:
-    """Train IVF centroids with pyspark.ml KMeans (distributed Lloyd).
+    """Train IVF centroids with driver-local Lloyd iterations on a
+    BOUNDED ordered sample — the same layout-independence contract as
+    :func:`operators.pq.train_pq_codebooks`.
 
-    Vectors are L2-normalized before training so Euclidean KMeans
-    clusters *directions* — consistent with the cosine-based list
-    assignment in :func:`ivf_assign`. Returned centroids are rounded
-    (default 4 digits) so downstream queries are stable against the
-    low-order float-summation jitter that different partition layouts
-    introduce in the distributed aggregation.
+    Earlier rounds used pyspark.ml KMeans here; round 7's full-scale
+    sweep measured that its centroids depend on the PARTITION LAYOUT
+    (k-means|| init samples per partition and the per-iteration
+    aggregation sums floats in partition order), so artifacts trained
+    at one --master/-shuffle-partition setting failed the oracle at
+    another. Coarse quantizers are KB-sized artifacts that every
+    production ANN system (faiss-style) trains on a bounded sample;
+    doing the same here makes the centroids a pure function of (data,
+    seed) — any cluster size, any layout.
+
+    Vectors are L2-normalized (float64) so Euclidean Lloyd clusters
+    *directions* — consistent with the cosine-based list assignment
+    in :func:`ivf_assign`. Deterministic: sample collected in
+    ``order_col`` order, seeded init (rng.choice over the sorted
+    sample), numpy argmin first-min ties, empty clusters keep their
+    centroid; rounded to ``round_digits``.
     """
-    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
-    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+    import numpy as np  # noqa: PLC0415
 
-    feats = (
-        df.select(_as_double(F.col(vec_col)).alias("v"))
-        .withColumn("n", norm(F.col("v")))
-        .select(
-            array_to_vector(
-                F.transform("v", lambda x: x / F.col("n"))
-            ).alias("features")
-        )
-    ).persist()  # Lloyd iterates over this; don't recompute lineage per pass
-    try:
-        model = KMeans(
-            k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features"
-        ).fit(feats)
-    finally:
-        feats.unpersist()
-    return [
-        [round(float(x), round_digits) for x in c]
-        for c in model.clusterCenters()
-    ]
+    rows = (
+        df.select(F.col(order_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(order_col)
+        .limit(max_train)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first-min tie rule
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[round(float(c), round_digits) for c in row] for row in cents]
 
 
 IVF_LIST_COL = "ivf_list"

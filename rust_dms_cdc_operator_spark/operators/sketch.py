@@ -291,3 +291,104 @@ def cms_accumulate(batch_df: DataFrame, acc_dir: str, col: str,
     sess.createDataFrame(out, part.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(acc_dir)
+
+
+def misra_gries_candidates(
+    tokens: DataFrame, col: str, m: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries, vectorized.
+
+    One Arrow pass per partition: each batch's token counts come from
+    pandas ``value_counts`` (C speed, no Python token loop), merged
+    into the running summary, then MG-trimmed to ``m`` entries by
+    subtracting the (m+1)-th largest count from all and keeping
+    positives — the mergeable-summaries form (Agarwal et al. 2012),
+    whose per-item undercount is bounded by N_p/(m+1) for a partition
+    of N_p tokens. Output: candidate rows (token, NULL) per partition
+    plus ONE accounting row (NULL, N_p) per partition, so callers get
+    the global token total without a second corpus pass.
+
+    Pigeonhole guarantee: any token with GLOBAL count > N/(m+1) must
+    exceed N_p/(m+1) in at least one partition, so it survives that
+    partition's summary — the union of summaries is a superset of
+    every global heavy hitter above the threshold.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def per_partition(it):
+        summary = None
+        total = 0
+        for pdf in it:
+            vc = pdf[col].value_counts()
+            total += int(vc.sum())
+            summary = vc if summary is None else summary.add(
+                vc, fill_value=0
+            )
+            if len(summary) > m:
+                cut = summary.nlargest(m + 1).iloc[-1]
+                summary = summary - cut
+                summary = summary[summary > 0]
+        rows = pd.DataFrame({
+            "token": ([] if summary is None else list(summary.index))
+            + [None],
+            "n_part": [None] * (0 if summary is None else len(summary))
+            + [total],
+        })
+        yield rows
+
+    return tokens.select(F.col(col).alias(col)).mapInPandas(
+        per_partition, "token string, n_part long"
+    )
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, col: str, k: int = 20, m: int = 64
+) -> DataFrame:
+    """EXACT top-k heavy hitters in bounded memory — the two-pass
+    sketch-propose / exact-verify pattern a 100 TB token stream
+    requires instead of a full (token)-keyed shuffle:
+
+    1. Propose: per-partition Misra-Gries summaries (≤ m entries per
+       partition, Arrow-vectorized) — a guaranteed superset of every
+       token with count > N/(m+1).
+    2. Verify: exact recount of ONLY the proposed candidates (the
+       candidate set broadcasts; non-candidates die at the scan), then
+       the deterministic top-k by (count desc, token asc).
+    3. Guarantee check: if the k-th recounted candidate does not clear
+       the N/(m+1) proposal threshold, the bounded-memory answer could
+       miss a true hitter — fall back to the exact full aggregation.
+       The result is therefore EXACT on every input; only the plan
+       degrades when m is undersized for the distribution.
+
+    Driver traffic: candidate recounts (≤ m × partitions rows) and two
+    scalars — bounded by configuration, not by corpus size.
+    """
+    mg = misra_gries_candidates(tokens, col, m).persist()
+    cands = mg.where(F.col("token").isNotNull()).select("token").distinct()
+    n_total = int(
+        mg.where(F.col("token").isNull())
+        .agg(F.sum("n_part")).collect()[0][0] or 0
+    )
+    recount = (
+        tokens.join(
+            F.broadcast(cands),
+            tokens[col] == cands["token"], "left_semi"
+        )
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col(col).asc())
+        .limit(k)
+    )
+    top = recount.collect()
+    mg.unpersist()
+    threshold = n_total / (m + 1)
+    if len(top) < k or top[-1]["n"] <= threshold:
+        # undersized m for this distribution: bounded-memory proposal
+        # cannot certify the tail of the top-k — take the exact path
+        return (
+            tokens.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col(col).asc())
+            .limit(k)
+        )
+    return tokens.sparkSession.createDataFrame(top, f"{col} string, n long")

@@ -235,3 +235,63 @@ def test_cms_inner_product_upper_bound(spark):
     assert est >= exact
     # 6 keys in a width-1024 sketch: collision-free -> exact
     assert est == exact
+
+
+def test_heavy_hitters_exact_bounded_and_fallback(spark):
+    """heavy_hitters_exact: (1) on a skewed stream the bounded-memory
+    path reproduces the exact top-k including the (count desc, token
+    asc) tie order; (2) per-partition MG summaries stay <= m + 1 rows;
+    (3) on a near-uniform stream where the pigeonhole guarantee fails
+    the operator falls back and is STILL exact; (4) k larger than the
+    vocabulary returns every token."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    rows = []
+    for i in range(150):
+        rows += [(f"t{i:03d}",)] * (600 // (i + 1))
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, "w string").repartition(6)
+
+    def exact(frame, k):
+        return [
+            (r.w, r.n)
+            for r in frame.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("w").asc())
+            .limit(k)
+            .collect()
+        ]
+
+    got = [(r.w, r.n) for r in
+           heavy_hitters_exact(df, "w", k=12, m=64).collect()]
+    assert got == exact(df, 12)
+
+    # summary size is config-bounded: <= m candidate rows + 1
+    # accounting row per partition
+    per_part = (
+        misra_gries_candidates(df, "w", m=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    assert all(r["count"] <= 17 for r in per_part)
+
+    uniform = spark.createDataFrame(
+        [(f"u{i % 80:02d}",) for i in range(4000)], "w string"
+    ).repartition(6)
+    got_u = [(r.w, r.n) for r in
+             heavy_hitters_exact(uniform, "w", k=10, m=4).collect()]
+    assert got_u == exact(uniform, 10)
+
+    tiny = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "w string"
+    )
+    got_t = [(r.w, r.n) for r in
+             heavy_hitters_exact(tiny, "w", k=10, m=8).collect()]
+    assert got_t == [("a", 2), ("b", 1)]

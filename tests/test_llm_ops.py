@@ -210,25 +210,26 @@ def test_trained_ivf_recall(spark, tmp_path):
 
 
 def test_trained_centroids_deterministic(spark):
-    """Same data layout + seed -> identical rounded centroids across
-    independent fits (the property the sim_ivf_trained oracle depends
-    on: the driver reads the same parquet file, so the layout is
-    fixed; cross-LAYOUT determinism is explicitly not claimed —
-    KMeans|| init samples per partition)."""
+    """Same data + seed -> identical rounded centroids ACROSS
+    PARTITION LAYOUTS (the property the per-sf trained oracles
+    depend on: a sweep at local[16] must reproduce artifacts trained
+    at local[4]). Round 7 measured that pyspark.ml KMeans violates
+    this — k-means|| init samples per partition and the aggregation
+    sums floats in partition order — which is why the trainer is now
+    a bounded ordered sample + driver-local Lloyd."""
     from rust_dms_cdc_operator_spark.operators.similarity import (
         train_ivf_centroids,
     )
 
     rows, _ = _clustered_vectors(n_clusters=4, per_cluster=20)
-    a = train_ivf_centroids(
-        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
-        "embedding", n_lists=4, seed=42,
-    )
-    b = train_ivf_centroids(
-        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
-        "embedding", n_lists=4, seed=42,
-    )
-    assert a == b
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = train_ivf_centroids(df.repartition(1), "embedding",
+                            n_lists=4, seed=42)
+    b = train_ivf_centroids(df.repartition(7, "vec_id"), "embedding",
+                            n_lists=4, seed=42)
+    c = train_ivf_centroids(df.coalesce(2), "embedding",
+                            n_lists=4, seed=42)
+    assert a == b == c
 
 
 def test_embedding_neardup_pairs(spark):
@@ -2405,7 +2406,7 @@ def test_trained_registry_and_overrides():
 
     ov = oracle_sql_overrides("/root/testdata/sf0.1")
     assert sorted(ov) == [
-        "docs_bpe_tokens",
+        "docs_bpe_fertility", "docs_bpe_tokens",
         "sim_ivf_probe_partitioned", "sim_ivf_trained",
         "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk", "sim_pq_topk",
     ]

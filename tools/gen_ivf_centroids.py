@@ -2,11 +2,14 @@
 inventory_llm.py's sim_ivf_trained oracle.
 
 The correctness driver compares Spark vs DuckDB at sf0.01, and the
-oracle SQL must be a static string — so the seed-42 KMeans centroids
-for sf0.01 are trained here once and pasted as a module constant.
-Training is deterministic (verified across local[4]/local[32]): same
-data + seed + rounding → identical centroids, so the live-trained
-query reproduces these values exactly.
+oracle SQL must be a static string — so the seed-42 centroids for
+sf0.01 are trained here once and pasted as a module constant.
+Training (bounded ordered sample + driver-local Lloyd since round 7)
+is a pure function of data + seed — independent of partition layout
+and cpu count, so the live-trained query reproduces these values on
+any cluster configuration. (The previous pyspark.ml KMeans trainer
+was measured layout-DEPENDENT at sf1: 16-thread sweeps could not
+reproduce 4-thread artifacts.)
 
 Usage: python tools/gen_ivf_centroids.py [sf_dir]
 """
