@@ -175,6 +175,9 @@ SCALE_QUERIES = [
     # composite quality gate
     "events_bloom_prune",
     "docs_gopher_rules",
+    # round-7: exact substring-span dedup — gram-count state is
+    # vocabulary-bound, so the 10x step must stay near-linear
+    "docs_dup_spans",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

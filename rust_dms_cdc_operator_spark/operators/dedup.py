@@ -991,3 +991,95 @@ def prefix_containment_join(
             >= F.least("size_a", "size_b") * num
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring span census (suffix-array dedup, Spark-first)
+# ---------------------------------------------------------------------------
+# The famous "exact substring deduplication" pass (Lee, Ippolito et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL 2022)
+# finds every text span that occurs >= 2 times anywhere in the corpus.
+# The paper builds a monolithic suffix array — a single-node construction
+# that cannot shard past memory. The Spark-first equivalent: every
+# length-W word window is a SEED (stride 1, posexplode); a window whose
+# hash occurs >= min_occurrences times corpus-wide is a duplicated seed;
+# per-doc gaps-and-islands merges overlapping/adjacent seeds into
+# MAXIMAL duplicated spans. For spans of length >= W this census is
+# exact (a repeated span of L >= W words contributes L - W + 1 repeated
+# seeds, all merged back into one island); spans shorter than W are
+# deliberately below the resolution floor — the same min-match-length
+# cutoff the paper applies (their 50-token threshold).
+
+
+def dup_span_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-span census per document. Returns one row per
+    document that contains at least one duplicated seed:
+    (id, n_dup_seeds, n_spans, dup_words, n_words) — n_spans maximal
+    spans covering dup_words of the doc's n_words total words.
+
+    Plan shape (all linear, nothing quadratic):
+    1. posexplode of the stride-1 word windows — |corpus words| rows;
+       each window keyed by a 48-bit md5 slice (12 hex chars: 8-byte
+       shuffle keys instead of raw window strings; collisions
+       ~|grams|²/2⁴⁸ are reproduced bit-for-bit by the oracle's
+       identical construction, the hashed_shingle_set contract).
+    2. ONE gram-key aggregation for corpus-wide occurrence counts
+       (vocabulary-bound state, map-side partial counts), then a
+       gram-key semi-join marking duplicated seeds — output LINEAR in
+       |seeds|: each occurrence matches exactly one count row, so a
+       boilerplate gram repeated 10^6 times emits 10^6 rows, never a
+       within-gram cross product (the all-pairs trap this operator
+       exists to avoid). AQE splits hot-gram skew.
+    3. Per-doc island merge: one (doc)-keyed window sort of the
+       surviving seed positions — lag + running sum; two seeds merge
+       iff their starts differ by <= window (they overlap or touch).
+    4. One doc-key aggregation for the rollup.
+
+    At 100 TB the only global state is the gram-count table (bounded
+    by DISTINCT windows, not corpus size); the suffix array the
+    reference construction needs would be 8x corpus bytes on one node.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    grams = df.select(
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).alias("n_words"),
+        F.posexplode(
+            sliding_word_ngrams(F.col(text_col), window)
+        ).alias("pos", "gram"),
+    ).select(
+        id_col, "n_words", "pos", hex_to_long(F.md5("gram"), 12).alias("gh")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("gh")
+    )
+    seeds = grams.join(dup, "gh").select(id_col, "n_words", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = seeds.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= window, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy(id_col, "grp").agg(
+        F.first("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("seeds_in_span"),
+        (F.max("pos") - F.min("pos") + window).alias("span_words"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.sum("seeds_in_span").cast("long").alias("n_dup_seeds"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_words").cast("long").alias("dup_words"),
+        F.first("n_words").cast("long").alias("n_words"),
+    )

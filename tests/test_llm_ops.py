@@ -2716,3 +2716,96 @@ def test_mediacodec_flac_goldens():
             mc.parse_flac(p)
         except (NotImplementedError, ValueError, struct.error):
             pass
+
+
+def _brute_dup_spans(docs, window=5, min_occ=2):
+    """Brute-force maximal duplicated-span census: count every window
+    occurrence corpus-wide on RAW strings (no hashing), merge seed
+    starts per doc when they differ by <= window."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for i, text in docs:
+        ws = text.split(" ")
+        gs = [
+            " ".join(ws[p : p + window])
+            for p in range(len(ws) - window + 1)
+        ]
+        per_doc[i] = (len(ws), gs)
+        grams.update(gs)
+    out = {}
+    for i, (n_words, gs) in per_doc.items():
+        seeds = [p for p, g in enumerate(gs) if grams[g] >= min_occ]
+        if not seeds:
+            continue
+        spans = []
+        start = prev = seeds[0]
+        cnt = 1
+        for p in seeds[1:]:
+            if p - prev <= window:
+                prev = p
+                cnt += 1
+            else:
+                spans.append((prev - start + window, cnt))
+                start = prev = p
+                cnt = 1
+        spans.append((prev - start + window, cnt))
+        out[i] = (
+            len(seeds),
+            len(spans),
+            sum(s for s, _ in spans),
+            n_words,
+        )
+    return out
+
+
+def test_dup_span_census_equals_brute_force(spark):
+    """Exactness of the span census vs an all-in-memory reference on
+    a seeded corpus with: an identical pair, a doc embedding another
+    doc's text mid-stream (the quote shape), internal self-repetition
+    (within-doc duplication counts, Lee et al. semantics), and clean
+    docs that must be ABSENT from the census."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.dedup import dup_span_census
+
+    rng = random.Random(77)
+    vocab = [f"t{i}" for i in range(40)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    boiler = mk(8)
+    docs = [
+        (0, mk(30)),
+        (1, mk(25)),
+        (2, f"{mk(6)} {boiler} {mk(7)}"),   # shares boiler with 3
+        (3, f"{boiler} {mk(12)}"),
+        (4, " ".join([mk(6)] * 1)),          # clean short doc
+        (5, "a b c"),                        # below window floor
+    ]
+    docs.append((6, docs[0][1]))             # identical dup of doc 0
+    rep = mk(7)
+    docs.append((7, f"{rep} {mk(6)} {rep}"))  # internal repetition
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_seeds, r.n_spans, r.dup_words, r.n_words)
+        for r in dup_span_census(df, "doc_id", "text", window=5).collect()
+    }
+    assert got == _brute_dup_spans(docs, window=5)
+    assert 4 not in got and 5 not in got
+
+
+def test_dup_span_census_full_doc_dup_covers_everything(spark):
+    """Two identical docs: ONE maximal span each covering every word
+    (the merge must not fragment a contiguous duplicated region)."""
+    from rust_dms_cdc_operator_spark.operators.dedup import dup_span_census
+
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = dup_span_census(df, "doc_id", "text", window=5).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.n_spans, r.dup_words, r.n_words, r.n_dup_seeds) == (
+            1, 20, 20, 16,
+        )
