@@ -392,3 +392,99 @@ def heavy_hitters_exact(
             .limit(k)
         )
     return tokens.sparkSession.createDataFrame(top, f"{col} string, n long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (dense, engine-portable)
+# ---------------------------------------------------------------------------
+# Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm" (AofA 2007). The KMV
+# sketch above keeps k 60-bit minima (k longs of state); HLL gets the
+# same job done in m 6-bit registers and — unlike KMV — merges by a
+# plain elementwise MAX, which Spark expresses as ONE groupBy(reg)
+# aggregation with map-side partial combine and NO distinct shuffle:
+# repeated values hash to identical (reg, rho) rows that max() absorbs
+# on the map side. Everything is integer until one final literal
+# expression, so the estimate is bit-identical on any engine (the
+# DuckDB oracle replays the identical expression; IEEE doubles make
+# the single divide + multiply deterministic).
+
+
+def hll_add_cols(col: Column, p: int = 9) -> tuple[Column, Column]:
+    """(register, rho) for one value: 60-bit md5-slice hash; low ``p``
+    bits pick the register, the remaining w = 60 - p bits yield
+    rho = position of the leftmost 1-bit (1-based from the MSB of the
+    w-bit field), w + 1 when the field is zero. Integer-only: the
+    bit-length of the remainder comes from length(bin(x)) — identical
+    on Spark and DuckDB."""
+    w = 60 - p
+    h = kmv_hash(col)  # hex_to_long(md5, 15): the shared 60-bit slice
+    reg = (h % F.lit(1 << p)).cast("long")
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rest)))
+        .cast("long")
+    )
+    return reg, rho
+
+
+def hll_cardinality(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    p: int = 9,
+) -> DataFrame:
+    """Per-group distinct-count estimate via dense HLL, plus the raw
+    sketch scalars so a downstream merge can combine groups without
+    touching data: (group..., m_hit, s_scaled, hll_estimate).
+
+    - ``m_hit``: registers with at least one value (m - m_hit are the
+      empty registers, which contribute 2^w each to the harmonic sum).
+    - ``s_scaled``: the harmonic denominator as the EXACT integer
+      Σ_reg 2^(w + 1 - M_reg) (+ 2^(w+1)·zeros... normalized at
+      maxexp = w + 1 so every term is integral); bounded by m·2^w+1 —
+      fits int64 up to p >= 4.
+    - ``hll_estimate``: floor(alpha_m · m² · 2^maxexp / s_scaled) —
+      the raw HLL estimate (no small/large-range corrections: those
+      need ln(), whose last-ulp behavior is libm-specific; the raw
+      form is one IEEE divide + multiplies, bit-stable cross-engine).
+
+    Plan: one groupBy(group, reg) max(rho) — m-bounded state per
+    group, map-side combine absorbs duplicates, NO count-distinct
+    expand — then one group rollup. Merging sketches across groups
+    (or across days at 100 TB) is max(rho) again over the register
+    rows; registers, not raw values, are the only state."""
+    w = 60 - p
+    m = 1 << p
+    maxexp = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = list(group_cols or [])
+    reg, rho = hll_add_cols(F.col(col), p)
+    regs = (
+        df.select(*gcols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*gcols, "reg")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    # Σ 2^(maxexp - M) over hit registers + 2^maxexp per empty register
+    # — integer shifts, no float pow on the data path
+    s_hit = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {maxexp} - cast(mreg as int))")
+    )
+    agg = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("m_hit"),
+        s_hit.cast("long").alias("s_hit"),
+    )
+    s_scaled = (
+        F.col("s_hit")
+        + (F.lit(m) - F.col("m_hit")) * F.lit(1 << maxexp)
+    ).cast("long")
+    est = F.floor(
+        F.lit(alpha * m * m * float(1 << maxexp)) / s_scaled.cast("double")
+    ).cast("long")
+    return agg.select(
+        *gcols,
+        F.col("m_hit"),
+        s_scaled.alias("s_scaled"),
+        est.alias("hll_estimate"),
+    )
