@@ -1083,3 +1083,105 @@ def dup_span_census(
         F.sum("span_words").cast("long").alias("dup_words"),
         F.first("n_words").cast("long").alias("n_words"),
     )
+
+
+def prefix_jaccard_join_rs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """EXACT cross-collection (R-S) Jaccard join at ``min_jaccard``:
+    every (id_l, id_r) pair across the two inputs with J ≥ t — the
+    FUZZY benchmark-decontamination shape (:func:`contamination_hits`
+    catches verbatim n-gram overlap; a lightly-paraphrased eval item
+    that still shares most of its shingles needs a threshold join).
+    Returns (id_l, id_r, inter_size, union_size).
+
+    Same prefix-filter machinery as :func:`prefix_jaccard_join`, with
+    the one R-S requirement: the token rarity order must be GLOBAL
+    across BOTH collections (completeness only needs a consistent
+    total order; computing document frequency over the tagged UNION
+    gives one order and one ranked table, read twice). Both sides
+    keep their |X| - ⌈t·|X|⌉ + 1 rarest tokens; the size filter and
+    positional filter run inside the token join exactly as in the
+    self-join case, and all arithmetic is integer. Ids may repeat
+    across collections (an internal side-tagged key keeps them
+    apart); output ids are the caller's.
+
+    Scale: at 100 TB corpus × 10^5-doc benchmark, the candidate join
+    touches only prefix tokens of both sides — the benchmark side is
+    small, so the join is effectively an inverted-index probe of the
+    corpus prefixes; no LSH recall risk on the side that matters
+    (a missed contamination is a leaked eval item)."""
+    num, den = _frac(min_jaccard)
+    tagged = left.select(
+        F.lit("l").alias("_side"), F.col(id_col), F.col(text_col)
+    ).unionByName(
+        right.select(
+            F.lit("r").alias("_side"), F.col(id_col), F.col(text_col)
+        )
+    ).select(
+        F.concat_ws("|", "_side", id_col).alias("_uid"),
+        "_side",
+        F.col(id_col),
+        F.col(text_col),
+    )
+    s, ranked = _ranked_shingles(tagged, "_uid", text_col, n, hash_shingles)
+    sides = tagged.select("_uid", "_side", id_col).distinct()
+    ranked = ranked.join(sides, "_uid")
+    plen = F.col("sz") - F.expr(
+        f"(({num} * sz + {den - 1}) div {den})"
+    ) + 1
+    pref = ranked.filter(F.col("rn") <= plen)
+    a = pref.filter(F.col("_side") == "l").select(
+        F.col("_uid").alias("uid_l"),
+        F.col(id_col).alias("id_l"),
+        "tok",
+        F.col("sz").alias("sz_l"),
+        F.col("rn").alias("rn_l"),
+    )
+    b = pref.filter(F.col("_side") == "r").select(
+        F.col("_uid").alias("uid_r"),
+        F.col(id_col).alias("id_r"),
+        "tok",
+        F.col("sz").alias("sz_r"),
+        F.col("rn").alias("rn_r"),
+    )
+    c = F.expr(
+        f"(({num} * (sz_l + sz_r) + {den + num - 1}) div {den + num})"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            F.least("sz_l", "sz_r") * den
+            >= F.greatest("sz_l", "sz_r") * num
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_l") - F.col("rn_l"),
+                F.col("sz_r") - F.col("rn_r"),
+            )
+            >= c
+        )
+        .groupBy("uid_l", "uid_r")
+        .agg(F.first("id_l").alias("id_l"), F.first("id_r").alias("id_r"))
+    )
+    sa = s.select(F.col("_uid").alias("uid_l"), F.col("sh").alias("sh_l"))
+    sb = s.select(F.col("_uid").alias("uid_r"), F.col("sh").alias("sh_r"))
+    j = cand.join(sa, "uid_l").join(sb, "uid_r")
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    return (
+        j.select(
+            "id_l",
+            "id_r",
+            inter.cast("long").alias("inter_size"),
+            union.cast("long").alias("union_size"),
+        )
+        .filter(F.col("inter_size") * den >= F.col("union_size") * num)
+    )

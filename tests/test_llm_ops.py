@@ -2809,3 +2809,58 @@ def test_dup_span_census_full_doc_dup_covers_everything(spark):
         assert (r.n_spans, r.dup_words, r.n_words, r.n_dup_seeds) == (
             1, 20, 20, 16,
         )
+
+
+def test_prefix_rs_join_equals_brute_force(spark):
+    """Completeness + exactness of the cross-collection prefix join:
+    equals the all-pairs brute force (set equality) on a seeded
+    corpus, including ids that APPEAR IN BOTH collections (the
+    side-tagged internal key must keep them apart)."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        hex_to_long as _h2l,  # noqa: F401  (parity with engine hashing)
+        prefix_jaccard_join_rs,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda ws: " ".join(ws)  # noqa: E731
+    left, right = [], []
+    for i in range(25):
+        base = rng.sample(vocab, rng.randint(4, 12))
+        left.append((i, mk(base)))
+        if rng.random() < 0.7:
+            v = list(base)
+            if rng.random() < 0.5:
+                v[rng.randrange(len(v))] = rng.choice(vocab)
+            right.append((i if rng.random() < 0.3 else 500 + i, mk(v)))
+    right.append((left[0][0], left[0][1]))  # identical, same id both sides
+    ldf = spark.createDataFrame(left, "doc_id long, text string")
+    rdf = spark.createDataFrame(right, "doc_id long, text string")
+
+    def shingles(text, n=3):
+        ws = text.split(" ")
+        if len(ws) < n:
+            return frozenset([text])
+        return frozenset(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+
+    for t, num, den in ((0.8, 4, 5), (0.5, 1, 2)):
+        want = set()
+        for li, lt in left:
+            for ri, rt in right:
+                A, B = shingles(lt), shingles(rt)
+                inter = len(A & B)
+                union = len(A | B)
+                if inter * den >= union * num:
+                    want.add((li, ri, inter, union))
+        got = {
+            (r.id_l, r.id_r, r.inter_size, r.union_size)
+            for r in prefix_jaccard_join_rs(
+                ldf, rdf, min_jaccard=t, hash_shingles=False
+            ).collect()
+        }
+        assert got == want, (t, got ^ want)
+    spark.catalog.clearCache()
