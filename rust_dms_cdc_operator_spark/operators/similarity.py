@@ -441,3 +441,111 @@ def quantized_topk(
     )
     scored = df.select(F.col(id_col), dot_int.alias("dot_int"))
     return scored.orderBy(F.col("dot_int").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_probe_lists(
+    vec: Column,
+    centroid_vecs: list[list[float]],
+    nprobe: int,
+    round_digits: int = 6,
+) -> Column:
+    """Per-row top-``nprobe`` nearest centroid ids (cosine desc, ties
+    -> lowest id) as an array — the multi-list generalization of
+    :func:`ivf_assign` for operators where every ROW is a query (self
+    k-NN, density scoring). Pure expression: n_lists rounded cosines
+    per row, one array_sort, one slice — no join, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.round(cosine(vec, _vec_lit(c)), round_digits)).alias(
+                    "ns"
+                ),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroid_vecs)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["i"]
+    )
+
+
+def ivf_knn_density(
+    df: DataFrame,
+    centroid_vecs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """k-NN DENSITY outlier scoring over an embedding corpus: for
+    every vector, the mean cosine distance to its k nearest neighbors
+    among the vectors in its ``nprobe`` nearest IVF cells; the
+    ``top_n`` highest-mean-distance vectors are the corpus outliers
+    (mislabeled / off-distribution / garbage embeddings — the data-
+    curation triage list). Returns (vec_id, n_neighbors,
+    sum_dist_micro, mean_dist) ordered worst-first.
+
+    This is self-k-NN — the shape where brute force is O(n²) per the
+    WHOLE corpus, not per bounded query set — so the IVF cell
+    structure is the plan: candidates are (probe-side id, cell) ×
+    (index-side id, cell) equi-joins, bounded by cell occupancy ×
+    nprobe, never all-pairs. The candidate stream is NARROW (two ids);
+    vectors attach by id-join above it (the embedding_neardup_pairs
+    rewrite — measured 12x there), cosines round to 6 digits and then
+    become exact MICRO-unit integers, so neighbor ranking, distance
+    sums, and the final ordering are integer-exact cross-engine; the
+    two closing divisions are single IEEE ops. Neighbor quality
+    degrades gracefully at cell boundaries exactly as IVF recall
+    does — same determinism contract as the ivf_topk family (the
+    oracle replays the identical algorithm, literally)."""
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    assign = e.select(
+        F.col(id_col).alias("id_b"),
+        ivf_assign(F.col("v"), centroid_vecs).alias("lst"),
+    )
+    probes = e.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(
+            ivf_probe_lists(F.col("v"), centroid_vecs, nprobe)
+        ).alias("lst"),
+    )
+    cand = probes.join(assign, "lst").filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    va = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    cosm = (
+        F.round(F.round(cosine(F.col("va"), F.col("vb")), 6) * 1_000_000, 0)
+        .cast("long")
+    )
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosm.alias("cosm"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosm").desc(), F.col("id_b").asc()
+    )
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = knn.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum(F.lit(1_000_000) - F.col("cosm")).cast("long").alias(
+            "sum_dist_micro"
+        ),
+    )
+    mean = F.col("sum_dist_micro") / (
+        F.col("n_neighbors") * F.lit(1_000_000.0)
+    )
+    return (
+        agg.select(
+            id_col, "n_neighbors", "sum_dist_micro", mean.alias("mean_dist")
+        )
+        .orderBy(F.col("mean_dist").desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )

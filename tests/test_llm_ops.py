@@ -2864,3 +2864,35 @@ def test_prefix_rs_join_equals_brute_force(spark):
         }
         assert got == want, (t, got ^ want)
     spark.catalog.clearCache()
+
+
+def test_ivf_knn_density_plants_outlier_first(spark):
+    """A planted far-away vector in a tight cluster must rank as the
+    worst-density outlier; result is layout-independent; neighbor
+    counts are capped at k."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        ivf_knn_density,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(1, 60):
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows.append(
+            (i, [x + rng.uniform(-0.05, 0.05) for x in base])
+        )
+    rows.append((999, [0.0, 0.0, 0.0, 1.0]))  # the outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, "embedding", n_lists=4, seed=42)
+    out = ivf_knn_density(df, cents, k=5, nprobe=2, top_n=10)
+    got = out.collect()
+    assert got[0].vec_id == 999
+    assert all(r.n_neighbors <= 5 for r in got)
+    # layout independence: same rows, different partitioning
+    got2 = ivf_knn_density(
+        df.repartition(7), cents, k=5, nprobe=2, top_n=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in got2]
