@@ -239,11 +239,14 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
     )
     pos = c.filter(F.col("bal_cents") > 0)
-    totals = pos.agg(
+    # literal-lookup scalar (the chunk-offset pattern): one bounded
+    # 2-int collect, then a literal integer threshold filter — no
+    # scalar BroadcastNestedLoopJoin in the plan
+    t = pos.agg(
         F.sum("bal_cents").alias("_sum"), F.count(F.lit(1)).alias("_n")
-    )
-    rich = c.join(F.broadcast(totals)).filter(
-        F.col("bal_cents") * F.col("_n") > F.col("_sum")
+    ).collect()[0]
+    rich = c.filter(
+        F.col("bal_cents") * F.lit(int(t["_n"])) > F.lit(int(t["_sum"]))
     )
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "2001-01-01"

@@ -221,12 +221,21 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_cents")
         )
     )
-    total = per_part.agg(
+    # the scalar (total, count) is a LITERAL-LOOKUP (the chunk-offset
+    # pattern): one bounded 2-int collect off the persisted grouped
+    # aggregate, then a literal integer filter — no scalar
+    # BroadcastNestedLoopJoin, and the second pass reuses the
+    # persisted per-part rows instead of re-scanning lineitem
+    per_part = per_part.persist()
+    tot = per_part.agg(
         F.sum("value_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
-    )
+    ).collect()[0]
     return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("value_cents") * F.col("_n") * 2 > F.col("_total") * 3)
+        per_part
+        .filter(
+            F.col("value_cents") * F.lit(int(tot["_n"])) * 2
+            > F.lit(int(tot["_total"])) * 3
+        )
         .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
     )
 

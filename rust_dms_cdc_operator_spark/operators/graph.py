@@ -301,16 +301,33 @@ def triangle_stats(edges: DataFrame, max_degree: int | None = None) -> DataFrame
         .agg(F.count(F.lit(1)).alias("t"))
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("m"))
-    return (
-        n_edges.join(wedges).join(tri)
-        .select(
-            F.col("m").cast("long").alias("n_edges"),
-            F.col("w").cast("long").alias("n_wedges"),
-            F.col("t").cast("long").alias("n_triangles"),
-            F.when(F.col("w") > 0,
-                   F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6))
-            .alias("clustering"),
+    # one-row scalars combine via a tagged UNION + max aggregation
+    # (the count_diff pattern) instead of two 1-row crossJoins — the
+    # same three jobs, but zero BroadcastNestedLoopJoin nodes, so the
+    # repo-wide BNLJ lint needs no allowlist entry for this census
+    nulls = lambda *names: [  # noqa: E731
+        F.lit(None).cast("long").alias(n) for n in names
+    ]
+    stacked = (
+        n_edges.select(F.col("m").cast("long").alias("m"), *nulls("w", "t"))
+        .unionByName(
+            wedges.select(
+                nulls("m")[0], F.col("w").cast("long").alias("w"), *nulls("t")
+            )
         )
+        .unionByName(
+            tri.select(*nulls("m", "w"), F.col("t").cast("long").alias("t"))
+        )
+    )
+    return stacked.agg(
+        F.max("m").alias("m"), F.max("w").alias("w"), F.max("t").alias("t")
+    ).select(
+        F.col("m").alias("n_edges"),
+        F.col("w").alias("n_wedges"),
+        F.col("t").alias("n_triangles"),
+        F.when(F.col("w") > 0,
+               F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6))
+        .alias("clustering"),
     )
 
 

@@ -28,16 +28,16 @@ from rust_dms_cdc_operator_spark.plans.inspect import formatted_plan
 SF_DIR = "/root/testdata/sf0.001"
 
 # BNLJ build sides, each O(1) rows or O(days): justified and stable
+# Round 7 shrank this to the three joins whose build side is a
+# genuinely BOUNDED dimension (not a scalar): every former scalar
+# entry now combines via tagged-union aggregation (count_diff
+# pattern: triangle_stats, events_funnel, events_join_size_estimate)
+# or the literal-lookup collect (chunk-offset pattern: q11, q22,
+# docs_bm25_search).
 BNLJ_ALLOWED = {
-    "q11_important_stock",      # scalar threshold subquery
-    "q22_dormant_customers",    # scalar avg-balance subquery
     "sim_batch_topk",           # broadcast query-vector set (k rows)
-    "dedup_triangle_stats",     # scalar edge/wedge/triangle totals
-    "events_funnel",            # scalar stage totals
-    "events_join_size_estimate",  # 1-row estimate x 1-row exact
     "events_dau_mau",           # day spine (O(days)) range join
     "sim_knn_classify",         # broadcast 50-query set (bounded)
-    "docs_bm25_search",         # broadcast (N, avgdl) scalar pair
 }
 
 SKIP = tuple(
