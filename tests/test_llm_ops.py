@@ -2896,3 +2896,48 @@ def test_ivf_knn_density_plants_outlier_first(spark):
         df.repartition(7), cents, k=5, nprobe=2, top_n=10
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in got2]
+
+
+def test_sorted_neighborhood_equals_brute_force(spark):
+    """SNM candidates are exactly the window-3 successor pairs of the
+    (text, id) sort order, each with exact shingle Jaccard — verified
+    against an in-memory replay, on a corpus where near-identical
+    template docs sort adjacently."""
+    docs = []
+    for i in range(40):
+        t = i % 7
+        docs.append(
+            (i, f"template {t} body word{i % 3} filler common tail piece")
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(5)
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    def sh(text, n=3):
+        ws = text.split(" ")
+        if len(ws) < n:
+            return frozenset([text])
+        return frozenset(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+
+    order = sorted(docs, key=lambda d: (d[1], d[0]))
+    want = set()
+    for i, (ida, ta) in enumerate(order):
+        for j in range(i + 1, min(i + 4, len(order))):
+            idb, tb = order[j]
+            A, B = sh(ta), sh(tb)
+            want.add((ida, idb, len(A & B), len(A | B)))
+    got = {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in sorted_neighborhood_pairs(
+            df, window=3, hash_shingles=False
+        ).collect()
+    }
+    assert got == want
+    # same-template docs are adjacent in sort order => perfect-overlap
+    # pairs must be present
+    assert any(i == u for _, _, i, u in got)
+    spark.catalog.clearCache()
