@@ -2941,3 +2941,37 @@ def test_sorted_neighborhood_equals_brute_force(spark):
     # pairs must be present
     assert any(i == u for _, _, i, u in got)
     spark.catalog.clearCache()
+
+
+def test_jl_rerank_recall_and_determinism(spark):
+    """JL shortlist+rerank: on a corpus where the true top-10 are
+    well-separated (a planted near-duplicate cluster of the query),
+    recall@10 through the 3x shortlist must be perfect; the result is
+    layout-independent; and the projection matrix is a pure function
+    of the seed."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        jl_matrix,
+        jl_rerank_topk,
+    )
+
+    assert jl_matrix(4, 8) == jl_matrix(4, 8)
+    assert jl_matrix(4, 8, "a") != jl_matrix(4, 8, "b")
+
+    rng = random.Random(11)
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = []
+    for i in range(1, 11):  # planted: tiny perturbations of q
+        rows.append((i, [x + rng.uniform(-0.01, 0.01) for x in q]))
+    for i in range(11, 200):  # background noise
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = jl_rerank_topk(df, q, k_proj=8, k=10, shortlist=30)
+    got = out.collect()
+    assert {r.vec_id for r in got} == set(range(1, 11))
+    assert all(r.in_exact_topk for r in got)
+    got2 = jl_rerank_topk(
+        df.repartition(9), q, k_proj=8, k=10, shortlist=30
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in got2]
