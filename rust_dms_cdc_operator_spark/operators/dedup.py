@@ -1258,3 +1258,89 @@ def sorted_neighborhood_pairs(
         inter.cast("long").alias("inter_size"),
         union.cast("long").alias("union_size"),
     )
+
+
+def neardup_accumulate(
+    batch_df: DataFrame,
+    acc_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+) -> None:
+    """One microbatch step of STREAMING SimHash near-dup marking — the
+    ingest-time twin of :func:`simhash_hamming_pairs`' banding: a doc
+    arriving on the stream is flagged ``is_neardup`` iff any EARLIER
+    doc (prior microbatch, or same batch with a smaller id) shares at
+    least one of its ``bands`` signature blocks. The ``foreachBatch``
+    body of the `stream_neardup` query, factored out so crash
+    semantics are testable (the :func:`~rust_dms_cdc_operator_spark.
+    operators.sketch.cms_accumulate` contract: EXPLICIT accumulator
+    existence probe — a corrupt state dir fails the batch loudly,
+    never silently resets to "first batch").
+
+    State is the occupied-band-bucket table (band_idx, bk, min_id) —
+    bounded by ``bands * 2^(bits/bands)`` buckets BY CONFIGURATION
+    (4 x 32k at the defaults, ~3 MB collected), constant however long
+    the stream runs; like the CMS sketch it merges by groupBy-min, so
+    any replay/batching reaches the same final state. Appends
+    (id, simhash, is_neardup) rows for this batch to ``out_dir``."""
+    from rust_dms_cdc_operator_spark import fsio  # noqa: PLC0415
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    sess = batch_df.sparkSession
+    sigs = simhash_bits(batch_df, id_col, text_col, bits)
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "simhash", "_b.band_idx", "_b.bk")
+    batch_min = banded.groupBy("band_idx", "bk").agg(
+        F.min(id_col).alias("_bmin")
+    )
+    has_acc = any(n.startswith("part-") for n in fsio.listdir(acc_dir))
+    if has_acc:
+        state = sess.read.parquet(acc_dir)
+    else:
+        state = sess.createDataFrame(
+            [], "band_idx int, bk long, min_id long"
+        )
+    flagged = (
+        banded.join(F.broadcast(state), ["band_idx", "bk"], "left")
+        .join(F.broadcast(batch_min), ["band_idx", "bk"])
+        .groupBy(id_col, "simhash")
+        .agg(
+            F.max(
+                (F.coalesce(F.col("min_id"), F.col(id_col)) < F.col(id_col))
+                | (F.col("_bmin") < F.col(id_col))
+            ).alias("is_neardup")
+        )
+    )
+    flagged.write.mode("append").parquet(out_dir)
+    merged = (
+        state.unionByName(
+            batch_min.select(
+                "band_idx", "bk", F.col("_bmin").alias("min_id")
+            )
+        )
+        .groupBy("band_idx", "bk")
+        .agg(F.min("min_id").alias("min_id"))
+    )
+    rows = merged.collect()  # bounded: bands x 2^width buckets max
+    sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(acc_dir)

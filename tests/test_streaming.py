@@ -1326,3 +1326,72 @@ def test_cms_accumulate_corrupt_accumulator_fails_loudly(spark, tmp_path):
         cms_accumulate(b1, acc, "word", width=64)
     with open(part, "rb") as fh:
         assert fh.read() == b"not a parquet file"  # left for forensics
+
+
+def test_neardup_accumulate_batching_invariance_and_crash(spark, tmp_path):
+    """Streaming SimHash near-dup: the accumulated output after an
+    id-ordered multi-batch replay equals the batch rule 'shares a band
+    with any smaller-id doc' AND equals a single-batch run (state
+    merge is batching-invariant for ordered arrival); a corrupt state
+    dir fails loudly (cms_accumulate contract)."""
+    import os
+
+    import pytest
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        neardup_accumulate,
+        simhash_bits,
+    )
+
+    docs = []
+    for i in range(30):
+        t = i % 5
+        docs.append((i, f"template {t} shared body text common tail w{t}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ground truth: smaller-id band-share rule over the full corpus
+    width, mask = 15, (1 << 15) - 1
+    sig = {
+        r.doc_id: r.simhash
+        for r in simhash_bits(df, "doc_id", "text", 60).collect()
+    }
+    def bandset(s):
+        return {(i, (s >> (i * width)) & mask) for i in range(4)}
+    want = {
+        i: any(
+            bandset(sig[i]) & bandset(sig[j]) for j in sig if j < i
+        )
+        for i in sig
+    }
+
+    def run(batches, tag):
+        acc = str(tmp_path / f"acc_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        for lo, hi in batches:
+            b = df.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            neardup_accumulate(b, acc, out)
+        return {
+            r.doc_id: r.is_neardup
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got_multi = run([(0, 10), (10, 20), (20, 30)], "multi")
+    got_single = run([(0, 30)], "single")
+    assert got_multi == want
+    assert got_single == want
+
+    # corrupt state: loud failure, state not silently replaced
+    acc = str(tmp_path / "acc_multi")
+    part = next(
+        os.path.join(acc, n)
+        for n in os.listdir(acc)
+        if n.startswith("part-")
+    )
+    with open(part, "wb") as fh:
+        fh.write(b"junk not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        neardup_accumulate(df, acc, str(tmp_path / "out_crash"))
+    with open(part, "rb") as fh:
+        assert fh.read() == b"junk not parquet"
