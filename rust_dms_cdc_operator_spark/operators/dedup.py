@@ -1344,3 +1344,95 @@ def neardup_accumulate(
     sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(acc_dir)
+
+
+def cdc_chunk_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 4,
+    modulus: int = 64,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup census (the LBFS/rsync family —
+    Muthitacharoen et al., SOSP 2001 — on word streams): a chunk
+    boundary falls AFTER every word position whose trailing ``gram``-
+    word window hashes to 0 mod ``modulus`` (expected chunk length =
+    ``modulus`` words), chunks dedup corpus-wide by digest. Returns
+    one row per doc: (id, n_chunks, n_dup_chunks, dup_words, n_words)
+    — n_dup_chunks of its chunks occur >= 2 times corpus-wide,
+    covering dup_words words.
+
+    Why not :func:`segment_dedup`'s fixed windows: an insertion shifts
+    every later fixed-segment boundary, so all downstream segments of
+    an edited document change identity and nothing dedups. Content-
+    defined boundaries RESYNCHRONIZE at the next hash-selected cut —
+    only the chunks touching the edit change (property-tested) — which
+    is what makes cross-version storage dedup work.
+
+    Plan shape (all linear): one posexplode of words + one of the
+    stride-1 gram windows (cut decisions — pure hash expressions);
+    one per-doc window running-sum turns cut flags into chunk ids;
+    one (doc, chunk) aggregation rebuilds chunk digests (text rides
+    only to its own chunk's md5); ONE digest-keyed count — state
+    bounded by DISTINCT chunks, the dedup-store size, not the corpus.
+    Same hashed-key contract as :func:`dup_span_census` (md5-slice
+    keys, oracle reproduces collisions bit-for-bit)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    words = df.select(
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).alias("n_words"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    cuts = df.select(
+        F.col(id_col),
+        F.posexplode(
+            sliding_word_ngrams(F.col(text_col), gram)
+        ).alias("s", "g"),
+    ).select(
+        id_col,
+        (F.col("s") + gram - 1).alias("pos"),
+        (hex_to_long(F.md5("g"), 8) % modulus == 0).alias("cut"),
+    ).filter(F.col("cut"))
+    flagged = words.join(cuts.select(id_col, "pos", "cut"), [id_col, "pos"], "left")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum(F.when(F.col("cut"), 1).otherwise(0)).over(w), F.lit(0)
+        ),
+    )
+    chunks = chunked.groupBy(id_col, "chunk").agg(
+        F.first("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("c_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            )
+        ).alias("digest"),
+    )
+    census = chunks.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        chunks.join(census, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("occ") >= 2, F.col("c_words")).otherwise(0))
+            .cast("long")
+            .alias("dup_words"),
+            F.first("n_words").cast("long").alias("n_words"),
+        )
+    )

@@ -2975,3 +2975,51 @@ def test_jl_rerank_recall_and_determinism(spark):
         df.repartition(9), q, k_proj=8, k=10, shortlist=30
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in got2]
+
+
+def test_cdc_chunk_census_resync_property(spark):
+    """The content-defined property itself: inserting words at the
+    FRONT of a long doc leaves the chunk stream identical after the
+    first hash-selected boundary — the edited copy and the original
+    share almost all chunks (fixed segmentation would share none past
+    the edit). Plus exact-copy sanity: two identical docs have every
+    chunk duplicated."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.dedup import cdc_chunk_census
+
+    rng = random.Random(3)
+    body = " ".join(f"w{rng.randrange(500)}" for _ in range(400))
+    docs = [
+        (1, body),
+        (2, "inserted preamble " + body),   # front edit
+        (3, body),                           # exact copy of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in cdc_chunk_census(df, gram=4, modulus=16).collect()
+    }
+    # exact copies: everything duplicated
+    assert got[1].n_dup_chunks == got[1].n_chunks
+    assert got[3].n_dup_chunks == got[3].n_chunks
+    assert got[1].dup_words == got[1].n_words == 400
+    # front-edited copy: all but the first chunk(s) resynchronize —
+    # the overwhelming majority of its words still dedup
+    assert got[2].dup_words >= got[2].n_words - 3 * 16 - 2
+    assert got[2].n_dup_chunks >= got[2].n_chunks - 2
+
+
+def test_cdc_chunk_census_no_cuts_single_chunk(spark):
+    """A doc too short for any gram window is one whole-doc chunk;
+    unique docs report zero duplicated chunks."""
+    from rust_dms_cdc_operator_spark.operators.dedup import cdc_chunk_census
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "totally unique text right here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cdc_chunk_census(df).collect()}
+    assert got[1].n_chunks == 1 and got[1].n_dup_chunks == 0
+    assert got[2].n_dup_chunks == 0
+    assert got[1].n_words == 2
