@@ -178,6 +178,13 @@ SCALE_QUERIES = [
     # round-7: exact substring-span dedup — gram-count state is
     # vocabulary-bound, so the 10x step must stay near-linear
     "docs_dup_spans",
+    # round-7 session 2: the new blocking/cell-bounded families —
+    # SNM's candidate volume is exactly w*N by construction, the
+    # kNN-density join is IVF-cell-bounded, content-defined chunking
+    # is digest-census-bound: each must hold its shape at 10x
+    "dedup_sorted_neighborhood",
+    "sim_knn_density",
+    "docs_cdc_chunks",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

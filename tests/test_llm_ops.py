@@ -3023,3 +3023,47 @@ def test_cdc_chunk_census_no_cuts_single_chunk(spark):
     assert got[1].n_chunks == 1 and got[1].n_dup_chunks == 0
     assert got[2].n_dup_chunks == 0
     assert got[1].n_words == 2
+
+
+def test_theilsen_robust_to_outlier_day(spark):
+    """Theil-Sen vs OLS on a series with one anomalous day: the
+    median-of-slopes must stay at the true slope while OLS is
+    dragged; even pair counts take the LOWER median (deterministic
+    order-statistic, no interpolation)."""
+    import datetime as dt
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_daily_trend,
+        q_events_theilsen_trend,
+    )
+
+    # build a tiny events table: type 'a' counts 10,20,30,40,1000,60
+    # (one spike day), perfect slope 10/day otherwise
+    rows = []
+    eid = 0
+    for d, n in enumerate([10, 20, 30, 40, 1000, 60]):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "a", 0.0,
+                 "{}")
+            )
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="theilsen_")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    ts = {
+        r.event_type: r.slope_med
+        for r in q_events_theilsen_trend(spark, tmp).collect()
+    }
+    ols = {
+        r.event_type: r.slope
+        for r in q_events_daily_trend(spark, tmp).collect()
+    }
+    assert abs(ts["a"] - 10.0) <= 3.4  # within the clean-slope range
+    assert ols["a"] > 50  # OLS dragged far away by the spike
