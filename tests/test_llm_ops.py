@@ -3067,3 +3067,24 @@ def test_theilsen_robust_to_outlier_day(spark):
     }
     assert abs(ts["a"] - 10.0) <= 3.4  # within the clean-slope range
     assert ols["a"] > 50  # OLS dragged far away by the spike
+
+
+def test_rrf_hybrid_fusion_semantics(spark):
+    """RRF at sf0.001: every returned row's score equals
+    1/(60+r_bm25) + 1/(60+r_cos) with nulls contributing 0; a doc
+    present in BOTH rankings outranks one at the same position in
+    only one ranking."""
+    from rust_dms_cdc_operator_spark.inventory_llm import q_docs_rrf_hybrid
+
+    rows = q_docs_rrf_hybrid(spark, "/root/testdata/sf0.001").collect()
+    assert rows and len(rows) <= 10
+    for r in rows:
+        want = 0.0
+        if r.r_bm25 is not None:
+            want += 1.0 / (60 + r.r_bm25)
+        if r.r_cos is not None:
+            want += 1.0 / (60 + r.r_cos)
+        assert abs(r.rrf_score - round(want, 8)) < 1e-12
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    spark.catalog.clearCache()
