@@ -1426,3 +1426,43 @@ def mkv_census(payload: bytes) -> dict:
         "height": first["height"],
         "void_bytes": void_bytes,
     }
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit perceptual difference hash (dHash — the
+    gradient-direction perceptual hash popularized by Krawetz's
+    "Kind of Like That", 2013) of a binary netpbm image: NN-resize to
+    9x8 through :func:`resize_netpbm` (real index arithmetic on the
+    raster), integer ITU-R BT.601 luminance per pixel
+    ((299 r + 587 g + 114 b) // 1000 — exact, no float), then bit
+    (y*8 + x) is set iff luminance(x+1, y) > luminance(x, y). Images
+    that differ by uniform brightness shifts, codec-free re-saves, or
+    resolution changes keep (nearly) the same hash — equality/low
+    Hamming distance is the standard image near-dup signal, fed to
+    the same banded multi-index join the text SimHash uses."""
+    import numpy as np  # noqa: PLC0415
+
+    small = resize_netpbm(payload, 9, 8)
+    magic, w, h, maxval, off = _netpbm_header(small)
+    ch = 3 if magic == "P6" else 1
+    bps = 1 if maxval < 256 else 2
+    arr = np.frombuffer(
+        small[off : off + 9 * 8 * ch * bps], dtype=np.uint8
+    ).reshape(8, 9, ch * bps)
+    if bps == 2:  # big-endian 16-bit samples: use the high byte per
+        arr = arr[:, :, 0::2]  # channel — monotone in the true value
+    if ch == 3:
+        lum = (
+            299 * arr[:, :, 0].astype(np.int64)
+            + 587 * arr[:, :, 1].astype(np.int64)
+            + 114 * arr[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        lum = arr[:, :, 0].astype(np.int64)
+    bits = (lum[:, 1:] > lum[:, :-1]).astype(np.int64)  # 8 rows x 8
+    out = 0
+    for y in range(8):
+        for x in range(8):
+            if bits[y, x]:
+                out |= 1 << (y * 8 + x)
+    return out

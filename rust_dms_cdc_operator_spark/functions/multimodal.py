@@ -771,3 +771,41 @@ def mkv_container_census(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, MKV_CENSUS_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """REAL perceptual difference-hash over binary netpbm payloads
+    (`mediacodec.dhash64`: NN-resize to 9x8 on the raw raster,
+    integer BT.601 luminance, 64 gradient-direction bits) — the image
+    twin of the text SimHash signature stage. Feed the output to
+    `operators.dedup.hamming_pairs_from_signatures` for banded
+    multi-index image near-dup at corpus scale. Undecodable payloads
+    contribute no rows (poison-pill contract: only the codec
+    exception family is absorbed)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_dms_cdc_operator_spark.functions import (  # noqa: PLC0415
+            mediacodec,
+        )
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    h = mediacodec.dhash64(p)
+                except (NotImplementedError, ValueError, struct_error):
+                    continue
+                rows.append((int(mid), int(h - (1 << 64) if h >= 1 << 63 else h)))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)

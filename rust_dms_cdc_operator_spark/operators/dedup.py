@@ -694,46 +694,16 @@ def simhash_hamming_pairs(
     for completeness. Returns (id_a, id_b, hamming), id_a < id_b.
     Caller owns the persisted signature cache lifetime (same contract
     as :func:`minhash_lsh_pairs` / :func:`jaccard_verify_pairs`)."""
-    if max_distance >= bands:
-        raise ValueError("pigeonhole completeness needs max_distance < bands")
-    width = bits // bands
-    mask = (1 << width) - 1
-    sig = simhash_bits(df, id_col, text_col, bits).persist()
-    per_band = []
-    for i in range(bands):
-
-        def _bk(c: str) -> Column:
-            return F.shiftright(F.col(c), i * width).bitwiseAND(F.lit(mask))
-
-        a = sig.select(
-            F.col(id_col).alias("id_a"),
-            F.col("simhash").alias("sig_a"),
-            _bk("simhash").alias("bk"),
-        )
-        b = sig.select(
-            F.col(id_col).alias("id_b"),
-            F.col("simhash").alias("sig_b"),
-            _bk("simhash").alias("bk"),
-        )
-        j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
-        # emit each pair at its FIRST matching block only (same trick
-        # as minhash_lsh_pairs): no global distinct over the
-        # within-bucket quadratic pair stream
-        for prev in range(i):
-            j = j.filter(
-                F.shiftright("sig_a", prev * width).bitwiseAND(F.lit(mask))
-                != F.shiftright("sig_b", prev * width).bitwiseAND(
-                    F.lit(mask)
-                )
-            )
-        per_band.append(j.select("id_a", "id_b", "sig_a", "sig_b"))
-    cand = per_band[0]
-    for p in per_band[1:]:
-        cand = cand.unionByName(p)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
-        "id_a", "id_b", ham.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= max_distance)
+    # delegates to the signature-agnostic banding below (round 7
+    # refactor: the image dHash path reuses the same machinery)
+    return hamming_pairs_from_signatures(
+        simhash_bits(df, id_col, text_col, bits),
+        id_col,
+        "simhash",
+        bits=bits,
+        bands=bands,
+        max_distance=max_distance,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1436,3 +1406,70 @@ def cdc_chunk_census(
             F.first("n_words").cast("long").alias("n_words"),
         )
     )
+
+
+def hamming_pairs_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Banded multi-index Hamming join over PRECOMPUTED signatures —
+    the signature-agnostic core of :func:`simhash_hamming_pairs`,
+    split out so non-text signatures (the perceptual image dHash in
+    functions/mediacodec.dhash64, audio fingerprints, any 64-bit
+    sketch) reuse the same complete pigeonhole blocking: any pair
+    within Hamming distance ``bands - 1`` agrees exactly on one of
+    the ``bands`` disjoint blocks, so banded equi-joins enumerate a
+    complete candidate set; one integer popcount verifies.
+
+    Signed-safe to the full 64 bits: band keys extract via
+    ARITHMETIC shift + mask — for every band the mask keeps only bits
+    below the sign-fill region, so the key equals the logical-shift
+    value on any engine (the trick that lets a two's-complement
+    64-bit hash stay in one BIGINT on Spark and DuckDB alike; the
+    text SimHash caps at 60 bits instead, both conventions coexist).
+    Pairs emit at their FIRST matching block (no global distinct over
+    the within-bucket pair stream). Returns (id_a, id_b, hamming),
+    id_a < id_b. Caller owns the persisted signature cache."""
+    if max_distance >= bands:
+        raise ValueError("pigeonhole completeness needs max_distance < bands")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = sigs.select(F.col(id_col), F.col(sig_col).alias("_sig")).persist()
+    per_band = []
+    for i in range(bands):
+
+        def _bk(c: str) -> Column:
+            return F.shiftright(F.col(c), i * width).bitwiseAND(F.lit(mask))
+
+        a = s.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_sig").alias("sig_a"),
+            _bk("_sig").alias("bk"),
+        )
+        b = s.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_sig").alias("sig_b"),
+            _bk("_sig").alias("bk"),
+        )
+        j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+        for prev in range(i):
+            j = j.filter(
+                F.shiftright("sig_a", prev * width).bitwiseAND(F.lit(mask))
+                != F.shiftright("sig_b", prev * width).bitwiseAND(
+                    F.lit(mask)
+                )
+            )
+        per_band.append(j.select("id_a", "id_b", "sig_a", "sig_b"))
+    cand = per_band[0]
+    for p in per_band[1:]:
+        cand = cand.unionByName(p)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_distance)

@@ -2108,6 +2108,7 @@ def test_mediacodec_transforms_fuzz_exception_contract():
         lambda p: mc.mp4_box_census(p),
         lambda p: mc.mkv_census(p),
         lambda p: mc.parse_flac(p),
+        lambda p: mc.dhash64(p),
     ]
     valid = [
         b"P6\n2 2\n255\n" + bytes(range(12)),
@@ -3087,4 +3088,76 @@ def test_rrf_hybrid_fusion_semantics(spark):
         assert abs(r.rrf_score - round(want, 8)) < 1e-12
     scores = [r.rrf_score for r in rows]
     assert scores == sorted(scores, reverse=True)
+    spark.catalog.clearCache()
+
+
+def _gradient_ppm(a, b, c, w=18, h=16):
+    head = f"P6\n{w} {h}\n255\n".encode()
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            g = (a * x + b * y + a * b * x * y) % 251 + c
+            px += bytes([g, g, g])
+    return head + bytes(px)
+
+
+def test_dhash64_invariances():
+    """dHash: invariant under uniform brightness shift AND under
+    2x upscale (the NN resize path normalizes resolution); different
+    gradients produce different hashes; P5 graymaps hash like their
+    P6 expansion (luminance of r=g=b equals the gray sample)."""
+    from rust_dms_cdc_operator_spark.functions.mediacodec import (
+        dhash64,
+        resize_netpbm,
+    )
+
+    base = _gradient_ppm(40, 53, 0)
+    assert dhash64(base) == dhash64(_gradient_ppm(40, 53, 2))
+    assert dhash64(base) != dhash64(_gradient_ppm(87, 111, 0))
+    up = resize_netpbm(base, 36, 32)
+    assert dhash64(up) == dhash64(base)
+    # P5 form of the same gray grid
+    head = b"P5\n18 16\n255\n"
+    px = bytes(
+        (40 * x + 53 * y + 40 * 53 * x * y) % 251
+        for y in range(16)
+        for x in range(18)
+    )
+    assert dhash64(head + px) == dhash64(base)
+
+
+def test_hamming_pairs_from_signatures_signed_full64(spark):
+    """The generic banding is complete to the FULL signed 64-bit
+    range: pairs within distance 3 (including signatures with the
+    sign bit set) equal the brute-force popcount census; pairs at
+    distance >= 4 that share no band are (correctly) absent."""
+    import random
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        hamming_pairs_from_signatures,
+    )
+
+    rng = random.Random(8)
+    sigs = []
+    base = rng.getrandbits(64)
+    for i in range(40):
+        s = base
+        for _ in range(rng.randint(0, 5)):
+            s ^= 1 << rng.randrange(64)
+        sigs.append((i, s - (1 << 64) if s >= 1 << 63 else s))
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs_from_signatures(
+            df, "doc_id", "simhash", bits=64, bands=4, max_distance=3
+        ).collect()
+    }
+    want = set()
+    for i, si in sigs:
+        for j, sj in sigs:
+            if i < j:
+                d = bin((si ^ sj) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+    assert got == want
     spark.catalog.clearCache()
