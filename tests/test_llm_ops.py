@@ -2409,7 +2409,8 @@ def test_trained_registry_and_overrides():
     assert sorted(ov) == [
         "docs_bpe_fertility", "docs_bpe_tokens",
         "sim_ivf_probe_partitioned", "sim_ivf_trained",
-        "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk", "sim_pq_topk",
+        "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk",
+        "sim_knn_density", "sim_pq_topk",
     ]
     c01 = load_ivf("sf0.1")
     assert c01 is not None and c01 != _IVF_TRAINED_CENTROIDS_SF001
