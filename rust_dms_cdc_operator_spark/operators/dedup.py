@@ -1473,3 +1473,77 @@ def hamming_pairs_from_signatures(
     return cand.select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_distance)
+
+
+def dup_span_remove(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The TRANSFORM companion to :func:`dup_span_census` — actually
+    remove corpus-duplicated spans (every occurrence, the strictest
+    Lee/Ippolito policy: repeated boilerplate carries no training
+    signal at any copy). Returns (id, n_words, n_removed, clean_text);
+    clean_text is NULL when every word was covered (fully-boilerplate
+    doc — the row a curation pipeline drops).
+
+    Same plan skeleton as the census: one gram-count aggregation
+    (vocabulary-bound), a gram-key semi-join marks duplicated seeds,
+    then each seed explodes into its ``window`` covered positions
+    (x``window`` linear blow-up, bounded by the seed stream), one
+    per-doc distinct, one anti-join against the word stream, one
+    doc-key reassembly aggregation. Nothing quadratic, no driver
+    data."""
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            sliding_word_ngrams(F.col(text_col), window)
+        ).alias("pos", "gram"),
+    ).select(id_col, "pos", hex_to_long(F.md5("gram"), 12).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = df.select(
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).alias("n_words"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    kept = words.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.first("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col, F.size(_words(F.col(text_col))).alias("n_words"))
+        .join(rebuilt.drop("n_words"), id_col, "left")
+        .select(
+            id_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            (
+                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            "clean_text",
+        )
+    )

@@ -3162,3 +3162,31 @@ def test_hamming_pairs_from_signatures_signed_full64(spark):
                     want.add((i, j, d))
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_dup_span_remove_consistency_with_census(spark):
+    """Removal accounting is consistent with the census: for every
+    doc the census reports, n_removed >= its dup_words... actually
+    EQUAL for the all-copies policy on docs whose spans are mutual
+    copies; clean docs lose nothing; a fully-duplicated doc goes
+    NULL."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        dup_span_census,
+        dup_span_remove,
+    )
+
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = [
+        (1, text),
+        (2, text),                          # full dup of 1
+        (3, "totally different words entirely here now okay fine"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    removed = {r.doc_id: r for r in dup_span_remove(df).collect()}
+    census = {r.doc_id: r for r in dup_span_census(df).collect()}
+    assert removed[1].clean_text is None and removed[1].n_removed == 20
+    assert removed[2].clean_text is None
+    assert removed[3].n_removed == 0
+    assert removed[3].clean_text == docs[2][1]
+    assert census[1].dup_words == removed[1].n_removed
+    assert 3 not in census
