@@ -3190,3 +3190,47 @@ def test_dup_span_remove_consistency_with_census(spark):
     assert removed[3].clean_text == docs[2][1]
     assert census[1].dup_words == removed[1].n_removed
     assert 3 not in census
+
+
+def test_mad_anomalies_resist_masking(spark):
+    """The robust detector's reason to exist: TWO huge outlier hours
+    inflate sigma enough that the z-score test (z > 2) can miss a
+    moderate anomaly, while median/MAD still flags all three; a
+    clean constant series flags nothing."""
+    import datetime as dt
+    import tempfile
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_mad_anomalies,
+    )
+
+    rows, eid = [], 0
+    # type 'a': 20 calm hours of 10 events, 2 huge spikes, 1 moderate
+    counts = [10] * 20 + [500, 480, 60]
+    for h, n in enumerate(counts):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + h // 24, h % 24, 30, 0),
+                 1, "a", 0.0, "{}")
+            )
+    # type 'b': constant series — nothing flagged
+    for h in range(10):
+        for _ in range(7):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 2, 1, h, 30, 0), 2, "b", 0.0,
+                 "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="mad_")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    got = q_events_mad_anomalies(spark, tmp).collect()
+    flagged = {(r.event_type, r.cnt) for r in got}
+    assert ("a", 500) in flagged and ("a", 480) in flagged
+    assert ("a", 60) in flagged          # the one sigma-masking hides
+    assert not any(t == "b" for t, _ in flagged)
