@@ -3234,3 +3234,44 @@ def test_mad_anomalies_resist_masking(spark):
     assert ("a", 500) in flagged and ("a", 480) in flagged
     assert ("a", 60) in flagged          # the one sigma-masking hides
     assert not any(t == "b" for t, _ in flagged)
+
+
+def test_attribution_last_touch_semantics(spark):
+    """Hand-built stream: purchase credits the latest PRECEDING
+    non-purchase touch of the same user only; a purchase-first user
+    lands in '(none)'; values sum exactly in millis."""
+    import datetime as dt
+    import tempfile
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_attribution,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    s = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view -> click -> purchase(2.5) => click
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + s, 1, "click", 0.0, "{}"),
+        (3, t0 + 2 * s, 1, "purchase", 2.5, "{}"),
+        # user 1 again: purchase(1.0) right after => its own last
+        # touch is still 'click' (purchases never count as touches)
+        (4, t0 + 3 * s, 1, "purchase", 1.0, "{}"),
+        # user 2: purchase with no prior events => (none)
+        (5, t0, 2, "purchase", 4.0, "{}"),
+        # user 3: view AFTER the purchase must not attribute
+        (6, t0 + s, 3, "purchase", 8.0, "{}"),
+        (7, t0 + 2 * s, 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="attr_")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    got = {
+        r.channel: (r.n_purchases, r.value_milli)
+        for r in q_events_attribution(spark, tmp).collect()
+    }
+    assert got == {"click": (2, 3500), "(none)": (2, 12000)}
