@@ -431,3 +431,59 @@ def label_propagation(
             .select("v", "label")
         )
     return labels
+
+
+def kcore_membership(
+    edges: DataFrame, k: int = 2, rounds: int = 4
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983's degeneracy cores,
+    run as ``rounds`` synchronous Matula–Beck peel sweeps) on an
+    undirected (id_a, id_b) edge list: every sweep deletes ALL nodes
+    whose remaining degree is < ``k`` at once, so after R sweeps
+    exactly the nodes whose peel depth exceeds R survive. On near-dup
+    candidate graphs (unions of near-cliques from banded LSH) peeling
+    converges in 1–2 sweeps — the loosely-attached bridge documents
+    fall out and the dense template cores remain, which is the graph
+    signal that separates "shares one hash band by luck" from "lives
+    in a boilerplate clique". Adversarial chains peel one layer per
+    sweep; ``rounds`` caps that (a path needs ~n/2 sweeps to empty),
+    and because the sweep schedule is part of the operator's contract,
+    the ``rounds``-level unrolled SQL oracle reproduces the exact
+    output even when peeling has not converged.
+
+    Returns (node, core_deg): survivors of the R-th sweep with their
+    degree inside the surviving subgraph (core_deg >= k iff another
+    sweep would keep the node — callers can read convergence off the
+    result: no row below k means a fixed point was reached).
+
+    Scale shape: the symmetric adjacency persists once; each sweep is
+    ONE degree aggregation (map-side combine on the node key) + two
+    semi-joins of the adjacency against the surviving node set — all
+    node-key hash shuffles, linear in remaining edges, zero driver
+    actions in the loop. No global sort, no windows; the node set
+    shrinks monotonically so later sweeps cost less, not more.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    e = edges.select("id_a", "id_b").distinct()
+    adj = (
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    cur = adj
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = cur.join(keep, "src", "semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "semi"
+        )
+    return cur.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    ).select(F.col("src").alias("node"), "core_deg")

@@ -225,3 +225,77 @@ def test_cc_schema_identical_across_paths(spark):
         assert [f.dataType for f in fast.schema.fields] == [in_type] * 2
         assert {r.node: r.comp for r in fast.collect()} == want
         assert {r.node: r.comp for r in slow.collect()} == want
+
+
+def _kcore_replay(edges, k, rounds):
+    """Python replay of the synchronous peel schedule."""
+    adj = set()
+    for a, b in edges:
+        if a != b:
+            adj.add((a, b))
+            adj.add((b, a))
+    for _ in range(rounds):
+        deg = {}
+        for s, _d in adj:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        adj = {(s, d) for s, d in adj if s in keep and d in keep}
+    out = {}
+    for s, _d in adj:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def test_kcore_triangle_with_tail(spark):
+    """Triangle 1-2-3 with a pendant 3-4: the tail peels in sweep 1,
+    the triangle is a fixed point of 2-core peeling."""
+    from rust_dms_cdc_operator_spark.operators.graph import kcore_membership
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.core_deg for r in kcore_membership(df, k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_path_peels_layer_per_sweep(spark):
+    """A 7-node path empties under 2-core peeling in 3 sweeps (ends
+    fall off one layer per sweep) — rounds=3 must reach the empty
+    fixed point, and rounds=1 must still show the partially-peeled
+    interior (the unconverged-output contract the oracle relies on)."""
+    from rust_dms_cdc_operator_spark.operators.graph import kcore_membership
+
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    assert kcore_membership(df, k=2, rounds=3).count() == 0
+    one = {
+        r.node: r.core_deg
+        for r in kcore_membership(df, k=2, rounds=1).collect()
+    }
+    assert one == _kcore_replay(path, 2, 1)
+
+
+def test_kcore_matches_replay_random(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    from rust_dms_cdc_operator_spark.operators.graph import kcore_membership
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k, rounds in [(2, 1), (2, 4), (3, 2), (4, 4)]:
+        got = {
+            r.node: r.core_deg
+            for r in kcore_membership(df, k=k, rounds=rounds).collect()
+        }
+        assert got == _kcore_replay(edges, k, rounds), (k, rounds)
