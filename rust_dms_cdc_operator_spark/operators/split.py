@@ -271,3 +271,108 @@ def weighted_bottom_k(
         .limit(k)
         .drop("_ws_priority")
     )
+
+
+def largest_remainder_quotas(
+    totals: Mapping[str, int], k: int
+) -> dict[str, int]:
+    """Hamilton/largest-remainder apportionment of ``k`` sample seats
+    across strata: base = (k * n_s) div N seats each, leftovers to the
+    largest remainders (ties to the lexicographically smaller
+    stratum). All integer arithmetic — the SQL oracle reproduces the
+    allocation bit-for-bit — and the standard way to turn "100 eval
+    docs, proportional by source" into EXACT per-stratum counts
+    (independent floor/round rates drift from k by up to #strata)."""
+    n_total = sum(totals.values())
+    if n_total == 0 or k <= 0:
+        return {s: 0 for s in totals}
+    quotas = {s: (k * n) // n_total for s, n in totals.items()}
+    seats = k - sum(quotas.values())
+    order = sorted(
+        totals, key=lambda s: (-((k * totals[s]) % n_total), s)
+    )
+    for s in order[:seats]:
+        quotas[s] += 1
+    return quotas
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "quota",
+    oversample: int = 8,
+) -> DataFrame:
+    """EXACT-size stratified sample: ``k`` rows total, apportioned to
+    strata by :func:`largest_remainder_quotas`, the quota-th smallest
+    md5 keys winning within each stratum — the eval-set construction
+    shape (rate-based sampling à la :func:`stratified_sample` gives
+    binomial wobble around the target; an eval set needs exactly-k).
+
+    Returns (id, stratum, rank_in_stratum, quota), rank 1-based.
+
+    Scale shape: per-stratum counts are one partial-agged groupBy
+    whose result (≤ #strata rows) is the only driver materialization
+    — the :func:`rebalance_mix` contract; quotas and prune thresholds
+    re-enter the plan as literal CASEs (no join). The within-stratum
+    rank is computed only among rows whose 32-bit key falls under
+    ``(oversample * quota * 2^32) div n_s`` — expected survivors
+    ``oversample * quota`` per stratum, so the rank window sorts
+    O(quota) rows instead of the whole stratum (the distributed
+    top-k oversampling trick; at 100 TB the unpruned variant would
+    globally sort every stratum for a 100-row answer). The prune rule
+    is integer-deterministic and part of the operator's contract —
+    the oracle applies it identically — and undersampling requires a
+    stratum to put fewer than ``quota`` of its ``n_s`` keys below an
+    ``oversample``-times-proportional threshold: for the default 8x,
+    a ~e^-8-per-stratum tail event; callers needing a hard guarantee
+    set ``oversample`` so that ``oversample * quota * 2^32 >= n_s``
+    (prune disabled, exact global rank)."""
+    if k < 0 or oversample < 1:
+        raise ValueError("k must be >= 0, oversample >= 1")
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .collect()
+    }
+    quotas = largest_remainder_quotas(totals, k)
+    h = hex_to_long(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 8
+    )
+    thr: Column | None = None
+    qcol: Column | None = None
+    for s in sorted(totals):
+        n_s, q = totals[s], quotas[s]
+        t = min((oversample * q * (1 << 32)) // n_s, 1 << 32) if n_s else 0
+        cond = F.col(stratum_col) == F.lit(s)
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+        qcol = (
+            F.when(cond, F.lit(q)) if qcol is None else qcol.when(cond, F.lit(q))
+        )
+    if thr is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, {stratum_col} string, "
+            "rank_in_stratum long, quota long",
+        )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    surv = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        h.alias("_h"),
+        qcol.otherwise(0).alias("_q"),
+    ).filter(F.col("_h") < thr.otherwise(0))
+    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_q"))
+        .select(
+            id_col,
+            stratum_col,
+            F.col("_rn").cast("long").alias("rank_in_stratum"),
+            F.col("_q").cast("long").alias("quota"),
+        )
+    )

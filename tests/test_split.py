@@ -215,3 +215,92 @@ def test_deterministic_shuffle_permutation(spark, ids):
     # a different seed is a genuinely different permutation
     other = deterministic_shuffle(ids, "doc_id", seed="8")
     assert {(r.doc_id, r.shuffle_rank) for r in other.collect()} != pairs
+
+
+def test_largest_remainder_quotas_exact():
+    from rust_dms_cdc_operator_spark.operators.split import (
+        largest_remainder_quotas,
+    )
+
+    totals = {"web": 70, "code": 20, "wiki": 7, "books": 3}
+    q = largest_remainder_quotas(totals, 10)
+    assert sum(q.values()) == 10
+    assert q == {"web": 7, "code": 2, "wiki": 1, "books": 0}
+    # every allocation is within 1 of the exact proportional share
+    for s, n in totals.items():
+        assert abs(q[s] - 10 * n / 100) < 1
+    assert largest_remainder_quotas({}, 5) == {}
+    assert largest_remainder_quotas({"a": 3}, 0) == {"a": 0}
+
+
+def test_stratified_quota_sample_exact_k_and_rank(spark):
+    from rust_dms_cdc_operator_spark.operators.split import (
+        largest_remainder_quotas,
+        stratified_quota_sample,
+    )
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    out = stratified_quota_sample(df, "id", "stratum", k=12).collect()
+    assert len(out) == 12
+    quotas = largest_remainder_quotas({"s0": 30, "s1": 30, "s2": 30}, 12)
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    for s, got in by_stratum.items():
+        assert len(got) == quotas[s]
+        assert sorted(r.rank_in_stratum for r in got) == list(
+            range(1, quotas[s] + 1)
+        )
+
+
+def test_stratified_quota_sample_matches_unpruned_rank(spark):
+    """With oversample large enough to disable the prune, the winners
+    must be exactly the quota smallest md5 keys per stratum (global
+    rank) — and the default 8x prune must pick the same set here."""
+    from rust_dms_cdc_operator_spark.operators.dedup import hex_to_long
+    from rust_dms_cdc_operator_spark.operators.split import (
+        stratified_quota_sample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    pruned = stratified_quota_sample(df, "id", "stratum", k=20)
+    full = stratified_quota_sample(
+        df, "id", "stratum", k=20, oversample=1 << 32
+    )
+    want = {(r.id, r.stratum, r.rank_in_stratum) for r in full.collect()}
+    got = {(r.id, r.stratum, r.rank_in_stratum) for r in pruned.collect()}
+    assert got == want
+    # winners really are the globally-smallest hash keys per stratum
+    h = hex_to_long(
+        F.md5(F.concat(F.col("id").cast("string"), F.lit("quota"))), 8
+    )
+    hashes = {
+        r.id: r.h for r in df.select("id", h.alias("h")).collect()
+    }
+    for s in ("a", "b"):
+        ids = sorted(
+            (i for i, st in rows if st == s), key=lambda i: (hashes[i], i)
+        )[:10]
+        assert {i for i, st, _ in got if st == s} == set(ids)
+
+
+def test_stratified_quota_sample_partitioning_invariant(spark):
+    from rust_dms_cdc_operator_spark.operators.split import (
+        stratified_quota_sample,
+    )
+
+    rows = [(i, "s%d" % (i % 4)) for i in range(120)]
+    df1 = spark.createDataFrame(rows, "id long, stratum string")
+    df2 = df1.repartition(13, "id")
+    a = {
+        (r.id, r.rank_in_stratum)
+        for r in stratified_quota_sample(df1, "id", "stratum", 17).collect()
+    }
+    b = {
+        (r.id, r.rank_in_stratum)
+        for r in stratified_quota_sample(df2, "id", "stratum", 17).collect()
+    }
+    assert a == b and len(a) == 17
