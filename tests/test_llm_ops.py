@@ -2407,6 +2407,7 @@ def test_trained_registry_and_overrides():
 
     ov = oracle_sql_overrides("/root/testdata/sf0.1")
     assert sorted(ov) == [
+        "dedup_semantic_pairs",
         "docs_bpe_fertility", "docs_bpe_tokens",
         "sim_ivf_probe_partitioned", "sim_ivf_trained",
         "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk",
