@@ -3276,3 +3276,333 @@ def test_attribution_last_touch_semantics(spark):
         for r in q_events_attribution(spark, tmp).collect()
     }
     assert got == {"click": (2, 3500), "(none)": (2, 12000)}
+
+
+def _write_sf(spark, prefix, **tables):
+    """Write keyword tables to a tmp sf_dir layout and return the dir."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{tmp}/{name}.parquet"
+        )
+    return tmp
+
+
+def test_token_budget_select_greedy_boundary(spark):
+    """Selection admits docs in density order and stops BEFORE the doc
+    that would push the running total past floor(total/2)."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_token_budget_select,
+    )
+
+    # one source; densities: d0=1.0 (4 tok), d1=0.75 (4 tok), d2=0.5 (4 tok)
+    # total=12, budget=6 -> admit d0 (cum 4); d1 would hit 8 > 6 -> only d0
+    docs = [
+        (0, "a b c d", "en", "s0", 7),
+        (1, "a a b c", "en", "s0", 7),
+        (2, "a a b b", "en", "s0", 7),
+    ]
+    tmp = _write_sf(
+        spark, "budget_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars long"),
+    )
+    got = q_docs_token_budget_select(spark, tmp).collect()
+    assert [(r.doc_id, r.cum_tokens) for r in got] == [(0, 4)]
+
+
+def test_backoff_crossppl_branches(spark):
+    """Each backoff branch fires on the right evidence: seen trigram
+    -> c3/c2; unseen trigram with seen (w2,w3) bigram -> 0.4*c2b/c1;
+    fully unseen -> OOV floor. n_unseen counts backed-off positions."""
+    import math
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_backoff_crossppl,
+    )
+
+    # train (doc 0, even): "a b c d"  => trigrams: abc, bcd
+    #   bigrams: ab, bc, cd ; unigrams a,b,c,d (total=4)
+    # held (doc 1, odd): "a b c x b c d"
+    #   positions: abc (seen: 1/1), bcx (unseen tri, bigram 'c x' unseen,
+    #   w3=x unseen -> 0.16*1/4), cxb (unseen, 'x b' unseen -> 0.16*1/4),
+    #   xbc (unseen tri, 'b c' SEEN -> 0.4*1/1), bcd (seen: 1/1)
+    docs = [
+        (0, "a b c d", "en", "s0", 7),
+        (1, "a b c x b c d", "en", "s0", 13),
+    ]
+    tmp = _write_sf(
+        spark, "backoff_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars long"),
+    )
+    [r] = q_docs_backoff_crossppl(spark, tmp).collect()
+    assert (r.doc_id, r.n_trigrams, r.n_unseen) == (1, 5, 3)
+    expect = -(
+        math.log(1.0) + math.log(0.16 * 1 / 4) + math.log(0.16 * 1 / 4)
+        + math.log(0.4 * 1 / 1) + math.log(1.0)
+    ) / 5
+    assert abs(r.log_ppl3 - round(expect, 6)) < 1e-9
+
+
+def test_exact_quantiles_match_sorted_values(spark):
+    """Global-rank quantiles equal the nearest-rank picks from the
+    fully sorted value list."""
+    import math
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_exact_quantiles,
+    )
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    rows = [
+        (i, t0, i, "click", v, "{}") for i, v in enumerate(vals)
+    ]
+    tmp = _write_sf(
+        spark, "exq_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    got = {r.quantile: r.value_milli for r in
+           q_events_exact_quantiles(spark, tmp).collect()}
+    srt = sorted(round(v * 1000) for v in vals)
+    n = len(srt)
+    assert got == {
+        "p50": srt[math.ceil(0.50 * n) - 1],
+        "p95": srt[math.ceil(0.95 * n) - 1],
+        "p99": srt[math.ceil(0.99 * n) - 1],
+    }
+
+
+def test_gini_known_distributions(spark):
+    """Equal order values -> G = 0; a single dominant order drives G
+    toward (n-1)/n under the rank formula."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_orders_revenue_gini,
+    )
+
+    import datetime as dt
+    t0 = dt.datetime(1996, 1, 1)
+    # segment EQ: 4 equal orders. segment SKEW: 9 x 1.0 + 1 x 1e6
+    orders, custs = [], []
+    ok = 0
+    for seg, prices in (("EQ", [50.0] * 4),
+                        ("SKEW", [1.0] * 9 + [1_000_000.0])):
+        ck = len(custs) + 1
+        custs.append((ck, f"c{ck}", 0, 0.0, seg))
+        for p in prices:
+            ok += 1
+            orders.append((ok, ck, "O", p, t0, "1-URGENT", "c", 0, "x"))
+    tmp = _write_sf(
+        spark, "gini_",
+        orders=(orders, "o_orderkey long, o_custkey long, o_orderstatus "
+                        "string, o_totalprice double, o_orderdate timestamp,"
+                        " o_orderpriority string, o_clerk string, "
+                        "o_shippriority int, o_comment string"),
+        customer=(custs, "c_custkey long, c_name string, c_nationkey long, "
+                         "c_acctbal double, c_mktsegment string"),
+    )
+    got = {r.c_mktsegment: r.gini for r in
+           q_orders_revenue_gini(spark, tmp).collect()}
+    assert got["EQ"] == 0.0
+    # exact rank-formula value for the skewed segment
+    xs = sorted([1.0] * 9 + [1_000_000.0])
+    n, s = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    assert abs(got["SKEW"] - round((2 * s1 - (n + 1) * s) / (n * s), 6)) < 1e-9
+
+
+def test_stats_pruning_layout_contrast(spark):
+    """Date-sorted files prune outside the window; the key-sorted
+    layout of the SAME rows scans everything (dates interleave into
+    every file)."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_orders_stats_pruning,
+    )
+
+    import datetime as dt
+    # 3000 orders over 3 months; o_orderkey assigned so that key order
+    # interleaves the months (key % 3 picks the month)
+    rows = []
+    for k in range(1, 3001):
+        month = (k % 3) + 1  # 1..3
+        rows.append(
+            (k, 1, "O", 10.0, dt.datetime(1996, month, 1 + (k % 27)),
+             "1-URGENT", "c", 0, "x")
+        )
+    tmp = _write_sf(
+        spark, "prune_",
+        orders=(rows, "o_orderkey long, o_custkey long, o_orderstatus "
+                      "string, o_totalprice double, o_orderdate timestamp, "
+                      "o_orderpriority string, o_clerk string, "
+                      "o_shippriority int, o_comment string"),
+    )
+    got = {r.layout: (r.n_files, r.files_pruned, r.rows_scanned)
+           for r in q_orders_stats_pruning(spark, tmp).collect()}
+    # 3000 rows -> 3 files per layout. March window: date-sorted layout
+    # isolates March in its own file(s); key-sorted interleaves all
+    # months into every file -> zero pruning, full scan.
+    assert got["date_sorted"][0] == 3 and got["key_sorted"][0] == 3
+    assert got["date_sorted"][1] >= 1
+    assert got["date_sorted"][2] < 3000
+    assert got["key_sorted"][1] == 0 and got["key_sorted"][2] == 3000
+
+
+def test_ngram_novelty_exact_copy_scores_zero(spark):
+    """A verbatim copy of an earlier doc has novelty 0; the original
+    keeps 1.0; a half-new doc sits strictly between."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_ngram_novelty,
+    )
+
+    docs = [
+        (0, "a b c d e", "en", "s0", 9),
+        (1, "a b c d e", "en", "s0", 9),          # exact copy
+        (2, "a b c x y z w", "en", "s0", 13),     # 1 of 5 trigrams seen
+    ]
+    tmp = _write_sf(
+        spark, "novel_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars long"),
+    )
+    got = {r.doc_id: (r.n_trigrams, r.n_novel)
+           for r in q_docs_ngram_novelty(spark, tmp).collect()}
+    assert got[0] == (3, 3)
+    assert got[1] == (3, 0)
+    assert got[2] == (5, 4)
+
+
+def test_cumulative_uniques_returning_users_not_recounted(spark):
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_cumulative_uniques,
+    )
+
+    import datetime as dt
+    d1, d2, d3 = (dt.datetime(2024, 1, i, 10) for i in (1, 2, 3))
+    rows = [
+        (1, d1, 1, "click", 0.0, "{}"),
+        (2, d1, 2, "click", 0.0, "{}"),
+        (3, d2, 1, "click", 0.0, "{}"),   # returning: not new on day 2
+        (4, d2, 3, "click", 0.0, "{}"),
+        (5, d3, 1, "click", 0.0, "{}"),   # returning again
+    ]
+    tmp = _write_sf(
+        spark, "cumu_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    got = [(str(r.first_day), r.new_users, r.cum_users)
+           for r in q_events_cumulative_uniques(spark, tmp)
+           .orderBy("first_day").collect()]
+    assert got == [("2024-01-01", 2, 2), ("2024-01-02", 1, 3)]
+
+
+def test_state_validity_flags_only_declared_violations(spark):
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_state_validity,
+    )
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: error -> purchase (violation) then purchase -> view (ok)
+        (1, t0, 1, "error", 0.0, "{}"),
+        (2, t0 + s, 1, "purchase", 0.0, "{}"),
+        (3, t0 + 2 * s, 1, "view", 0.0, "{}"),
+        # user 2: signup -> signup (violation)
+        (4, t0, 2, "signup", 0.0, "{}"),
+        (5, t0 + s, 2, "signup", 0.0, "{}"),
+        # user 3: clean funnel
+        (6, t0, 3, "view", 0.0, "{}"),
+        (7, t0 + s, 3, "click", 0.0, "{}"),
+        (8, t0 + 2 * s, 3, "purchase", 0.0, "{}"),
+    ]
+    tmp = _write_sf(
+        spark, "valid_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    got = {r.user_id: (r.n_transitions, r.n_invalid)
+           for r in q_events_state_validity(spark, tmp).collect()}
+    assert got == {1: (2, 1), 2: (1, 1)}
+
+
+def test_centroid_drift_identical_and_orthogonal_labels(spark):
+    """Two labels with identical member vectors -> centroid cosine 1;
+    orthogonal labels -> 0."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_sim_centroid_drift,
+    )
+
+    ex = [1.0] + [0.0] * 63
+    ey = [0.0, 1.0] + [0.0] * 62
+    rows = [
+        (1, ex, 0), (2, ex, 0),
+        (3, ex, 1), (4, ex, 1),      # label 1 identical to label 0
+        (5, ey, 2), (6, ey, 2),      # label 2 orthogonal
+    ]
+    tmp = _write_sf(
+        spark, "drift_",
+        embeddings=(rows, "vec_id long, embedding array<float>, label int"),
+    )
+    got = {(r.label_a, r.label_b): r.cos_sim
+           for r in q_sim_centroid_drift(spark, tmp).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0
+
+
+def test_semantic_pairs_match_within_cluster_brute_force(spark):
+    """dedup_semantic_pairs at sf0.001 equals the brute-force census:
+    assign every vector to its nearest trained centroid in Python,
+    enumerate intra-cluster pairs, keep rounded cosine >= 0.3."""
+    import itertools
+    import math
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_dedup_semantic_pairs,
+    )
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id > 0")
+    cents = train_ivf_centroids(
+        e.filter("vec_id <= 2048"), "embedding", n_lists=8, seed=42
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((round(cos(v, c), 6), -i) for i, c in enumerate(cents)),
+        )
+        assign[vid] = -best[1]
+    expect = set()
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cl in assign.items():
+        by_cluster.setdefault(cl, []).append(vid)
+    for cl, ids in by_cluster.items():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            c = round(cos(vecs[a], vecs[b]), 6)
+            if c >= 0.3:
+                expect.add((a, b, cl, c))
+    got = {
+        (r.id_a, r.id_b, r.cluster, r.cos_sim)
+        for r in q_dedup_semantic_pairs(spark, sf).collect()
+    }
+    assert got == expect
