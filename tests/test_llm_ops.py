@@ -3606,3 +3606,69 @@ def test_semantic_pairs_match_within_cluster_brute_force(spark):
         for r in q_dedup_semantic_pairs(spark, sf).collect()
     }
     assert got == expect
+
+
+def test_label_dispersion_identity_and_orthogonal(spark):
+    """Identical members -> mean intra-label cosine 1; an orthogonal
+    pair -> 0 (sum-vector identity, no pair enumeration)."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_sim_label_dispersion,
+    )
+
+    ex = [1.0] + [0.0] * 63
+    ey = [0.0, 1.0] + [0.0] * 62
+    rows = [
+        (1, ex, 0), (2, ex, 0), (3, ex, 0),   # identical triple
+        (4, ex, 1), (5, ey, 1),               # orthogonal pair
+        (6, ex, 2),                           # singleton: excluded (n<2)
+    ]
+    tmp = _write_sf(
+        spark, "disp_",
+        embeddings=(rows, "vec_id long, embedding array<float>, label int"),
+    )
+    got = {r.label: (r.n, r.mean_cos)
+           for r in q_sim_label_dispersion(spark, tmp).collect()}
+    assert got == {0: (3, 1.0), 1: (2, 0.0)}
+
+
+def test_type_pmi_hand_counts(spark):
+    """n_ab/n_a/n_b/N from a hand-built incidence; duplicate events of
+    the same (user, type) must not inflate counts."""
+    import math
+
+    from rust_dms_cdc_operator_spark.inventory_llm import q_events_type_pmi
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0, 1, "a", 0.0, "{}"),   # duplicate incidence
+        (3, t0, 1, "b", 0.0, "{}"),
+        (4, t0, 2, "a", 0.0, "{}"),
+        (5, t0, 3, "b", 0.0, "{}"),
+    ]
+    tmp = _write_sf(
+        spark, "pmi_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    [r] = q_events_type_pmi(spark, tmp).collect()
+    assert (r.type_a, r.type_b, r.n_ab) == ("a", "b", 1)
+    assert abs(r.pmi - round(math.log(1 * 3 / (2 * 2)), 6)) < 1e-9
+
+
+def test_powerlaw_degenerate_tail_is_null(spark):
+    """All tail lengths equal xmin -> Σln = 0 -> alpha NULL on both
+    engines (Spark would otherwise emit IEEE Infinity)."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_length_powerlaw,
+    )
+
+    docs = [(i, "a b", "en", "s0", 100) for i in range(6)]
+    tmp = _write_sf(
+        spark, "plaw_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars long"),
+    )
+    [r] = q_docs_length_powerlaw(spark, tmp).collect()
+    assert r.n_tail == 6 and r.xmin == 100 and r.alpha is None
