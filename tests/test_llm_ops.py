@@ -3672,3 +3672,47 @@ def test_powerlaw_degenerate_tail_is_null(spark):
     )
     [r] = q_docs_length_powerlaw(spark, tmp).collect()
     assert r.n_tail == 6 and r.xmin == 100 and r.alpha is None
+
+
+def test_group_split_zero_leakage(spark):
+    """docs_group_split must produce ZERO near-dup pairs straddling a
+    split boundary — checked against the SAME pair stream the leakage
+    census uses; and the id-hashed split (docs_split_leakage) on the
+    same corpus does leak, proving the census isn't vacuous."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_group_split,
+        q_docs_split_leakage,
+    )
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    gs = q_docs_group_split(spark, sf)
+    straddle = (
+        pairs.join(gs.select(F.col("doc_id").alias("id_a"),
+                             F.col("split").alias("sa")), "id_a")
+        .join(gs.select(F.col("doc_id").alias("id_b"),
+                        F.col("split").alias("sb")), "id_b")
+        .filter("sa <> sb")
+        .count()
+    )
+    assert straddle == 0
+    leak = {
+        (r.split_lo, r.split_hi): r.n_pairs
+        for r in q_docs_split_leakage(spark, sf).collect()
+        if r.leaked
+    }
+    assert sum(leak.values()) > 0  # the naive split does leak here
+    # every doc present exactly once, members share their group's split
+    assert gs.count() == d.count()
+    n_bad = (
+        gs.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert n_bad == 0
