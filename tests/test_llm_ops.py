@@ -3716,3 +3716,44 @@ def test_group_split_zero_leakage(spark):
         .count()
     )
     assert n_bad == 0
+
+
+def test_open_backlog_sweep_semantics(spark):
+    """+1 on order date, -1 the day AFTER last shipment; an order with
+    no lineitems stays open forever."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_orders_open_backlog_daily,
+    )
+
+    import datetime as dt
+    d = lambda i: dt.datetime(1996, 1, i)  # noqa: E731
+    orders = [
+        (1, 1, "O", 1.0, d(1), "p", "c", 0, "x"),   # ships d2 (last)
+        (2, 1, "O", 1.0, d(1), "p", "c", 0, "x"),   # never ships
+        (3, 1, "O", 1.0, d(3), "p", "c", 0, "x"),   # ships d3
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(1)),
+        (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2)),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(3)),
+    ]
+    tmp = _write_sf(
+        spark, "backlog_",
+        orders=(orders, "o_orderkey long, o_custkey long, o_orderstatus "
+                        "string, o_totalprice double, o_orderdate timestamp,"
+                        " o_orderpriority string, o_clerk string, "
+                        "o_shippriority int, o_comment string"),
+        lineitem=(li, "l_orderkey long, l_partkey long, l_suppkey long, "
+                      "l_linenumber int, l_quantity double, l_extendedprice "
+                      "double, l_discount double, l_tax double, l_returnflag "
+                      "string, l_linestatus string, l_shipdate timestamp"),
+    )
+    got = [(str(r.day), r.net, r.open_orders)
+           for r in q_orders_open_backlog_daily(spark, tmp)
+           .orderBy("day").collect()]
+    # d1: +2 open; d3: order1 closed (-1 on d3 = d2+1) +1 new = 2; d4: -1
+    assert got == [
+        ("1996-01-01", 2, 2),
+        ("1996-01-03", 0, 2),
+        ("1996-01-04", -1, 1),
+    ]
