@@ -3757,3 +3757,39 @@ def test_open_backlog_sweep_semantics(spark):
         ("1996-01-03", 0, 2),
         ("1996-01-04", -1, 1),
     ]
+
+
+def test_skyline_dominance_brute_force(spark):
+    """Skyline equals the brute-force non-dominated set (strict
+    dominance: cheaper-or-equal AND newer-or-equal with one strict);
+    equal (price, date) duplicates all survive."""
+    from rust_dms_cdc_operator_spark.inventory_llm import q_orders_skyline
+
+    import datetime as dt
+    d = lambda i: dt.datetime(1996, 1, i)  # noqa: E731
+    rows = [
+        (1, 1, "O", 100.0, d(30), "P", "c", 0, "x"),   # skyline (newest)
+        (2, 1, "O", 100.0, d(30), "P", "c", 0, "x"),   # duplicate point
+        (3, 1, "O", 50.0, d(5), "P", "c", 0, "x"),     # dominated by 7
+        (4, 1, "O", 60.0, d(4), "P", "c", 0, "x"),     # dominated by 3/7
+        (5, 1, "O", 70.0, d(20), "P", "c", 0, "x"),    # skyline
+        (6, 1, "O", 100.0, d(9), "P", "c", 0, "x"),    # dominated by 5
+        (7, 1, "O", 40.0, d(5), "P", "c", 0, "x"),     # skyline (cheapest)
+    ]
+    tmp = _write_sf(
+        spark, "sky_",
+        orders=(rows, "o_orderkey long, o_custkey long, o_orderstatus "
+                      "string, o_totalprice double, o_orderdate timestamp, "
+                      "o_orderpriority string, o_clerk string, "
+                      "o_shippriority int, o_comment string"),
+    )
+    got = sorted(r.o_orderkey for r in q_orders_skyline(spark, tmp).collect())
+    pts = {r[0]: (r[3], r[4]) for r in rows}
+    def dominated(q):
+        pq, dq = pts[q]
+        return any(
+            (pp <= pq and dp >= dq and (pp < pq or dp > dq))
+            for k, (pp, dp) in pts.items() if k != q
+        )
+    expect = sorted(k for k in pts if not dominated(k))
+    assert got == expect == [1, 2, 5, 7]
