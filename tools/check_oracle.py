@@ -6,17 +6,19 @@ canonical values. Usage:
     python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
 
 
-Trained-artifact oracles are scale-parameterized (round 7): the five
-ANN oracles (``sim_ivf_trained`` / ``sim_ivf_probe_partitioned``:
-centroids; ``sim_pq_topk`` / ``sim_ivfpq_topk`` /
-``sim_ivfpq_probe_partitioned``: PQ codebooks) embed the sf0.01
+Trained-artifact oracles are scale-parameterized (round 7): the
+centroid-bearing oracles (``sim_ivf_trained`` /
+``sim_ivf_probe_partitioned`` / ``sim_knn_density`` /
+``dedup_semantic_pairs``: centroids; ``sim_pq_topk`` /
+``sim_ivfpq_topk`` / ``sim_ivfpq_probe_partitioned``: PQ codebooks;
+``docs_bpe_tokens`` / ``docs_bpe_fertility``: merge lists) embed the sf0.01
 artifacts in their static driver strings, and at any other --sf-dir
 this tool re-renders them from the per-sf trained/ JSON registry
 (``inventory_llm.oracle_sql_overrides``; regenerate artifacts with
-tools/gen_ivf_centroids.py / gen_pq_codebooks.py <sf_dir>). With
-artifacts generated (sf0.001 / sf0.1 / spark-graft-sf1-native are
-committed) all five hash-match at every scale — zero by-design
-exclusions remain in the sweep.
+tools/gen_ivf_centroids.py / gen_pq_codebooks.py / gen_bpe_merges.py
+<sf_dir>). With artifacts generated (sf0.001 / sf0.1 /
+spark-graft-sf1-native are committed) all of them hash-match at every
+scale — zero by-design exclusions remain in the sweep.
 
 Digest mode (round 7): pair-producing censuses are quadratic in
 adversarial input — ``dedup_minhash_lsh`` alone returns 200.8M rows
