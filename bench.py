@@ -185,6 +185,19 @@ SCALE_QUERIES = [
     "dedup_sorted_neighborhood",
     "sim_knn_density",
     "docs_cdc_chunks",
+    # round-7 session 3: the new bounded-candidate and two-pass
+    # families — rare-term k-NN's pair volume is df-capped (<= 20x
+    # posting entries), SemDeDup pairs are cluster-bounded, novelty
+    # and the held-out LM are vocabulary-keyed, group-split rides the
+    # banded LSH pair stream, exact quantiles and the pruning census
+    # are two-pass global ranks: each must hold its shape at 10x
+    "docs_rareterm_neighbors",
+    "dedup_semantic_pairs",
+    "docs_ngram_novelty",
+    "docs_backoff_crossppl",
+    "docs_group_split",
+    "events_exact_quantiles",
+    "orders_stats_pruning",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
