@@ -3793,3 +3793,122 @@ def test_skyline_dominance_brute_force(spark):
         )
     expect = sorted(k for k in pts if not dominated(k))
     assert got == expect == [1, 2, 5, 7]
+
+
+def test_inter_arrival_median_lower_pick(spark):
+    """Even gap count takes the LOWER median; sub-second fractions
+    truncate identically on both engines (floor semantics)."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_inter_arrival_median,
+    )
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    # user 1 gaps: 10, 20, 30, 40 -> lower median 20
+    offs = [0, 10, 30, 60, 100]
+    rows = [(i, t0 + offs[i] * s, 1, "click", 0.0, "{}")
+            for i in range(len(offs))]
+    tmp = _write_sf(
+        spark, "gap_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    [r] = q_events_inter_arrival_median(spark, tmp).collect()
+    assert (r.user_id, r.n_gaps, r.median_gap_s) == (1, 4, 20)
+
+
+def test_supplier_hhi_exact_fractions(spark):
+    """Single supplier -> HHI exactly 1; 50/50 split -> exactly 0.5
+    (integer numerator/denominator, one division)."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_lineitem_supplier_hhi,
+    )
+
+    import datetime as dt
+    t = dt.datetime(1996, 1, 1)
+    li = [
+        (1, 100, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", t),   # part 100: only s1
+        (2, 200, 1, 1, 3.0, 1.0, 0.0, 0.0, "N", "O", t),   # part 200: s1=3
+        (3, 200, 2, 1, 3.0, 1.0, 0.0, 0.0, "N", "O", t),   # part 200: s2=3
+    ]
+    tmp = _write_sf(
+        spark, "hhi_",
+        lineitem=(li, "l_orderkey long, l_partkey long, l_suppkey long, "
+                      "l_linenumber int, l_quantity double, l_extendedprice "
+                      "double, l_discount double, l_tax double, l_returnflag "
+                      "string, l_linestatus string, l_shipdate timestamp"),
+    )
+    got = {r.l_partkey: (r.n_suppliers, r.hhi)
+           for r in q_lineitem_supplier_hhi(spark, tmp).collect()}
+    assert got == {100: (1, 1.0), 200: (2, 0.5)}
+
+
+def test_ambiguous_ordering_minute_bursts(spark):
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_cdc_ambiguous_ordering,
+    )
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 3 events inside one minute + 1 outside -> ambiguous
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=10), 1, "b", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=50), 1, "c", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=5), 1, "d", 0.0, "{}"),
+        # user 2: all distinct minutes -> absent
+        (5, t0, 2, "a", 0.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "b", 0.0, "{}"),
+    ]
+    tmp = _write_sf(
+        spark, "amb_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    got = {r.user_id: (r.n_events, r.peak_burst, r.ambiguous_minutes)
+           for r in q_cdc_ambiguous_ordering(spark, tmp).collect()}
+    assert got == {1: (4, 3, 1)}
+
+
+def test_user_entropy_uniform_and_constant(spark):
+    """Uniform over 4 types -> ln(4); single type -> 0."""
+    import math
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_user_entropy,
+    )
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, t, 0.0, "{}")
+            for i, t in enumerate(["a", "b", "c", "d"])]
+    rows += [(10 + i, t0, 2, "a", 0.0, "{}") for i in range(5)]
+    tmp = _write_sf(
+        spark, "ent_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    got = {r.user_id: r.entropy
+           for r in q_events_user_entropy(spark, tmp).collect()}
+    assert abs(got[1] - round(math.log(4), 6)) < 1e-9
+    assert got[2] == 0.0
+
+
+def test_simhash_bit_balance_sums(spark):
+    """n is the corpus size everywhere; n_set recomputed from the
+    signatures themselves."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_dedup_simhash_bit_balance,
+    )
+    from rust_dms_cdc_operator_spark.operators.dedup import simhash16
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    sigs = [r.simhash for r in simhash16(d, "doc_id", "text").collect()]
+    got = {r.bit: (r.n_set, r.n)
+           for r in q_dedup_simhash_bit_balance(spark, sf).collect()}
+    assert len(got) == 16
+    for b in range(16):
+        expect = sum((s >> b) & 1 for s in sigs)
+        assert got[b] == (expect, len(sigs))
