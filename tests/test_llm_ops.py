@@ -3912,3 +3912,29 @@ def test_simhash_bit_balance_sums(spark):
     for b in range(16):
         expect = sum((s >> b) & 1 for s in sigs)
         assert got[b] == (expect, len(sigs))
+
+
+def test_rareterm_neighbors_df_cap_excludes_boilerplate(spark):
+    """A trigram shared by 25 docs (df > 20) must produce NO candidate
+    pairs; a trigram shared by exactly 2 does. Dice uses rare-gram
+    set sizes."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_rareterm_neighbors,
+    )
+
+    docs = []
+    # 25 docs all containing the boilerplate trigram "x y z" (df=25)
+    for i in range(25):
+        docs.append((i, f"x y z filler{i} a{i} b{i}", "en", "s0", 20))
+    # two docs sharing the rare trigram "p q r" (df=2)
+    docs.append((100, "p q r m n o", "en", "s0", 11))
+    docs.append((101, "p q r s t u", "en", "s0", 11))
+    tmp = _write_sf(
+        spark, "rare_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars long"),
+    )
+    got = [(r.doc_id, r.neighbor_id, r.shared)
+           for r in q_docs_rareterm_neighbors(spark, tmp).collect()]
+    # only the rare pair, both directions
+    assert sorted(got) == [(100, 101, 1), (101, 100, 1)]
