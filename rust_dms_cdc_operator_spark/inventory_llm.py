@@ -58,6 +58,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _link_stream_src(sf_dir: str, table: str, src_dir: str) -> None:
+    """Expose a dataset to readStream inside ``src_dir``: single-file
+    datasets (the driver's testdata layout) symlink directly;
+    Spark-written DIRECTORY datasets (the native-sf1 tables) symlink
+    each part file — FileStreamSource does not recurse through a
+    directory symlink, so the streaming checks could not even infer
+    a schema at sf1-native before this. availableNow with no rate
+    limit replays all linked parts as ONE batch, so part order never
+    affects the result."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        for i, pf in enumerate(parts):
+            os.symlink(
+                os.path.join(src, pf),
+                os.path.join(src_dir, f"{table}_{i:05d}.parquet"),
+            )
+    else:
+        os.symlink(src, os.path.join(src_dir, f"{table}.parquet"))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """The constant query vector: embedding of vec_id=0 (one driver-side
     row — a constant of the query, not data movement)."""
@@ -972,7 +995,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file-stream source wants a directory; expose the single table
     # file through a symlinked staging dir
     src_dir = tempfile.mkdtemp(prefix="cdc_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    _link_stream_src(sf_dir, "events", src_dir)
     state_dir = tempfile.mkdtemp(prefix="cdc_stream_state_")
     final = stream_replay_bucketed(
         spark,
@@ -1210,9 +1233,7 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = events_stream_schema(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix="tumble_stream_src_")
-    os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
-    )
+    _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="tumble_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="tumble_stream_ck_")
 
@@ -1351,9 +1372,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = events_stream_schema(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix="ssj_src_")
-    os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
-    )
+    _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="ssj_out_")
     ck_dir = tempfile.mkdtemp(prefix="ssj_ck_")
 
@@ -1413,9 +1432,7 @@ def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     src_dir = tempfile.mkdtemp(prefix="cms_stream_src_")
-    os.symlink(
-        f"{sf_dir}/documents.parquet", os.path.join(src_dir, "documents.parquet")
-    )
+    _link_stream_src(sf_dir, "documents", src_dir)
     acc_dir = tempfile.mkdtemp(prefix="cms_stream_acc_")
     ck_dir = tempfile.mkdtemp(prefix="cms_stream_ck_")
 
@@ -2059,9 +2076,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = events_stream_schema(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix="sess_stream_src_")
-    os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
-    )
+    _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="sess_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="sess_stream_ck_")
 
@@ -4132,10 +4147,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests), the same bound the batch operator's shuffle carries."""
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     src_dir = tempfile.mkdtemp(prefix="dedup_stream_src_")
-    os.symlink(
-        f"{sf_dir}/documents.parquet",
-        os.path.join(src_dir, "documents.parquet"),
-    )
+    _link_stream_src(sf_dir, "documents", src_dir)
     out_dir = tempfile.mkdtemp(prefix="dedup_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="dedup_stream_ck_")
 
@@ -7279,10 +7291,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     src_dir = tempfile.mkdtemp(prefix="neardup_stream_src_")
-    os.symlink(
-        f"{sf_dir}/documents.parquet",
-        os.path.join(src_dir, "documents.parquet"),
-    )
+    _link_stream_src(sf_dir, "documents", src_dir)
     acc_dir = tempfile.mkdtemp(prefix="neardup_stream_acc_")
     out_dir = tempfile.mkdtemp(prefix="neardup_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="neardup_stream_ck_")
@@ -8725,9 +8734,7 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = events_stream_schema(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix="topk_stream_src_")
-    os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
-    )
+    _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="topk_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="topk_stream_ck_")
 
