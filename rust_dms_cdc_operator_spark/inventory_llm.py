@@ -9787,3 +9787,184 @@ ORACLE_SQL_LLM["events_inter_arrival_median"] = """
     FROM r WHERE rn = (n_gaps + 1) // 2
 """
 QUERIES_LLM["events_inter_arrival_median"] = q_events_inter_arrival_median
+
+
+def q_docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction — adjacent word pairs whose PMI says
+    they travel together (ln(c2·N / (c1a·c1b)), support >= 5): the
+    phrase-mining pass that feeds tokenizer merge candidates and
+    stop-phrase lists. Count tables are vocabulary-sized (map-side
+    partial agg); two unigram joins AQE-broadcasts; the 50-row cut is
+    TakeOrderedAndProject on (rounded PMI desc, gram) — deterministic
+    at any parallelism."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("w")
+    )
+    big = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i), F.element_at("w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c2 = words.select(F.explode(big).alias("g")).groupBy("g").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c1 = words.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    total = c1.agg(F.sum("c1")).first()[0] or 1  # bounded driver scalar
+    scored = (
+        c2.filter(F.col("c2") >= 5)
+        .withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
+        .join(c1.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a")),
+              "w1")
+        .join(c1.select(F.col("tok").alias("w2"), F.col("c1").alias("c1b")),
+              "w2")
+        .select(
+            "g",
+            F.col("c2").alias("support"),
+            F.round(
+                F.log(
+                    F.col("c2").cast("double") * F.lit(float(total))
+                    / (F.col("c1a").cast("double") * F.col("c1b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("g")).limit(50)
+
+
+ORACLE_SQL_LLM["docs_collocations"] = """
+    WITH words AS (
+      SELECT regexp_extract_all(text, '[a-z0-9]+') AS w FROM documents),
+    big AS (
+      SELECT unnest(list_transform(
+               range(greatest(len(w) - 1, 0)),
+               i -> w[i+1] || ' ' || w[i+2])) AS g
+      FROM words),
+    uni AS (SELECT unnest(w) AS tok FROM words),
+    c2 AS (SELECT g, count(*) AS c2 FROM big GROUP BY 1),
+    c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+    tot AS (SELECT sum(c1)::DOUBLE AS total FROM c1),
+    scored AS (
+      SELECT c2.g, CAST(c2.c2 AS BIGINT) AS support,
+             round(ln(c2.c2::DOUBLE * tot.total
+                      / (a.c1::DOUBLE * b.c1)), 6) AS pmi
+      FROM c2
+      JOIN c1 a ON a.tok = split_part(c2.g, ' ', 1)
+      JOIN c1 b ON b.tok = split_part(c2.g, ' ', 2)
+      CROSS JOIN tot
+      WHERE c2.c2 >= 5)
+    SELECT g, support, pmi FROM scored
+    ORDER BY pmi DESC, g LIMIT 50
+"""
+QUERIES_LLM["docs_collocations"] = q_docs_collocations
+
+
+def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup over-merge audit: connected components CHAIN — A~B and
+    B~C group A with C even when sim(A,C) is tiny. Per near-dup
+    group: size, edge count, and the min/max EXACT Jaccard over its
+    LSH edges — a group whose min edge similarity is far below the
+    intended threshold was built by chaining and deserves review
+    before a canonical doc replaces the rest. Reuses the banded LSH
+    pair stream + exact hashed-shingle verify (the lsh_verified
+    machinery) and the CC labels; one group agg over the edge list.
+    Jaccard stays an exact integer PAIR (inter, union) plus one IEEE
+    division."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        shingle_set,
+    )
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        dedup_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    groups = dedup_groups(pairs)
+    sh = d.select(
+        "doc_id", shingle_set(F.col("text"), 3).alias("s")
+    )
+    scored = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
+            "id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
+            "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            (
+                F.size("sa") + F.size("sb")
+                - F.size(F.array_intersect("sa", "sb"))
+            ).cast("long").alias("uni"),
+        )
+        .withColumn(
+            "jac", F.col("inter").cast("double") / F.col("uni")
+        )
+    )
+    edges = scored.join(
+        groups.select(F.col("doc_id").alias("id_a"), "group_id"), "id_a"
+    )
+    members = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        edges.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.min("jac").alias("min_jaccard"),
+            F.max("jac").alias("max_jaccard"),
+        )
+        .join(members, "group_id")
+        .select(
+            "group_id", "group_size", "n_edges",
+            "min_jaccard", "max_jaccard",
+        )
+    )
+
+
+ORACLE_SQL_LLM["dedup_group_cohesion"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    lbl(node, comp) AS (
+      SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
+      UNION
+      SELECT s.b, l.comp
+      FROM lbl l JOIN sym s ON s.a = l.node
+      WHERE l.comp < s.b
+    ),
+    g AS (SELECT node AS doc_id, MIN(comp) AS group_id
+          FROM lbl GROUP BY node),
+    {_SHINGLES},
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             len(list_intersect(x.s, y.s)) AS inter,
+             len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+      FROM pairs p
+      JOIN sh x ON x.doc_id = p.id_a
+      JOIN sh y ON y.doc_id = p.id_b),
+    edges AS (
+      SELECT ga.group_id,
+             CAST(inter AS DOUBLE) / uni AS jac
+      FROM scored s JOIN g ga ON ga.doc_id = s.id_a),
+    members AS (
+      SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+      FROM g GROUP BY 1)
+    SELECT e.group_id, m.group_size,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           min(e.jac) AS min_jaccard,
+           max(e.jac) AS max_jaccard
+    FROM edges e JOIN members m USING (group_id)
+    GROUP BY e.group_id, m.group_size
+"""
+QUERIES_LLM["dedup_group_cohesion"] = q_dedup_group_cohesion
