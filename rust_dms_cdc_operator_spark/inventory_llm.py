@@ -9968,3 +9968,116 @@ ORACLE_SQL_LLM["dedup_group_cohesion"] = f"""
     GROUP BY e.group_id, m.group_size
 """
 QUERIES_LLM["dedup_group_cohesion"] = q_dedup_group_cohesion
+
+
+def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-1000 vocabulary: OLS slope
+    of ln(freq) on ln(rank) — natural text sits near −1; template
+    spam and synthetic boilerplate bend the curve. The vocabulary agg
+    is map-side combined; the 1000-row head is a TakeOrdered cut
+    ((count desc, token) — deterministic), and the regression runs
+    over those 1000 rows in one closed-form agg. One output row."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(1000)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(
+            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+ORACLE_SQL_LLM["docs_zipf_fit"] = """
+    WITH counts AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+            FROM documents)
+      GROUP BY 1),
+    top AS (SELECT * FROM counts ORDER BY c DESC, tok LIMIT 1000),
+    xy AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE))
+               AS x,
+             ln(c::DOUBLE) AS y
+      FROM top)
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+             AS zipf_slope
+    FROM xy
+"""
+QUERIES_LLM["docs_zipf_fit"] = q_docs_zipf_fit
+
+
+def q_events_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics on the value column: observed
+    leading-digit counts vs the Benford expectation log10(1+1/d) —
+    fabricated or unit-mangled metrics jump out as digit-mass
+    anomalies. Leading digit by STRING head of the milli-value
+    integer (no float log tricks — exact on both engines); one
+    9-bucket agg; expected shares are literals."""
+    import math as _math  # noqa: PLC0415
+
+    e = _t(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000).cast("long")
+    d1 = F.substring(milli.cast("string"), 1, 1).cast("long")
+    obs = (
+        e.select(d1.alias("digit"))
+        .filter((F.col("digit") >= 1) & (F.col("digit") <= 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = obs.agg(F.sum("n")).first()[0] or 1  # bounded driver scalar
+    benford = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+    exp_expr = None
+    for d, p in benford.items():
+        c = F.when(F.col("digit") == d, F.lit(round(p, 6)))
+        exp_expr = c if exp_expr is None else exp_expr.when(
+            F.col("digit") == d, F.lit(round(p, 6))
+        )
+    return obs.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.lit(float(total))).alias("observed"),
+        exp_expr.alias("benford"),
+    )
+
+
+ORACLE_SQL_LLM["events_benford_check"] = """
+    WITH m AS (
+      SELECT CAST(round(value * 1000) AS BIGINT) AS milli FROM events),
+    d AS (
+      SELECT CAST(substr(CAST(milli AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM m),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n
+      FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+    tot AS (SELECT sum(n)::DOUBLE AS total FROM obs)
+    SELECT obs.digit, obs.n,
+           obs.n::DOUBLE / tot.total AS observed,
+           CAST(CASE obs.digit
+             WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+             WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+             WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+             WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+             ELSE 0.045757 END AS DOUBLE) AS benford
+    FROM obs CROSS JOIN tot
+"""
+QUERIES_LLM["events_benford_check"] = q_events_benford_check
