@@ -10081,3 +10081,48 @@ ORACLE_SQL_LLM["events_benford_check"] = """
     FROM obs CROSS JOIN tot
 """
 QUERIES_LLM["events_benford_check"] = q_events_benford_check
+
+
+def q_lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution: exact day gaps bucketed into
+    capped week bins (0..8+, integer arithmetic only) per return
+    flag — the fulfillment-SLA histogram. One order-key join
+    (orders side prunes to two columns at the scan), one bucket agg;
+    datediff is exact integer days on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.to_date("l_shipdate").alias("sd")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    days = F.datediff(F.col("sd"), F.col("od"))
+    bucket = F.least(
+        F.floor(days / 7).cast("long"), F.lit(8).cast("long")
+    )
+    return (
+        j.filter(days >= 0)
+        .groupBy("l_returnflag", bucket.alias("week_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(days).cast("long").alias("min_days"),
+            F.max(days).cast("long").alias("max_days"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["lineitem_ship_latency"] = """
+    WITH j AS (
+      SELECT li.l_returnflag,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(li.l_shipdate AS DATE)) AS days
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey)
+    SELECT l_returnflag,
+           CAST(least(days // 7, 8) AS BIGINT) AS week_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM j WHERE days >= 0
+    GROUP BY 1, 2
+"""
+QUERIES_LLM["lineitem_ship_latency"] = q_lineitem_ship_latency
