@@ -3938,3 +3938,50 @@ def test_rareterm_neighbors_df_cap_excludes_boilerplate(spark):
            for r in q_docs_rareterm_neighbors(spark, tmp).collect()]
     # only the rare pair, both directions
     assert sorted(got) == [(100, 101, 1), (101, 100, 1)]
+
+
+def test_collocations_pmi_ranking(spark):
+    """A pair that always co-occurs outranks a frequent-but-
+    independent pair; support < 5 is cut."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_collocations,
+    )
+
+    docs = []
+    # "alpha beta" 6 times, alpha/beta appear ONLY together
+    for i in range(6):
+        docs.append((i, "alpha beta", "en", "s0", 10))
+    # "the cat" 6 times but 'the' floods the corpus alone too
+    for i in range(6):
+        docs.append((10 + i, "the cat", "en", "s0", 7))
+    for i in range(30):
+        docs.append((100 + i, "the", "en", "s0", 3))
+    # a rare pair below support threshold
+    docs.append((200, "qq ww", "en", "s0", 5))
+    tmp = _write_sf(
+        spark, "coll_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars long"),
+    )
+    rows = q_docs_collocations(spark, tmp).collect()
+    grams = [r.g for r in rows]
+    assert "qq ww" not in grams                      # support cut
+    assert grams.index("alpha beta") < grams.index("the cat")  # PMI order
+
+
+def test_zipf_slope_exact_powerlaw(spark):
+    """A corpus built with freq(rank) = round(C/rank) fits slope ~ -1."""
+    from rust_dms_cdc_operator_spark.inventory_llm import q_docs_zipf_fit
+
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    docs = [(0, " ".join(words), "en", "s0", len(words))]
+    tmp = _write_sf(
+        spark, "zipf_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars long"),
+    )
+    [row] = q_docs_zipf_fit(spark, tmp).collect()
+    assert row.n_ranks == 20
+    assert abs(row.zipf_slope - (-1.0)) < 0.01
