@@ -156,6 +156,9 @@ def _duck_digest(con, sql: str):
 
 
 def main() -> int:
+    # line-buffer stdout even when piped to a log: long sweeps must
+    # stream their OK/FAIL/TIMEOUT lines, not batch them per 4 KiB
+    sys.stdout.reconfigure(line_buffering=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument(
