@@ -9879,17 +9879,24 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard stays an exact integer PAIR (inter, union) plus one IEEE
     division."""
     from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
-        shingle_set,
+        hashed_shingle_set,
     )
     from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
         dedup_groups,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    # the pair stream feeds the CC iteration AND the exact-verify
+    # joins — persist it once or every consumer re-runs the banded
+    # LSH self-join; shingles ride as 32-bit hashes (the lsh_verified
+    # trick: long equality beats string equality in array_intersect
+    # and the attach shuffle shrinks ~3x)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2
+    ).persist()
     groups = dedup_groups(pairs)
     sh = d.select(
-        "doc_id", shingle_set(F.col("text"), 3).alias("s")
+        "doc_id", hashed_shingle_set(F.col("text"), 3).alias("s")
     )
     scored = (
         pairs.join(
@@ -9946,13 +9953,17 @@ ORACLE_SQL_LLM["dedup_group_cohesion"] = f"""
     g AS (SELECT node AS doc_id, MIN(comp) AS group_id
           FROM lbl GROUP BY node),
     {_SHINGLES},
+    hsh AS (SELECT doc_id,
+                   list_distinct(list_transform(s,
+                     x -> {_sql_hex_to_long("md5(x)", 8)})) AS h
+            FROM sh),
     scored AS (
       SELECT p.id_a, p.id_b,
-             len(list_intersect(x.s, y.s)) AS inter,
-             len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+             len(list_intersect(x.h, y.h)) AS inter,
+             len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS uni
       FROM pairs p
-      JOIN sh x ON x.doc_id = p.id_a
-      JOIN sh y ON y.doc_id = p.id_b),
+      JOIN hsh x ON x.doc_id = p.id_a
+      JOIN hsh y ON y.doc_id = p.id_b),
     edges AS (
       SELECT ga.group_id,
              CAST(inter AS DOUBLE) / uni AS jac

@@ -458,10 +458,12 @@ def kcore_membership(
 
     Scale shape: the symmetric adjacency persists once; each sweep is
     ONE degree aggregation (map-side combine on the node key) + two
-    semi-joins of the adjacency against the surviving node set — all
-    node-key hash shuffles, linear in remaining edges, zero driver
-    actions in the loop. No global sort, no windows; the node set
-    shrinks monotonically so later sweeps cost less, not more.
+    anti-joins of the adjacency against the (small, AQE-broadcast)
+    REMOVED node set. The only driver action in the loop is a
+    bounded emptiness scalar that detects the fixed point — stopping
+    there returns exactly the scheduled-rounds result, since every
+    further sweep is a no-op. No global sort, no windows; the node
+    set shrinks monotonically so later sweeps cost less, not more.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
@@ -475,18 +477,30 @@ def kcore_membership(
     )
     cur = adj
     for _ in range(rounds):
-        keep = (
+        # peel by the REMOVED set, not the keep set: per sweep only the
+        # low-degree fringe leaves (whiskers — a small fraction of the
+        # nodes), so both endpoint filters are anti-joins against a
+        # SMALL frame that AQE broadcasts — one real shuffle per sweep
+        # (the map-side-combined degree census) instead of three. The
+        # per-sweep persist stops the lazy chain recomputing every
+        # prior sweep at each of its two downstream references.
+        removed = (
             cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
+            .filter(F.col("deg") < k)
             .select("src")
+            .persist()
         )
-        # each sweep's frontier is read TWICE (degree census + join
-        # input) and feeds the next sweep — without a persist the lazy
-        # chain recomputes every prior sweep per reference (2^rounds
-        # blowup of the peel work; measured 15 s -> ~3 s at sf0.01)
-        cur = cur.join(keep, "src", "semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "semi"
+        if removed.isEmpty():
+            # fixed point: every further sweep is a no-op, so stopping
+            # here returns EXACTLY the scheduled-rounds result (the
+            # oracle's unrolled schedule is unchanged). One tiny
+            # driver scalar per sweep — the peel usually converges in
+            # 1-2 sweeps, so this halves the sweep stages in practice.
+            removed.unpersist()
+            break
+        cur = cur.join(removed, "src", "left_anti").join(
+            removed.withColumnRenamed("src", "dst"), "dst", "left_anti"
         ).persist()
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
