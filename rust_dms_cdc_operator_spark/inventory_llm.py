@@ -6186,7 +6186,12 @@ def oracle_sql_overrides(sf_dir: str) -> dict[str, str]:
         ivf = _ivf_trained_oracle_sql(cents)
         out["sim_ivf_trained"] = ivf
         out["sim_ivf_probe_partitioned"] = ivf
-        out["sim_knn_density"] = _ivf_density_oracle_sql(cents)
+        from rust_dms_cdc_operator_spark.trained import (  # noqa: PLC0415
+            load_ivf_density,
+        )
+
+        dcents = load_ivf_density(tag)
+        out["sim_knn_density"] = _ivf_density_oracle_sql(dcents or cents)
         out["dedup_semantic_pairs"] = _semantic_pairs_oracle_sql(cents)
     if books is not None:
         out["sim_pq_topk"] = _pq_oracle_sql(books)
@@ -7067,6 +7072,43 @@ ORACLE_SQL_LLM["docs_contamination_fuzzy"] = f"""
 QUERIES_LLM["docs_contamination_fuzzy"] = q_docs_contamination_fuzzy
 
 
+def _density_n_lists(n_vectors: int) -> int:
+    """Corpus-scaled IVF list count for the self-k-NN density query:
+    cell population must stay ~CONSTANT (here ~512) or within-cell
+    pair volume grows quadratically with the corpus — the exact
+    superlinearity the sf1 bench exposed with n_lists pinned at 8
+    (20 s -> 555 s for a 10x step). ceil(n/512), floor 8."""
+    return max(8, -(-n_vectors // 512))
+
+
+_DENSITY_CENT_CACHE: dict[str, list] = {}
+
+
+def _trained_density_cents(spark: SparkSession, sf_dir: str) -> list:
+    """Density-query centroids under the corpus-scaled list rule.
+    When the rule lands on 8 lists (the driver scales) this IS the
+    shared sim_ivf_trained artifact; larger corpora train their own
+    seed-42 partitioning (registry kind 'ivfd',
+    tools/gen_ivf_centroids.py writes it per sf)."""
+    cents = _DENSITY_CENT_CACHE.get(sf_dir)
+    if cents is None:
+        from rust_dms_cdc_operator_spark.operators.similarity import (  # noqa: PLC0415
+            train_ivf_centroids,
+        )
+
+        e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+        nl = _density_n_lists(e.count())  # bounded driver scalar
+        if nl == 8:
+            cents = _trained_ivf_cents(spark, sf_dir)
+        else:
+            cents = train_ivf_centroids(
+                e.filter(F.col("vec_id") <= 4096), "embedding",
+                n_lists=nl, seed=42, max_train=4096,
+            )
+        _DENSITY_CENT_CACHE[sf_dir] = cents
+    return cents
+
+
 def q_sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN density OUTLIER scoring (operators/similarity.
     ivf_knn_density): per-vector mean cosine distance to its 5 nearest
@@ -7076,14 +7118,16 @@ def q_sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is corpus-quadratic; here candidates are cell-bounded
     equi-joins over a NARROW id stream, neighbor ranking and distance
     sums are micro-unit integers, and the oracle replays the identical
-    algorithm from the same trained centroid literals."""
+    algorithm from the same trained centroid literals. The list count
+    follows the corpus (:func:`_density_n_lists`) so cell population —
+    and with it within-cell pair volume — stays ~constant per row at
+    any scale."""
     from rust_dms_cdc_operator_spark.operators.similarity import (  # noqa: PLC0415
         ivf_knn_density,
-        train_ivf_centroids,
     )
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    cents = _trained_ivf_cents(spark, sf_dir)
+    cents = _trained_density_cents(spark, sf_dir)
     return ivf_knn_density(
         e, cents, "vec_id", "embedding", k=5, nprobe=2, top_n=20
     )

@@ -68,3 +68,10 @@ def load_bpe(tag: str):
         return _BPE_MERGES_SF001
     loaded = _load("bpe", tag)
     return None if loaded is None else [tuple(m) for m in loaded]
+
+
+def load_ivf_density(tag: str):
+    """Corpus-scaled density-query centroids (registry kind 'ivfd').
+    Present only for scales where the ceil(n/512) list rule exceeds
+    the shared 8-list artifact; callers fall back to load_ivf."""
+    return _load("ivfd", tag)

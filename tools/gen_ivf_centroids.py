@@ -49,6 +49,28 @@ def main() -> None:
 
         print("wrote", save("ivf", tag, cents))
 
+    # density-query centroids under the corpus-scaled list rule
+    # (inventory_llm._density_n_lists): only written when the rule
+    # exceeds the shared 8-list artifact
+    from rust_dms_cdc_operator_spark.inventory_llm import _density_n_lists
+
+    n = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") > 0)
+        .count()
+    )
+    nl = _density_n_lists(n)
+    if nl != 8 and tag != "sf0.01":
+        dtrain = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            (F.col("vec_id") > 0) & (F.col("vec_id") <= 4096)
+        )
+        dcents = train_ivf_centroids(
+            dtrain, "embedding", n_lists=nl, seed=42, max_train=4096
+        )
+        from rust_dms_cdc_operator_spark.trained import save
+
+        print("wrote", save("ivfd", tag, dcents))
+
 
 if __name__ == "__main__":
     main()
