@@ -476,6 +476,7 @@ def kcore_membership(
         .persist()
     )
     cur = adj
+    prev = None
     for _ in range(rounds):
         # peel by the REMOVED set, not the keep set: per sweep only the
         # low-degree fringe leaves (whiskers — a small fraction of the
@@ -491,7 +492,13 @@ def kcore_membership(
             .select("src")
             .persist()
         )
-        if removed.isEmpty():
+        empty = removed.isEmpty()  # also materializes cur's cache
+        if prev is not None and prev is not adj:
+            # cur is now cached end-to-end; the frontier two sweeps
+            # back is dead weight — at a 200M-pair sf1 graph keeping
+            # every sweep cached is rounds x 400M rows of storage
+            prev.unpersist()
+        if empty:
             # fixed point: every further sweep is a no-op, so stopping
             # here returns EXACTLY the scheduled-rounds result (the
             # oracle's unrolled schedule is unchanged). One tiny
@@ -499,6 +506,7 @@ def kcore_membership(
             # 1-2 sweeps, so this halves the sweep stages in practice.
             removed.unpersist()
             break
+        prev = cur
         cur = cur.join(removed, "src", "left_anti").join(
             removed.withColumnRenamed("src", "dst"), "dst", "left_anti"
         ).persist()
