@@ -245,9 +245,15 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = pos.agg(
         F.sum("bal_cents").alias("_sum"), F.count(F.lit(1)).alias("_n")
     ).collect()[0]
-    rich = c.filter(
-        F.col("bal_cents") * F.lit(int(t["_n"])) > F.lit(int(t["_sum"]))
-    )
+    if not t["_n"] or t["_sum"] is None:
+        # empty positive-balance set: F.sum returns NULL — the old
+        # broadcast-join plan returned no rows, so keep that contract
+        # instead of raising int(None)
+        rich = c.filter(F.lit(False))
+    else:
+        rich = c.filter(
+            F.col("bal_cents") * F.lit(int(t["_n"])) > F.lit(int(t["_sum"]))
+        )
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "2001-01-01"
     ).select("o_custkey")

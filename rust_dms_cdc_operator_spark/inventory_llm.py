@@ -6190,9 +6190,26 @@ def oracle_sql_overrides(sf_dir: str) -> dict[str, str]:
             load_ivf_density,
         )
 
-        dcents = load_ivf_density(tag)
-        out["sim_knn_density"] = _ivf_density_oracle_sql(dcents or cents)
-        out["dedup_semantic_pairs"] = _semantic_pairs_oracle_sql(cents)
+        # sim_knn_density and dedup_semantic_pairs train under the
+        # corpus-scaled list rule (_density_n_lists). When the rule
+        # lands on 8 the shared artifact IS their artifact; otherwise
+        # they need the per-sf 'ivfd' registry entry — if it is
+        # missing or trained at a different list count, OMIT the
+        # override (documented by-design skip) rather than render an
+        # oracle from the wrong centroids, which would report a
+        # guaranteed mismatch as a real failure.
+        import duckdb  # noqa: PLC0415
+
+        epath = os.path.join(sf_dir, "embeddings.parquet")
+        esrc = f"{epath}/*.parquet" if os.path.isdir(epath) else epath
+        n_vec = duckdb.sql(
+            f"SELECT count(*) FROM '{esrc}' WHERE vec_id > 0"
+        ).fetchone()[0]
+        nl = _density_n_lists(int(n_vec))
+        dcents = cents if nl == 8 else load_ivf_density(tag)
+        if dcents is not None and len(dcents) == nl:
+            out["sim_knn_density"] = _ivf_density_oracle_sql(dcents)
+            out["dedup_semantic_pairs"] = _semantic_pairs_oracle_sql(dcents)
     if books is not None:
         out["sim_pq_topk"] = _pq_oracle_sql(books)
         if cents is not None:
@@ -7342,8 +7359,10 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
-    def sink(batch_df: DataFrame, _bid: int) -> None:
-        neardup_accumulate(batch_df, acc_dir, out_dir)
+    def sink(batch_df: DataFrame, bid: int) -> None:
+        # batch_id makes the output write idempotent (per-batch
+        # dynamic-partition overwrite) under streaming batch replay
+        neardup_accumulate(batch_df, acc_dir, out_dir, batch_id=bid)
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -7352,7 +7371,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch")
 
 
 def _stream_neardup_oracle_sql(bits: int = 60, bands: int = 4) -> str:
@@ -8242,10 +8261,16 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere), then score pairwise cosine ONLY within a cluster and
     keep pairs >= 0.3. This is the published SemDeDup recipe
     (cluster, then compare intra-cluster only): the cluster count is
-    what bounds pair volume — production scales n_lists with the
-    corpus so cluster size stays ~constant and the intra-cluster
-    census stays linear; n_lists is pinned to 8 here to reuse the
-    per-sf trained artifact registry.
+    what bounds pair volume — intra-cluster pairs are
+    sum(|cluster|^2)/2, so a FIXED cluster count goes quadratic with
+    the corpus (measured 41x wall at 10x data with n_lists pinned to
+    8). Round 8: the list count follows the corpus via
+    :func:`_density_n_lists` (ceil(n/512), the same rule and trained
+    'ivfd' artifact sim_knn_density deploys), so cluster population —
+    and with it pair volume per row — stays ~constant at any scale.
+    At every driver scale the rule lands on 8 lists, which IS the
+    shared sim_ivf_trained artifact, so the static sf0.01 oracle is
+    unchanged.
 
     Plan shape honors the HOF-join lint: candidates are generated
     NARROW (ids only, equi-join on the cluster key), vectors attach
@@ -8254,11 +8279,10 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_dms_cdc_operator_spark.operators.similarity import (  # noqa: PLC0415
         cosine,
         ivf_assign,
-        train_ivf_centroids,
     )
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    cents = _trained_ivf_cents(spark, sf_dir)
+    cents = _trained_density_cents(spark, sf_dir)
     a = e.select(
         "vec_id", ivf_assign(F.col("embedding"), cents).alias("cluster")
     )

@@ -226,18 +226,25 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate, then a literal integer filter — no scalar
     # BroadcastNestedLoopJoin, and the second pass reuses the
     # persisted per-part rows instead of re-scanning lineitem
+    # deliberate cache leak: the returned plan is LAZY — the caller's
+    # action is the second pass over the persisted rows, so this
+    # function cannot unpersist without forcing that pass to recompute
+    # the join+agg from scratch. The cache is one (partkey, cents) row
+    # per part — bounded by |part| — and Spark evicts it LRU.
     per_part = per_part.persist()
     tot = per_part.agg(
         F.sum("value_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
     ).collect()[0]
-    return (
-        per_part
-        .filter(
+    if not tot["_n"] or tot["_total"] is None:
+        # no per-part rows: the HAVING subset is empty by definition —
+        # return the empty frame, don't int(None)
+        keep = per_part.filter(F.lit(False))
+    else:
+        keep = per_part.filter(
             F.col("value_cents") * F.lit(int(tot["_n"])) * 2
             > F.lit(int(tot["_total"])) * 3
         )
-        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
-    )
+    return keep.select(F.col("l_partkey").alias("p_partkey"), "value_cents")
 
 
 # ---------------------------------------------------------------- q15

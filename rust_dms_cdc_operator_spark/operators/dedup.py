@@ -1238,6 +1238,7 @@ def neardup_accumulate(
     text_col: str = "text",
     bits: int = 60,
     bands: int = 4,
+    batch_id: int | None = None,
 ) -> None:
     """One microbatch step of STREAMING SimHash near-dup marking — the
     ingest-time twin of :func:`simhash_hamming_pairs`' banding: a doc
@@ -1255,7 +1256,22 @@ def neardup_accumulate(
     (4 x 32k at the defaults, ~3 MB collected), constant however long
     the stream runs; like the CMS sketch it merges by groupBy-min, so
     any replay/batching reaches the same final state. Appends
-    (id, simhash, is_neardup) rows for this batch to ``out_dir``."""
+    (id, simhash, is_neardup) rows for this batch to ``out_dir``.
+
+    Crash safety (round 8): state lives as IMMUTABLE epoch subdirs
+    ``acc_dir/state-<n>/`` — a new epoch is written whole (Spark's
+    ``_SUCCESS`` marker is the commit record), the reader takes the
+    highest COMPLETE epoch, and older epochs are deleted only after
+    the new one commits. No overwrite-in-place, so a crash at any
+    point leaves the previous epoch readable and a replay converges
+    (groupBy-min merge is idempotent). The state commits BEFORE the
+    output append — flags computed from the merged state equal flags
+    from (old state, batch mins), since ``min(old, bmin) < id  <=>
+    old < id  or  bmin < id`` — so a replay after a state-committed /
+    output-missing crash recomputes identical flags. With
+    ``batch_id`` set (the foreachBatch wiring), output is written to
+    a per-batch partition with dynamic overwrite, making the whole
+    step idempotent under Structured Streaming's batch replay."""
     from rust_dms_cdc_operator_spark import fsio  # noqa: PLC0415
 
     width = bits // bands
@@ -1282,25 +1298,29 @@ def neardup_accumulate(
     batch_min = banded.groupBy("band_idx", "bk").agg(
         F.min(id_col).alias("_bmin")
     )
-    has_acc = any(n.startswith("part-") for n in fsio.listdir(acc_dir))
-    if has_acc:
-        state = sess.read.parquet(acc_dir)
+    # highest COMPLETE epoch = committed state; an epoch dir without
+    # _SUCCESS is a crashed write and is ignored (then overwritten).
+    # A part- file at the acc root is the pre-epoch layout — refuse it
+    # loudly rather than silently starting over (corrupt-state probe).
+    if any(n.startswith("part-") for n in fsio.listdir(acc_dir)):
+        raise OSError(
+            f"accumulator dir {acc_dir!r} holds a flat pre-epoch state "
+            "layout; refusing to silently reset — migrate it into a "
+            "state-0/ epoch subdir"
+        )
+    epochs = sorted(
+        int(n.split("-", 1)[1])
+        for n in fsio.listdir_dirs(acc_dir)
+        if n.startswith("state-")
+        and n.split("-", 1)[1].isdigit()
+        and fsio.exists(fsio.join(acc_dir, n, "_SUCCESS"))
+    )
+    if epochs:
+        state = sess.read.parquet(fsio.join(acc_dir, f"state-{epochs[-1]}"))
     else:
         state = sess.createDataFrame(
             [], "band_idx int, bk long, min_id long"
         )
-    flagged = (
-        banded.join(F.broadcast(state), ["band_idx", "bk"], "left")
-        .join(F.broadcast(batch_min), ["band_idx", "bk"])
-        .groupBy(id_col, "simhash")
-        .agg(
-            F.max(
-                (F.coalesce(F.col("min_id"), F.col(id_col)) < F.col(id_col))
-                | (F.col("_bmin") < F.col(id_col))
-            ).alias("is_neardup")
-        )
-    )
-    flagged.write.mode("append").parquet(out_dir)
     merged = (
         state.unionByName(
             batch_min.select(
@@ -1311,9 +1331,33 @@ def neardup_accumulate(
         .agg(F.min("min_id").alias("min_id"))
     )
     rows = merged.collect()  # bounded: bands x 2^width buckets max
-    sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(acc_dir)
+    merged_df = sess.createDataFrame(rows, merged.schema)
+    new_epoch = (epochs[-1] + 1) if epochs else 0
+    merged_df.coalesce(1).write.mode("overwrite").parquet(
+        fsio.join(acc_dir, f"state-{new_epoch}")
+    )
+    # the new epoch is committed (_SUCCESS) — everything else,
+    # including torn uncommitted epochs from crashed attempts, is dead
+    for n in fsio.listdir_dirs(acc_dir):
+        if n.startswith("state-") and n != f"state-{new_epoch}":
+            fsio.delete(fsio.join(acc_dir, n))
+    # flags from the MERGED state (one broadcast join): min over
+    # everything seen so far < id  <=>  an earlier doc shares a band
+    flagged = (
+        banded.join(F.broadcast(merged_df), ["band_idx", "bk"])
+        .groupBy(id_col, "simhash")
+        .agg(F.max(F.col("min_id") < F.col(id_col)).alias("is_neardup"))
+    )
+    if batch_id is None:
+        flagged.write.mode("append").parquet(out_dir)
+    else:
+        (
+            flagged.withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_dir)
+        )
 
 
 def cdc_chunk_census(

@@ -477,6 +477,7 @@ def kcore_membership(
     )
     cur = adj
     prev = None
+    prev_removed = None
     for _ in range(rounds):
         # peel by the REMOVED set, not the keep set: per sweep only the
         # low-degree fringe leaves (whiskers — a small fraction of the
@@ -493,11 +494,17 @@ def kcore_membership(
             .persist()
         )
         empty = removed.isEmpty()  # also materializes cur's cache
-        if prev is not None and prev is not adj:
-            # cur is now cached end-to-end; the frontier two sweeps
-            # back is dead weight — at a 200M-pair sf1 graph keeping
-            # every sweep cached is rounds x 400M rows of storage
+        # cur is now cached end-to-end: EVERYTHING from the previous
+        # sweep — its frontier (which is adj itself after the first
+        # peel) AND its removed set — is dead weight. At a 200M-pair
+        # sf1 graph, keeping every sweep cached is rounds x 400M rows
+        # of storage; the live set here is exactly {cur, removed}.
+        if prev is not None:
             prev.unpersist()
+            prev = None
+        if prev_removed is not None:
+            prev_removed.unpersist()
+            prev_removed = None
         if empty:
             # fixed point: every further sweep is a no-op, so stopping
             # here returns EXACTLY the scheduled-rounds result (the
@@ -507,9 +514,20 @@ def kcore_membership(
             removed.unpersist()
             break
         prev = cur
+        prev_removed = removed
         cur = cur.join(removed, "src", "left_anti").join(
             removed.withColumnRenamed("src", "dst"), "dst", "left_anti"
         ).persist()
+    if prev is not None:
+        # rounds exhausted without a fixed point: the last cur was
+        # never materialized, so force it (one count over the smallest
+        # frontier) BEFORE dropping the prior sweep's caches — else
+        # the caller's action recomputes the whole peel chain cold.
+        cur.count()
+        prev.unpersist()
+        prev_removed.unpersist()
+    # the final frontier stays cached: the returned plan is lazy and
+    # reads it at the caller's action — one bounded frame, LRU-evicted.
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     ).select(F.col("src").alias("node"), "core_deg")

@@ -1382,11 +1382,17 @@ def test_neardup_accumulate_batching_invariance_and_crash(spark, tmp_path):
     assert got_multi == want
     assert got_single == want
 
-    # corrupt state: loud failure, state not silently replaced
+    # corrupt state: loud failure, state not silently replaced.
+    # State lives as epoch subdirs (round 8) — corrupt the part file
+    # inside the newest committed epoch.
     acc = str(tmp_path / "acc_multi")
+    epoch = max(
+        os.path.join(acc, n) for n in os.listdir(acc)
+        if n.startswith("state-")
+    )
     part = next(
-        os.path.join(acc, n)
-        for n in os.listdir(acc)
+        os.path.join(epoch, n)
+        for n in os.listdir(epoch)
         if n.startswith("part-")
     )
     with open(part, "wb") as fh:
@@ -1395,3 +1401,63 @@ def test_neardup_accumulate_batching_invariance_and_crash(spark, tmp_path):
         neardup_accumulate(df, acc, str(tmp_path / "out_crash"))
     with open(part, "rb") as fh:
         assert fh.read() == b"junk not parquet"
+
+    # a flat pre-epoch state layout is refused loudly, never silently
+    # reset to "first batch"
+    flat = str(tmp_path / "acc_flat")
+    os.makedirs(flat)
+    with open(os.path.join(flat, "part-00000"), "wb") as fh:
+        fh.write(b"legacy")
+    with pytest.raises(OSError, match="pre-epoch"):
+        neardup_accumulate(df, flat, str(tmp_path / "out_flat"))
+
+
+def test_neardup_accumulate_crash_replay_idempotent(spark, tmp_path):
+    """Crash semantics of the epoch-state protocol: (a) an
+    uncommitted epoch (no _SUCCESS) is ignored and the previous
+    committed state drives the replay; (b) replaying a batch with the
+    same batch_id after BOTH writes landed double-appends nothing
+    (dynamic per-batch partition overwrite); (c) replay after the
+    state committed but the output write was lost produces the same
+    flags the first attempt would have."""
+    import os
+    import shutil
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        neardup_accumulate,
+    )
+
+    docs = [
+        (i, f"template {i % 3} shared body text common tail w{i % 3}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    b1 = df.filter(F.col("doc_id") < 10)
+    b2 = df.filter(F.col("doc_id") >= 10)
+    acc, out = str(tmp_path / "acc"), str(tmp_path / "out")
+
+    neardup_accumulate(b1, acc, out, batch_id=0)
+    neardup_accumulate(b2, acc, out, batch_id=1)
+    want = {
+        r.doc_id: r.is_neardup for r in spark.read.parquet(out).collect()
+    }
+    assert len(want) == 20
+
+    # (b) full replay of batch 1 with the same id: no duplicate rows
+    neardup_accumulate(b2, acc, out, batch_id=1)
+    again = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(again) == list(range(20))
+
+    # (a) an uncommitted (crashed) epoch write is invisible to readers
+    epochs = sorted(n for n in os.listdir(acc) if n.startswith("state-"))
+    crashed = os.path.join(acc, "state-99")
+    shutil.copytree(os.path.join(acc, epochs[-1]), crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    with open(os.path.join(crashed, "part-corrupt"), "wb") as fh:
+        fh.write(b"torn write")
+    # (c) replay batch 1 once more — crashed epoch ignored, flags equal
+    neardup_accumulate(b2, acc, out, batch_id=1)
+    got = {
+        r.doc_id: r.is_neardup for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
