@@ -154,15 +154,18 @@ SCALE_QUERIES = [
     "orders_market_basket",
     "dedup_levenshtein",
     "docs_bm25_search",
-    # containment/jaccard run UNDER the candidate-budget cap
-    # (operators/dedup.candidate_budget_sample): the uncapped
-    # containment census remains excluded by documented necessity —
-    # no size prepass exists for containment (a small set is always
-    # fully containable), so the adversarial fixture's candidate
-    # volume hits it in full (383 s at native sf1, a corpus artifact,
-    # not a plan defect); the cap bounds that to the keyed sample
+    # containment/jaccard run under BOTH guardrails (round 8): the
+    # hot-bucket enumeration cap (minhash_lsh_pairs max_bucket=256)
+    # bounds the banded pair stream itself — over-cap buckets never
+    # expand into pairs, so the stream is linear in the corpus — and
+    # the candidate-budget keyed sample bounds the surviving shingle
+    # reads. The uncapped containment census remains excluded by
+    # documented necessity (no size prepass exists for containment;
+    # the adversarial fixture's 235M-pair volume hits it in full,
+    # 383 s at native sf1 — a corpus artifact, not a plan defect).
     "dedup_containment_capped",
     "dedup_jaccard_capped",
+    "dedup_lsh_hot_buckets",
     # round-7: the EXACT scale-safe replacements — prefix-filter
     # (PPJoin-style) complete censuses; candidate volume is bounded by
     # the threshold (rarest-token prefixes), not the vocabulary, so

@@ -1535,50 +1535,115 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VERIFY_BUDGET = 5000  # shared by the capped variants and their oracles
+_LSH_MAX_BUCKET = 256  # hot-bucket enumeration cap (and oracle replay)
+
+
+def _lsh_truncation_lits(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Total (n_hot_buckets, n_doc_slots_hot) under the enumeration
+    cap — ONE bounded 2*bands-row collect (the chunk-offset pattern),
+    stamped onto the capped censuses as constant columns so truncation
+    is visible in the result itself, never silent."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        lsh_bucket_truncation_census,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tot = (
+        lsh_bucket_truncation_census(
+            d, "doc_id", "text", num_hashes=16, bands=2,
+            max_bucket=_LSH_MAX_BUCKET,
+        )
+        .agg(
+            F.sum("n_hot_buckets").alias("hb"),
+            F.sum("n_doc_slots_hot").alias("ds"),
+        )
+        .collect()[0]
+    )
+    return int(tot["hb"] or 0), int(tot["ds"] or 0)
 
 
 def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_containment under the candidate-budget guardrail
-    (operators/dedup.candidate_budget_sample via max_candidates):
-    containment admits NO size prepass by definition, so on an
-    adversarial vocabulary the verifier is candidate-volume-bound —
-    the documented 383 s cliff at native sf1. The cap degrades that
-    to a deterministic keyed 1-in-k census sample (k = ceil(n/budget)
-    from ONE narrow count of the persisted candidate stream; pairs
-    kept where md5(id_a|id_b) % k == 0), bounding shingle-array reads
-    at any scale while staying bit-reproducible — the oracle
-    recomputes the same count, the same k, and the same hash filter.
-    This is the variant the sf1 bench runs (bench.py SCALE_QUERIES);
-    the uncapped census remains available as dedup_containment."""
+    """dedup_containment with candidate ENUMERATION bounded, not just
+    verification (round 8): containment admits NO size prepass by
+    definition, so on an adversarial vocabulary this verify shape is
+    candidate-volume-bound — and the r7 budget sample only capped the
+    shingle reads, while the banded-LSH pair stream still had to be
+    fully enumerated and counted (23x wall at 10x data). The
+    hot-bucket cap (minhash_lsh_pairs max_bucket=256, the
+    triangle_stats max_degree pattern) now bounds the enumeration
+    itself: over-cap band buckets never expand into pairs, capping the
+    stream at bands*n_docs*cap/2 — linear in the corpus. Truncation
+    is COUNTED IN THE OUTPUT (n_hot_buckets / n_doc_slots_truncated
+    constant columns from lsh_bucket_truncation_census; both zero at
+    the driver scale where the cap does not bind), and the oracle
+    replays the same occupancy rule, the same budget count → k →
+    keyed 1-in-k sample. The deterministic keyed sample still bounds
+    shingle-array reads behind the cap."""
     from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
         containment_verify_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    hb, ds = _lsh_truncation_lits(spark, sf_dir)
     return containment_verify_pairs(
         pairs, d, "doc_id", "text", n=3, min_containment=0.9,
         hash_shingles=True, max_candidates=_VERIFY_BUDGET,
+    ).select(
+        "*",
+        F.lit(hb).cast("long").alias("n_hot_buckets"),
+        F.lit(ds).cast("long").alias("n_doc_slots_truncated"),
     )
 
 
 def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_lsh_verified under the candidate-budget guardrail: the
-    size prepass runs FIRST (it is semantics-preserving and kills the
-    cheap majority), then the surviving candidates pass through the
-    deterministic keyed 1-in-k sample — so the budget caps exactly the
-    pairs that would otherwise shuffle wide shingle arrays. The census
-    output scales by k; the oracle replays count → k → hash filter on
-    the identical prepass-survivor set."""
+    """dedup_lsh_verified under BOTH guardrails (round 8): the
+    hot-bucket enumeration cap keeps the banded pair stream linear in
+    the corpus (see dedup_containment_capped), then the
+    semantics-preserving size prepass kills the cheap majority, then
+    the deterministic keyed 1-in-k sample bounds the surviving
+    shingle-array reads. Truncation is counted in the output (constant
+    census columns); the oracle replays occupancy rule, prepass,
+    count → k → hash filter on the identical survivor set."""
     from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
         jaccard_verify_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    hb, ds = _lsh_truncation_lits(spark, sf_dir)
     return jaccard_verify_pairs(
         pairs, d, "doc_id", "text", n=3, min_jaccard=0.8,
         hash_shingles=True, max_candidates=_VERIFY_BUDGET,
+    ).select(
+        "*",
+        F.lit(hb).cast("long").alias("n_hot_buckets"),
+        F.lit(ds).cast("long").alias("n_doc_slots_truncated"),
+    )
+
+
+def q_dedup_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enumeration cap's no-silent-drop census as a first-class
+    query (operators/dedup.lsh_bucket_truncation_census): per band,
+    bucket count, over-cap bucket count, and doc slots inside over-cap
+    buckets at the shared cap. The observability half of the capped
+    dedup contract — at any scale this is a 2-row result from narrow
+    occupancy aggregations, so a 100 TB run can afford to ALWAYS emit
+    it next to the capped census."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        lsh_bucket_truncation_census,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_bucket_truncation_census(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
     )
 
 
@@ -2124,9 +2189,15 @@ def _sql_hex_to_long(col: str, chars: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 2) -> str:
+def _minhash_sql(
+    num_hashes: int = 16, bands: int = 2, max_bucket: int | None = None
+) -> str:
     """Mirror of dedup.minhash_lsh_pairs: one md5 per distinct word →
-    32-bit base hash → linear mixes (A_i*h+B_i) mod 2^31-1."""
+    32-bit base hash → linear mixes (A_i*h+B_i) mod 2^31-1. With
+    ``max_bucket``, replays the hot-bucket enumeration cap: a (band,
+    bucket) with occupancy > cap is excluded from pairing — the
+    DISTINCT set then equals Spark's first-KEPT-colliding-band
+    emission ("collides in >= 1 under-cap bucket")."""
     from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
         _MERSENNE,
         _mix_a,
@@ -2147,6 +2218,17 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 2) -> str:
         f"SELECT doc_id, {b} AS bk, {i} AS band_idx FROM sigs"
         for i, b in enumerate(band_exprs)
     )
+    src = "banded"
+    cap_ctes = ""
+    if max_bucket is not None:
+        cap_ctes = f""",
+        occ AS (SELECT band_idx, bk, count(*) AS c
+                FROM banded GROUP BY 1, 2),
+        kept AS (SELECT band_idx, bk FROM occ WHERE c <= {max_bucket}),
+        bkept AS (SELECT b.doc_id, b.bk, b.band_idx
+                  FROM banded b JOIN kept k
+                    ON b.band_idx = k.band_idx AND b.bk = k.bk)"""
+        src = "bkept"
     return f"""
         WITH wh AS (
           SELECT doc_id,
@@ -2154,9 +2236,9 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 2) -> str:
                                 w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
           FROM documents),
         sigs AS (SELECT doc_id, {sigs} FROM wh),
-        banded AS ({band_selects})
+        banded AS ({band_selects}){cap_ctes}
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
+        FROM {src} a JOIN {src} b
           ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc_id < b.doc_id
     """
 
@@ -2923,14 +3005,71 @@ ORACLE_SQL_LLM["dedup_containment"] = f"""
           >= least(len(a.h), len(b.h)) * 0.9
 """
 
-# capped variants: count → k = ceil(n/budget) (integer form, exact on
+# capped variants: hot-bucket enumeration cap (occupancy rule replayed
+# in SQL), then count → k = ceil(n/budget) (integer form, exact on
 # both engines) → keyed md5 1-in-k sample, replayed verbatim in SQL
 _BUDGET_KEY = _sql_hex_to_long(
     "md5(p.id_a::VARCHAR || '|' || p.id_b::VARCHAR)", 8
 )
 
+
+def _lsh_census_sql(
+    num_hashes: int = 16, bands: int = 2, max_bucket: int = _LSH_MAX_BUCKET
+) -> str:
+    """DuckDB rendering of dedup.lsh_bucket_truncation_census:
+    (band_idx, n_buckets, n_hot_buckets, n_doc_slots_hot)."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        _mix_a,
+        _mix_b,
+    )
+
+    rows = num_hashes // bands
+    sigs = ", ".join(
+        "list_aggregate(list_transform(wh, "
+        f"h -> ({_mix_a(i)} * h + {_mix_b(i)}) % {_MERSENNE}), 'min') AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = [
+        " || '|' || ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows))
+        for b in range(bands)
+    ]
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bk, {i} AS band_idx FROM sigs"
+        for i, b in enumerate(band_exprs)
+    )
+    return f"""
+        WITH wh AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')),
+                                w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
+          FROM documents),
+        sigs AS (SELECT doc_id, {sigs} FROM wh),
+        banded AS ({band_selects}),
+        occ AS (SELECT band_idx, bk, count(*) AS c
+                FROM banded GROUP BY 1, 2)
+        SELECT band_idx,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(coalesce(sum(CASE WHEN c > {max_bucket} THEN 1
+                                      ELSE 0 END), 0) AS BIGINT)
+                 AS n_hot_buckets,
+               CAST(coalesce(sum(CASE WHEN c > {max_bucket} THEN c
+                                      ELSE 0 END), 0) AS BIGINT)
+                 AS n_doc_slots_hot
+        FROM occ GROUP BY band_idx
+    """
+
+
+_TRUNC_CTE = f"""tr AS (
+      SELECT CAST(coalesce(sum(n_hot_buckets), 0) AS BIGINT) AS hb,
+             CAST(coalesce(sum(n_doc_slots_hot), 0) AS BIGINT) AS ds
+      FROM ({_lsh_census_sql()}) tcen)"""
+
+ORACLE_SQL_LLM["dedup_lsh_hot_buckets"] = _lsh_census_sql()
+
 ORACLE_SQL_LLM["dedup_jaccard_capped"] = f"""
-    WITH pairs AS ({_minhash_sql(16, 2)}), {_SHINGLES.lstrip().rstrip()},
+    WITH pairs AS ({_minhash_sql(16, 2, _LSH_MAX_BUCKET)}),
+    {_TRUNC_CTE}, {_SHINGLES.lstrip().rstrip()},
     hsh AS (SELECT doc_id,
                    list_distinct(list_transform(s,
                      x -> {_sql_hex_to_long("md5(x)", 8)})) AS h
@@ -2948,16 +3087,20 @@ ORACLE_SQL_LLM["dedup_jaccard_capped"] = f"""
              WHERE {_BUDGET_KEY} % kk.k = 0)
     SELECT p.id_a, p.id_b,
            len(list_intersect(a.h, b.h)) AS inter_size,
-           len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size
+           len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)) AS union_size,
+           tr.hb AS n_hot_buckets,
+           tr.ds AS n_doc_slots_truncated
     FROM samp p
     JOIN hsh a ON a.doc_id = p.id_a
     JOIN hsh b ON b.doc_id = p.id_b
+    CROSS JOIN tr
     WHERE len(list_intersect(a.h, b.h))
           >= (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 0.8
 """
 
 ORACLE_SQL_LLM["dedup_containment_capped"] = f"""
-    WITH pairs AS ({_minhash_sql(16, 2)}), {_SHINGLES.lstrip().rstrip()},
+    WITH pairs AS ({_minhash_sql(16, 2, _LSH_MAX_BUCKET)}),
+    {_TRUNC_CTE}, {_SHINGLES.lstrip().rstrip()},
     hsh AS (SELECT doc_id,
                    list_distinct(list_transform(s,
                      x -> {_sql_hex_to_long("md5(x)", 8)})) AS h
@@ -2970,10 +3113,13 @@ ORACLE_SQL_LLM["dedup_containment_capped"] = f"""
     SELECT p.id_a, p.id_b,
            len(list_intersect(a.h, b.h)) AS inter_size,
            len(a.h) AS size_a,
-           len(b.h) AS size_b
+           len(b.h) AS size_b,
+           tr.hb AS n_hot_buckets,
+           tr.ds AS n_doc_slots_truncated
     FROM samp p
     JOIN hsh a ON a.doc_id = p.id_a
     JOIN hsh b ON b.doc_id = p.id_b
+    CROSS JOIN tr
     WHERE len(list_intersect(a.h, b.h))
           >= least(len(a.h), len(b.h)) * 0.9
 """
@@ -10205,3 +10351,7 @@ ORACLE_SQL_LLM["lineitem_ship_latency"] = """
     GROUP BY 1, 2
 """
 QUERIES_LLM["lineitem_ship_latency"] = q_lineitem_ship_latency
+
+
+# -------------------------------------------------- round 8 additions
+QUERIES_LLM["dedup_lsh_hot_buckets"] = q_dedup_lsh_hot_buckets

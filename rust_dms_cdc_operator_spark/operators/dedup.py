@@ -97,6 +97,7 @@ def minhash_lsh_pairs(
     bands: int = 2,
     carry_signature: bool = False,
     carry_cols: list[str] | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
@@ -132,6 +133,22 @@ def minhash_lsh_pairs(
     anyway; at 100 TB a one-row-per-doc table exceeds every broadcast
     threshold and the post-hoc join becomes two candidate-stream
     shuffles — carrying makes the plan scale-stable by construction.
+
+    ``max_bucket`` (round 8) bounds candidate ENUMERATION itself — the
+    `triangle_stats max_degree` pattern applied to band buckets: a
+    (band, bucket) whose occupancy exceeds the cap is dropped from
+    that band's join entirely, so within-bucket pair volume is capped
+    at ``max_bucket**2/2`` per bucket and the total stream at
+    ``bands * n_docs * max_bucket / 2`` — LINEAR in the corpus,
+    whatever the vocabulary does (measured: an adversarial sf1 fixture
+    fell 235M → 1.6M candidates at cap 256, with 18 of 15k buckets
+    truncated). Docs in a hot bucket still pair through their OTHER
+    bands; the first-colliding-band dedup treats a hot band level as
+    not-colliding, so each surviving pair is emitted exactly once at
+    its first KEPT colliding band and the output SET equals "collides
+    in >= 1 under-cap bucket". Deterministic — a pure function of the
+    data, no sampling — and :func:`lsh_bucket_truncation_census`
+    reports exactly what was dropped (no silent cap).
     """
     carry_cols = list(carry_cols or [])
     rows_per_band = num_hashes // bands
@@ -161,6 +178,29 @@ def minhash_lsh_pairs(
         ],
     ).persist()
 
+    if max_bucket is not None:
+        # hot-bucket flags per band: occupancy census over the cached
+        # narrow keyed table (one map-combined agg per band), hot sets
+        # are tiny (the whole point) so the flag joins broadcast. Not
+        # re-persisted: each band-join side replays bands broadcast
+        # joins over the cached base — cheaper than a second cache of
+        # the doc table.
+        for i in range(bands):
+            hot = (
+                keyed.groupBy(f"bk_{i}")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > max_bucket)
+                .select(f"bk_{i}", F.lit(True).alias(f"h_{i}"))
+            )
+            keyed = keyed.join(F.broadcast(hot), f"bk_{i}", "left")
+        keyed = keyed.select(
+            *[c for c in keyed.columns if not c.startswith("h_")],
+            *[
+                F.coalesce(F.col(f"h_{i}"), F.lit(False)).alias(f"h_{i}")
+                for i in range(bands)
+            ],
+        )
+
     carry_a = ([F.col("sig").alias("sig_a")] if carry_signature else []) + [
         F.col(c).alias(f"{c}_a") for c in carry_cols
     ]
@@ -174,24 +214,95 @@ def minhash_lsh_pairs(
     )
     per_band = []
     for i in range(bands):
-        a = keyed.select(
+        src = (
+            keyed.filter(~F.col(f"h_{i}")) if max_bucket is not None else keyed
+        )
+        hot_flags_a = (
+            [F.col(f"h_{j}").alias(f"a_h_{j}") for j in range(i)]
+            if max_bucket is not None
+            else []
+        )
+        a = src.select(
             F.col(id_col).alias("id_a"),
             *carry_a,
+            *hot_flags_a,
             *[F.col(f"bk_{j}").alias(f"a_bk_{j}") for j in range(i + 1)],
         ).withColumnRenamed(f"a_bk_{i}", "bk")
-        b = keyed.select(
+        b = src.select(
             F.col(id_col).alias("id_b"),
             *carry_b,
             *[F.col(f"bk_{j}").alias(f"b_bk_{j}") for j in range(i + 1)],
         ).withColumnRenamed(f"b_bk_{i}", "bk")
         j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
         for jj in range(i):
-            j = j.filter(F.col(f"a_bk_{jj}") != F.col(f"b_bk_{jj}"))
+            # first-KEPT-colliding-band dedup: a hot band level never
+            # emitted the pair, so it must not suppress a later kept
+            # collision either. When the keys are equal both docs sit
+            # in the same bucket, so a's hotness flag is the bucket's.
+            neq = F.col(f"a_bk_{jj}") != F.col(f"b_bk_{jj}")
+            if max_bucket is not None:
+                neq = neq | F.col(f"a_h_{jj}")
+            j = j.filter(neq)
         per_band.append(j.select(*out_cols))
     out = per_band[0]
     for p in per_band[1:]:
         out = out.unionByName(p)
     return out
+
+
+def lsh_bucket_truncation_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """The no-silent-cap companion of ``minhash_lsh_pairs(...,
+    max_bucket=...)``: per band, how much the hot-bucket cap truncated
+    — (band_idx, n_buckets, n_hot_buckets, n_doc_slots_hot), where
+    ``n_doc_slots_hot`` counts doc occupancies inside over-cap buckets
+    (a doc dropped from band i still pairs via its other bands, so
+    these are SLOTS, not lost documents). Same signature pipeline as
+    the pair generator; one narrow occupancy aggregation per band, a
+    ``2*bands``-row result — bounded driver output at any scale."""
+    rows_per_band = num_hashes // bands
+    wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
+    keyed = (
+        df.select(F.col(id_col), wh)
+        .select(F.col(id_col), *sig_cols)
+        .select(
+            F.col(id_col),
+            *[
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias(f"bk_{b}")
+                for b in range(bands)
+            ],
+        )
+    )
+    per_band = [
+        keyed.groupBy(F.col(f"bk_{i}").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(i).alias("band_idx"), "bk", "c")
+        for i in range(bands)
+    ]
+    occ = per_band[0]
+    for p in per_band[1:]:
+        occ = occ.unionByName(p)
+    return occ.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("c") > max_bucket).cast("long"))
+        .cast("long")
+        .alias("n_hot_buckets"),
+        F.sum(F.when(F.col("c") > max_bucket, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_doc_slots_hot"),
+    )
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -60,6 +60,71 @@ def test_minhash_lsh_finds_exact_dup_not_unrelated(spark, docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """max_bucket semantics: the capped pair SET equals 'collides in
+    >= 1 under-cap band bucket' (brute-force per-band replay), each
+    pair appears exactly once, and the truncation census counts
+    exactly the over-cap buckets. A 12-doc template clique floods one
+    bucket per band; two small near-dup groups stay under the cap."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        lsh_bucket_truncation_census,
+        minhash_signature_cols,
+    )
+
+    rows = [(i, "template body shared by every clique member") for i in range(12)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    rows += [(200, "one two three four five"), (201, "one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nh, bands, cap = 8, 2, 4
+
+    # ground truth from the raw band keys
+    wh, sig_cols = minhash_signature_cols(F.col("text"), nh)
+    sigs = {
+        r.doc_id: [r[f"mh_{i}"] for i in range(nh)]
+        for r in df.select("doc_id", wh).select("doc_id", *sig_cols).collect()
+    }
+    rpb = nh // bands
+    def bk(s, b):
+        return tuple(s[b * rpb + r] for r in range(rpb))
+    buckets = {}
+    for d, s in sigs.items():
+        for b in range(bands):
+            buckets.setdefault((b, bk(s, b)), []).append(d)
+    kept = {k: v for k, v in buckets.items() if len(v) <= cap}
+    want = set()
+    for members in kept.values():
+        for i, a in enumerate(sorted(members)):
+            for b in sorted(members)[i + 1:]:
+                want.add((a, b))
+
+    got = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", nh, bands, max_bucket=cap
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(got) == len(set(got))  # exactly-once emission
+    # the 12-doc clique must have been truncated somewhere
+    clique_pairs = {(a, b) for a in range(12) for b in range(12) if a < b}
+    assert not (set(got) & clique_pairs)
+    assert (100, 101) in set(got) and (200, 201) in set(got)
+
+    cen = {
+        r.band_idx: r
+        for r in lsh_bucket_truncation_census(
+            df, "doc_id", "text", nh, bands, max_bucket=cap
+        ).collect()
+    }
+    for b in range(bands):
+        hot = [k for k, v in buckets.items() if k[0] == b and len(v) > cap]
+        assert cen[b].n_hot_buckets == len(hot)
+        assert cen[b].n_doc_slots_hot == sum(
+            len(buckets[k]) for k in hot
+        )
+        assert cen[b].n_buckets == sum(1 for k in buckets if k[0] == b)
+
+
 def test_simhash_identity_and_locality(spark, docs):
     sh = {r.doc_id: r.simhash for r in simhash16(docs, "doc_id", "text").collect()}
     assert sh[1] == sh[2]  # identical docs, identical signature
