@@ -819,11 +819,19 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash pair edges → connected components → duplicate groups
     (operators/graph.py): the step that turns pairwise near-dup
-    evidence into keep-one-per-group decisions."""
+    evidence into keep-one-per-group decisions. CC must swallow the
+    FULL uncapped pair stream (the oracle's recursive closure is over
+    every candidate pair), so emission is salted 8 ways — one hot
+    band bucket otherwise emits its entire quadratic pair volume from
+    a single task (AQE can't split it: the skew is in join OUTPUT,
+    not shuffle-read size). Same output set, 8x emission
+    parallelism."""
     from rust_dms_cdc_operator_spark.operators.graph import dedup_groups  # noqa: PLC0415
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+    )
     return dedup_groups(pairs.select("id_a", "id_b"))
 
 

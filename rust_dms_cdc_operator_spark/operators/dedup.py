@@ -98,6 +98,7 @@ def minhash_lsh_pairs(
     carry_signature: bool = False,
     carry_cols: list[str] | None = None,
     max_bucket: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
@@ -149,6 +150,18 @@ def minhash_lsh_pairs(
     in >= 1 under-cap bucket". Deterministic — a pure function of the
     data, no sampling — and :func:`lsh_bucket_truncation_census`
     reports exactly what was dropped (no silent cap).
+
+    ``salt`` (round 8) parallelizes pair EMISSION. AQE's skew split
+    cannot help here: it divides partitions by their shuffle-READ
+    size, and a hot bucket's inputs are tiny (thousands of doc rows)
+    while its join OUTPUT explodes quadratically — so one task emits
+    the whole 200M-pair bucket. Salting the self-join (probe side
+    keyed by hash(id) % salt, build side replicated ``salt`` ways)
+    splits that emission across ``salt`` tasks; the output SET is
+    unchanged (each pair matches at exactly one salt value) and the
+    replication cost is per-DOC, not per-pair. Use when a consumer
+    must swallow the FULL uncapped stream (connected components,
+    k-NN ranking); the capped path makes it unnecessary.
     """
     carry_cols = list(carry_cols or [])
     rows_per_band = num_hashes // bands
@@ -233,7 +246,30 @@ def minhash_lsh_pairs(
             *carry_b,
             *[F.col(f"bk_{j}").alias(f"b_bk_{j}") for j in range(i + 1)],
         ).withColumnRenamed(f"b_bk_{i}", "bk")
-        j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+        if salt is not None and salt > 1:
+            # explicit numbered repartition on the probe side: AQE's
+            # coalescing sizes partitions by shuffle-READ bytes (tiny
+            # doc rows) and would re-merge the salt shards into the
+            # very task the salt exists to split; a user-specified
+            # partition count is exempt from coalescing, and scales
+            # with the cluster (defaultParallelism), not the data.
+            npart = max(
+                salt * 8, df.sparkSession.sparkContext.defaultParallelism * 2
+            )
+            a = a.withColumn(
+                "_sa", F.pmod(F.hash("id_a"), F.lit(salt))
+            ).repartition(npart, "bk", "_sa")
+            b = b.withColumn(
+                "_sa",
+                F.explode(F.array(*[F.lit(s) for s in range(salt)])),
+            )
+            j = (
+                a.join(b, ["bk", "_sa"])
+                .drop("_sa")
+                .filter(F.col("id_a") < F.col("id_b"))
+            )
+        else:
+            j = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
         for jj in range(i):
             # first-KEPT-colliding-band dedup: a hot band level never
             # emitted the pair, so it must not suppress a later kept

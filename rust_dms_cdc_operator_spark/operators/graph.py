@@ -30,6 +30,12 @@ from pyspark.sql import types as T
 
 DRIVER_UF_THRESHOLD = 200_000
 
+# contraction-side broadcast bound for the (node, comp) label frame:
+# 4M rows x 2 longs ~ 64 MB serialized — comfortably under executor
+# memory, far over any test corpus. Billions of nodes fall back to
+# shuffle joins.
+LABEL_BROADCAST_ROWS = 4_000_000
+
 
 def _make_ckpt(
     spark: SparkSession, checkpoint_dir: str | None
@@ -69,15 +75,13 @@ def connected_components(
     ``max_iter`` as the guard. Common case: init groupBy + contract
     join + one broadcast mapping join — constant rounds, vs diameter
     rounds for plain label propagation."""
-    # the edge list is consumed once per round — persist it, or the
-    # whole upstream pair computation (minhash, cosine, ...) re-runs
-    # every iteration
+    # the edge list is consumed once per round — persist the DIRECTED
+    # list (round 8: persisting the symmetrized union instead meant
+    # materialization ran the whole upstream pair computation —
+    # minhash band joins, cosine candidates — TWICE, once per union
+    # branch; and every downstream join paid 2|E| where |E| suffices)
     ckpt = _make_ckpt(edges.sparkSession, checkpoint_dir)
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .persist()
-    )
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     try:
         # FAST PATH: if the RAW edge list already fits the same
         # bounded driver collect the contracted path is allowed (≤
@@ -89,9 +93,10 @@ def connected_components(
         # embedding near-dup graph, 277 edges). The count also
         # materializes the persist the slow path needs anyway, and
         # comp = min member is algorithm-independent, so both paths
-        # return identical rows.
-        n_sym = sym.count()
-        if n_sym <= 2 * driver_threshold:
+        # return identical rows. (Union-find is direction-blind, so
+        # the directed list is enough — no symmetrize before collect.)
+        n_e = e0.count()
+        if n_e <= driver_threshold:
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:
@@ -101,7 +106,7 @@ def connected_components(
                     x = parent[x]
                 return x
 
-            for r in sym.collect():
+            for r in e0.collect():
                 ra, rb = find(r["a"]), find(r["b"])
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
@@ -110,13 +115,14 @@ def connected_components(
                 root = find(node)
                 comp_min[root] = min(comp_min.get(root, node), node)
             rows = [(n, comp_min[find(n)]) for n in parent]
-            # schema derives from the INPUT edge type (union of src/dst
-            # already coerced them to a common type), so int/string node
-            # ids get the same output schema the distributed path would
-            # produce — which path the edge count selects must never be
-            # observable. Python min()/max() on str matches F.least's
+            # schema derives from the INPUT edge type (select of
+            # src/dst keeps each side's type; least/greatest below
+            # coerce identically), so int/string node ids get the same
+            # output schema the distributed path would produce — which
+            # path the edge count selects must never be observable.
+            # Python min()/max() on str matches F.least's
             # lexicographic order, so values agree too.
-            node_type = sym.schema["a"].dataType
+            node_type = e0.schema["a"].dataType
             out_schema = T.StructType(
                 [  # nullable=True: what groupBy/join infer distributed
                     T.StructField("node", node_type, True),
@@ -126,7 +132,12 @@ def connected_components(
             return edges.sparkSession.createDataFrame(rows, out_schema)
         # level-0 round: node's label = min(self, direct neighbors).
         # This is a FOREST: following comp pointers always ends at a
-        # local-minimum node (comp(r) == r).
+        # local-minimum node (comp(r) == r). The symmetrized view is
+        # built lazily from the cached directed list — two cache
+        # reads, one map-combined shuffle; never its own cache.
+        sym = e0.union(
+            e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         labels = ckpt(
             sym.groupBy("a")
             .agg(F.min("b").alias("_mb"))
@@ -157,22 +168,43 @@ def connected_components(
             )
         # contract: edges between LABELS (self-loops dropped). For a
         # near-dup corpus this is the tiny inter-cluster remainder.
+        # Joins run over the DIRECTED list — half the rows of the
+        # symmetrized view — with least/greatest canonicalizing the
+        # label-edge orientation (union-find and the recursion are
+        # direction-blind, so one orientation per label edge is
+        # exactly what they need).
+        #
+        # The label frame is NODE-sized — orders of magnitude smaller
+        # than the edge list (46k nodes vs 200M pairs on the sf1
+        # near-dup fixture). When it fits a broadcast, the contraction
+        # becomes one cache scan + two map-side hash joins + the
+        # ca!=cb filter killing the intra-cluster majority BEFORE any
+        # exchange — the only shuffle left is the distinct over the
+        # tiny inter-label remainder (measured 26 s -> ~3 s at sf1).
+        # Past the row bound (billions of nodes at 100 TB) it falls
+        # back to the plain shuffle joins.
+        n_nodes = labels.count()  # cheap: labels is checkpointed
         la = labels.select(
             F.col("node").alias("a"), F.col("comp").alias("ca")
         )
         lb = labels.select(
             F.col("node").alias("b"), F.col("comp").alias("cb")
         )
+        if n_nodes <= LABEL_BROADCAST_ROWS:
+            la, lb = F.broadcast(la), F.broadcast(lb)
         # checkpoint: each contraction level must start from a leaf
         # plan — recursion over lazy frames otherwise NESTS the whole
         # lower-level plan per level (exponential planning cost,
         # driver OOM). The checkpointed frame is the label-edge list,
         # orders of magnitude smaller than the input pairs.
         contracted = ckpt(
-            sym.join(la, "a")
+            e0.join(la, "a")
             .join(lb, "b")
             .filter(F.col("ca") != F.col("cb"))
-            .select("ca", "cb")
+            .select(
+                F.least("ca", "cb").alias("ca"),
+                F.greatest("ca", "cb").alias("cb"),
+            )
             .distinct()
         )
         n2 = contracted.count()
@@ -219,7 +251,7 @@ def connected_components(
         )
         return resolved
     finally:
-        sym.unpersist()
+        e0.unpersist()
 
 
 def dedup_groups(
