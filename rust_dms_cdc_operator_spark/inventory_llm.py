@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import pandas as pd
 from collections.abc import Callable
@@ -79,6 +80,21 @@ def _link_stream_src(sf_dir: str, table: str, src_dir: str) -> None:
             )
     else:
         os.symlink(src, os.path.join(src_dir, f"{table}.parquet"))
+
+
+#: Harness-setup wall (tempdirs, source links, schema inference,
+#: slice pre-writes) of the most recent run of each one-shot streaming
+#: query, keyed by registry name. bench.py reads this after every
+#: query so BENCH_local.json can report setup and execution walls
+#: separately — the availableNow replay is the measured query; the
+#: per-run scaffolding is a harness artifact a production deployment
+#: pays once (the source dir and checkpoint exist for the life of the
+#: stream), and folding it in polluted round-over-round comparisons.
+STREAM_SETUP_SECS: dict[str, float] = {}
+
+
+def _stream_setup_done(name: str, t0: float) -> None:
+    STREAM_SETUP_SECS[name] = round(time.time() - t0, 3)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -283,7 +299,13 @@ def q_docs_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    # salt=8: CC swallows the full uncapped pair stream; one hot band
+    # bucket otherwise emits its quadratic pair volume from a single
+    # task (AQE can't split output-exploding joins — see
+    # minhash_lsh_pairs docstring). Same pair set, 8x emission spread.
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+    )
     groups = dedup_groups(pairs)
     scored = d.select(
         "doc_id", quality_score_expr(F.col("text")).alias("quality")
@@ -3888,48 +3910,20 @@ def q_sim_minhash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     disappear here (n_match is symmetric, computed ONCE per pair
     before the union; the only remaining candidate-stream exchange is
     the per-doc ranking window, whose rank<=3 filter compiles to a
-    map-side-partial WindowGroupLimit). Same result set, same oracle
-    — this is a physical-plan change only (128 s -> measured at
-    native sf1 in BENCH_local.json)."""
+    map-side-partial WindowGroupLimit). Round 8: rebuilt on
+    operators/dedup.minhash_knn_topk — directed salted band joins
+    keep every doc's candidates in its own (bucket, salt) shard, so
+    the per-doc rank sorts IN PLACE and the quadratic candidate
+    stream never crosses an exchange; only <= k rows per doc per band
+    reach the global rank. Same result set, same oracle — physical
+    shape only (58 s -> measured at native sf1)."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_knn_topk,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=16, bands=2, carry_signature=True
-    )
-    # fixed-width signature: unrolled getItem comparisons stay inside
-    # whole-stage codegen, where zip_with/aggregate higher-order
-    # functions are interpreted per row — at 200M+ candidates the HOF
-    # interpreter was the single hottest spot in the profile
-    n_match = sum(
-        F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
-        for i in range(16)
-    )
-    once = pairs.select(
-        "id_a", "id_b", n_match.cast("long").alias("n_match")
-    )
-    scored = once.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("id_b").alias("neighbor_id"),
-        "n_match",
-    ).unionByName(
-        once.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("neighbor_id"),
-            "n_match",
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("n_match"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "doc_id",
-            "neighbor_id",
-            "n_match",
-            F.round(F.col("n_match") / 16.0, 6).alias("est_jaccard"),
-            F.col("rn").cast("long").alias("rn"),
-        )
+    return minhash_knn_topk(
+        d, "doc_id", "text", num_hashes=16, bands=2, k=3, salt=8
     )
 
 
@@ -4941,7 +4935,10 @@ def q_docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    # salt=8: see q_dedup_groups (full-stream CC consumer)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+    )
     comp = dedup_groups(pairs)  # (doc_id, group_id) for paired docs
     sizes = comp.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("group_size")
@@ -9443,7 +9440,13 @@ def q_docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    # salt=8: CC swallows the full uncapped pair stream; one hot band
+    # bucket otherwise emits its quadratic pair volume from a single
+    # task (AQE can't split output-exploding joins — see
+    # minhash_lsh_pairs docstring). Same pair set, 8x emission spread.
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+    )
     groups = dedup_groups(pairs)
     withg = (
         d.select("doc_id")
@@ -10114,7 +10117,7 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trick: long equality beats string equality in array_intersect
     # and the attach shuffle shrinks ~3x)
     pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=16, bands=2
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
     ).persist()
     groups = dedup_groups(pairs)
     sh = d.select(

@@ -341,6 +341,127 @@ def lsh_bucket_truncation_census(
     )
 
 
+def minhash_knn_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 2,
+    k: int = 3,
+    salt: int = 8,
+) -> DataFrame:
+    """Per-document top-``k`` nearest neighbors by ESTIMATED Jaccard
+    (matching MinHash components / ``num_hashes``) over the banded-LSH
+    candidate graph — the doc-level k-NN join a semantic-dedup
+    reviewer reads. Returns (doc_id, neighbor_id, n_match,
+    est_jaccard, rn); ties break by ascending neighbor id.
+
+    Scale shape (round 8, replaces the union-then-global-rank form
+    whose one exchange carried the full 2x-directed candidate
+    stream): each band runs a DIRECTED salted self-join — every
+    ordered (doc, neighbor) appears exactly once per colliding band,
+    and ALL of a doc's band candidates land in its own (bucket, salt)
+    shard, because the salt keys the probe side by hash(doc). The
+    per-doc rank therefore runs as a window over (bk, _sa, doc):
+    hash-partitioning on the join keys already satisfies that
+    clustered distribution, so the local top-k SORTS IN PLACE — the
+    quadratic candidate stream never crosses an exchange. What
+    remains is tiny: <= k rows per doc per band, deduped (a pair
+    colliding in both bands appears once per band) and globally
+    ranked. Top-k distributes over the per-band partition of the
+    candidate set, so the result is exact."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    rows_per_band = num_hashes // bands
+    wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
+    keyed = (
+        df.select(F.col(id_col), wh)
+        .select(F.col(id_col), *sig_cols)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias(
+                "sig"
+            ),
+            *[
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias(f"bk_{b}")
+                for b in range(bands)
+            ],
+        )
+        .persist()
+    )
+    npart = max(
+        salt * 8, df.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    n_match = sum(
+        F.when(F.col("sig")[i] == F.col("nsig")[i], 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    w_local = Window.partitionBy("bk", "_sa", "doc_id").orderBy(
+        F.desc("n_match"), F.asc("neighbor_id")
+    )
+    per_band = []
+    for i in range(bands):
+        a = (
+            keyed.select(
+                F.col(id_col).alias("doc_id"),
+                "sig",
+                F.col(f"bk_{i}").alias("bk"),
+            )
+            .withColumn("_sa", F.pmod(F.hash("doc_id"), F.lit(salt)))
+            .repartition(npart, "bk", "_sa")
+        )
+        b = keyed.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("sig").alias("nsig"),
+            F.col(f"bk_{i}").alias("bk"),
+        ).withColumn(
+            "_sa", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        j = (
+            a.join(b, ["bk", "_sa"])
+            .filter(F.col("doc_id") != F.col("neighbor_id"))
+            .select(
+                "bk",
+                "_sa",
+                "doc_id",
+                "neighbor_id",
+                n_match.cast("long").alias("n_match"),
+            )
+        )
+        per_band.append(
+            j.withColumn("rn", F.row_number().over(w_local))
+            .filter(F.col("rn") <= k)
+            .select("doc_id", "neighbor_id", "n_match")
+        )
+    cand = per_band[0]
+    for p in per_band[1:]:
+        cand = cand.unionByName(p)
+    # a pair colliding in both bands contributes one row per band —
+    # collapse before the (tiny) global rank
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_match"), F.asc("neighbor_id")
+    )
+    return (
+        cand.groupBy("doc_id", "neighbor_id")
+        .agg(F.max("n_match").alias("n_match"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            "neighbor_id",
+            "n_match",
+            F.round(F.col("n_match") / num_hashes, 6).alias("est_jaccard"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: each word votes ±1 per bit of its 16-bit hash;
     signature bit b is 1 iff the vote sum is positive. One explode +
