@@ -43,16 +43,27 @@ def main() -> None:
     # one-time offline builds (IVF partitioned table + trained
     # centroids): production does these once, so they are not part of
     # any per-query cost
-    from rust_dms_cdc_operator_spark.inventory_llm import prepare_bench
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        STREAM_SETUP_SECS,
+        prepare_bench,
+    )
 
     prepare_bench(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    # one-shot streaming queries rebuild their harness per run
+    # (tempdir + source links + slice pre-writes) — a cost a real
+    # deployment pays once per stream, not per trigger. The queries
+    # report that setup wall through STREAM_SETUP_SECS; record it so
+    # round-over-round comparisons can subtract the scaffolding.
+    stream_setup: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        if name in STREAM_SETUP_SECS:
+            stream_setup[name] = STREAM_SETUP_SECS.pop(name)
         # queries own their persist() lifetimes only within one run
         # (dedup shingle tables, LSH candidate streams); dropping them
         # between queries keeps each measurement self-contained and
@@ -68,6 +79,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if stream_setup:
+        out["stream_setup"] = stream_setup
+        out["stream_exec"] = {
+            q: round(timings[q] - s, 3) for q, s in stream_setup.items()
+        }
 
     sf1 = _sf1_section(spark, sf, sf_dir, timings)
     if sf1:
@@ -96,6 +112,10 @@ def _compact_summary(out: dict, budget: int = 1800) -> dict:
         "n_queries": len(timings),
         "queries_full": "BENCH_local.json",
     }
+    if out.get("stream_setup"):
+        summary["stream_setup_total"] = round(
+            sum(out["stream_setup"].values()), 3
+        )
     sf1 = out.get("sf1")
     if sf1:
         ratios = sorted(sf1.get("scale_vs_sf0.1", {}).values())

@@ -82,8 +82,8 @@ def _link_stream_src(sf_dir: str, table: str, src_dir: str) -> None:
         os.symlink(src, os.path.join(src_dir, f"{table}.parquet"))
 
 
-#: Harness-setup wall (tempdirs, source links, schema inference,
-#: slice pre-writes) of the most recent run of each one-shot streaming
+#: Harness-setup wall (tempdirs, source links, slice pre-writes) of
+#: the most recent run of each one-shot streaming
 #: query, keyed by registry name. bench.py reads this after every
 #: query so BENCH_local.json can report setup and execution walls
 #: separately — the availableNow replay is the measured query; the
@@ -1024,9 +1024,11 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the file-stream source wants a directory; expose the single table
     # file through a symlinked staging dir
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="cdc_stream_src_")
     _link_stream_src(sf_dir, "events", src_dir)
     state_dir = tempfile.mkdtemp(prefix="cdc_stream_state_")
+    _stream_setup_done("stream_cdc_apply", _setup_t0)
     final = stream_replay_bucketed(
         spark,
         src_dir,
@@ -1262,10 +1264,12 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_dms_cdc_operator_spark.fixtures import normalized_ts  # noqa: PLC0415
 
     schema = events_stream_schema(spark, sf_dir)
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="tumble_stream_src_")
     _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="tumble_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="tumble_stream_ck_")
+    _stream_setup_done("stream_tumbling_counts", _setup_t0)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     stream = stream.withColumn("ts", normalized_ts(stream, "ts"))
@@ -1401,10 +1405,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_dms_cdc_operator_spark.fixtures import normalized_ts  # noqa: PLC0415
 
     schema = events_stream_schema(spark, sf_dir)
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="ssj_src_")
     _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="ssj_out_")
     ck_dir = tempfile.mkdtemp(prefix="ssj_ck_")
+    _stream_setup_done("stream_stream_join", _setup_t0)
 
     raw = spark.readStream.schema(schema).parquet(src_dir)
     raw = raw.withColumn("ts", normalized_ts(raw, "ts"))
@@ -1461,10 +1467,12 @@ def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="cms_stream_src_")
     _link_stream_src(sf_dir, "documents", src_dir)
     acc_dir = tempfile.mkdtemp(prefix="cms_stream_acc_")
     ck_dir = tempfile.mkdtemp(prefix="cms_stream_ck_")
+    _stream_setup_done("stream_cms_heavy_hitters", _setup_t0)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     words_stream = stream.select(
@@ -2170,10 +2178,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = events_stream_schema(spark, sf_dir)
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="sess_stream_src_")
     _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="sess_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="sess_stream_ck_")
+    _stream_setup_done("stream_sessionize", _setup_t0)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     stream = stream.withColumn("ts", normalized_ts(stream, "ts"))
@@ -4294,10 +4304,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_tumbling_counts cross-check pattern). State is O(distinct
     digests), the same bound the batch operator's shuffle carries."""
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="dedup_stream_src_")
     _link_stream_src(sf_dir, "documents", src_dir)
     out_dir = tempfile.mkdtemp(prefix="dedup_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="dedup_stream_ck_")
+    _stream_setup_done("stream_dedup", _setup_t0)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     agg = (
@@ -7502,11 +7514,13 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="neardup_stream_src_")
     _link_stream_src(sf_dir, "documents", src_dir)
     acc_dir = tempfile.mkdtemp(prefix="neardup_stream_acc_")
     out_dir = tempfile.mkdtemp(prefix="neardup_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="neardup_stream_ck_")
+    _stream_setup_done("stream_neardup", _setup_t0)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
@@ -8952,10 +8966,12 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_dms_cdc_operator_spark.fixtures import normalized_ts  # noqa: PLC0415
 
     schema = events_stream_schema(spark, sf_dir)
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="topk_stream_src_")
     _link_stream_src(sf_dir, "events", src_dir)
     out_dir = tempfile.mkdtemp(prefix="topk_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="topk_stream_ck_")
+    _stream_setup_done("stream_topk_per_window", _setup_t0)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     stream = stream.withColumn("ts", normalized_ts(stream, "ts"))
@@ -9585,6 +9601,7 @@ def q_stream_late_data_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the census is batching-invariant, not a fluke of trigger sizing
     is_late_slice = (hr <= F.lit(cut - 2)) & (F.col("event_id") % 97 == 0)
 
+    _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="late_stream_src_")
     for i, part in enumerate(
         (
@@ -9602,6 +9619,7 @@ def q_stream_late_data_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_dir = tempfile.mkdtemp(prefix="late_stream_out_")
     ck_dir = tempfile.mkdtemp(prefix="late_stream_ck_")
+    _stream_setup_done("stream_late_data_census", _setup_t0)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
