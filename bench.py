@@ -221,6 +221,11 @@ SCALE_QUERIES = [
     "docs_group_split",
     "events_exact_quantiles",
     "orders_stats_pruning",
+    # round-8: DSIR rides a corpus-sized bigram explode with
+    # broadcast-bounded count tables; winnowing is a zero-exchange
+    # HOF scan whose per-row cost must stay O(tokens * w) at 10x
+    "docs_dsir_weights",
+    "docs_winnowing",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

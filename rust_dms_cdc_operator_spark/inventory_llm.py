@@ -10384,3 +10384,371 @@ QUERIES_LLM["lineitem_ship_latency"] = q_lineitem_ship_latency
 
 # -------------------------------------------------- round 8 additions
 QUERIES_LLM["dedup_lsh_hot_buckets"] = q_dedup_lsh_hot_buckets
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much its hashed-bigram distribution looks like a TARGET
+    corpus (here lang='en') relative to the RAW pool — the standard
+    lever for up-sampling in-domain text when building a training mix.
+    weight(d) = sum over d's bigrams of ln((target_cnt(b)+1) /
+    (raw_cnt(b)+1)) over B=4096 md5-hashed buckets.
+
+    Scale shape: one bigram explode (corpus-token-sized, same as every
+    shingle query); BOTH count tables are bounded by B=4096 rows, so
+    they reduce map-side and join back as BROADCASTS — no shuffle
+    carries the vocabulary; the only wide exchanges are the (doc_id,
+    bucket) multiplicity agg and the final per-doc sum. At 100 TB the
+    plan is identical: B stays 4096 no matter the corpus."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        hex_to_long,
+    )
+
+    B = 4096
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    bigrams = F.when(F.size(tk) < 2, F.array()).otherwise(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2), "
+            "i -> concat(element_at(split(text, ' '), i + 1), ' ', "
+            "element_at(split(text, ' '), i + 2)))"
+        )
+    )
+    bb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(bigrams).alias("bg"),
+    ).select(
+        "doc_id", "lang", (hex_to_long(F.md5("bg"), 8) % B).alias("b")
+    )
+    raw_cnt = bb.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt_cnt = (
+        bb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    counts = F.broadcast(
+        raw_cnt.join(tgt_cnt, "b", "left").select(
+            "b", "r", F.coalesce("t", F.lit(0)).alias("t")
+        )
+    )
+    per_doc_b = bb.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    return (
+        per_doc_b.join(counts, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("m")
+                    * F.log(
+                        (F.col("t") + F.lit(1.0)) / (F.col("r") + F.lit(1.0))
+                    )
+                ),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["docs_dsir_weights"] = f"""
+    WITH tk AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(len(t) - 1),
+                    i -> t[i+1] || ' ' || t[i+2])) AS bg
+      FROM tk WHERE len(t) >= 2),
+    bb AS (
+      SELECT doc_id, lang,
+             ({_sql_hex_to_long('md5(bg)', 8)}) % 4096 AS b
+      FROM bg),
+    cr AS (SELECT b, count(*) AS r FROM bb GROUP BY 1),
+    ct AS (SELECT b, count(*) AS t FROM bb WHERE lang = 'en' GROUP BY 1),
+    dm AS (SELECT doc_id, b, count(*) AS m FROM bb GROUP BY 1, 2)
+    SELECT dm.doc_id,
+           CAST(sum(dm.m) AS BIGINT) AS n_bigrams,
+           round(sum(dm.m * ln((coalesce(ct.t, 0) + 1.0) / (cr.r + 1.0))),
+                 6) AS dsir_logweight
+    FROM dm JOIN cr USING (b) LEFT JOIN ct USING (b)
+    GROUP BY dm.doc_id
+"""
+QUERIES_LLM["docs_dsir_weights"] = q_docs_dsir_weights
+
+
+def q_events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user census as an EXACT-INTEGER HyperLogLog: the
+    mergeable sketch a 100 TB pipeline keeps instead of per-day
+    count-distinct state. p=9 (512 registers); h = 48-bit md5 of the
+    user id; register = max over hits of rho (leading-zero rank of the
+    upper 39 bits). The HLL denominator sum(2^-M) is emitted SCALED BY
+    2^40 — a dyadic rational, so it is an exact BIGINT both engines
+    compute bit-identically (the float estimate is a driver-side
+    formula over these integers). exact_users rides along so the
+    sketch's error is auditable per day.
+
+    Scale shape: registers reduce map-side to <= 512 rows/day before
+    the shuffle (groupBy(day, bucket).max); the per-day rollup then
+    touches 512 rows — state is CONSTANT in the corpus, the whole
+    point of the sketch. The exact count is one distinct agg on the
+    same (day, user) partitioning."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        hex_to_long,
+    )
+
+    M_REG = 512
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"), "user_id"
+    )
+    h = hex_to_long(F.md5(F.col("user_id").cast("string")), 12)
+    bucket = (h % M_REG).alias("b")
+    rest = F.floor(h / M_REG).cast("long")
+    rho = (
+        F.when(rest == 0, F.lit(40))
+        .otherwise(F.lit(40) - F.length(F.bin(rest)))
+        .cast("long")
+    )
+    regs = (
+        e.select("event_date", bucket, rho.alias("rho"))
+        .groupBy("event_date", "b")
+        .agg(F.max("rho").alias("m"))
+    )
+    per_day = regs.groupBy("event_date").agg(
+        F.count(F.lit(1)).cast("long").alias("used_registers"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(40) - F.col("m")).cast("long")
+        ).alias("_present"),
+    )
+    exact = e.groupBy("event_date").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    denom = (
+        F.col("_present")
+        + (F.lit(M_REG) - F.col("used_registers")) * F.lit(1 << 40)
+    ).cast("long")
+    return (
+        per_day.join(exact, "event_date")
+        .select(
+            "event_date",
+            "exact_users",
+            "used_registers",
+            denom.alias("denom_scaled"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["events_hll_daily_users"] = f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS event_date, user_id,
+             {_sql_hex_to_long("md5(CAST(user_id AS VARCHAR))", 12)} AS h
+      FROM events),
+    r AS (
+      SELECT event_date, h % 512 AS b,
+             CASE WHEN h // 512 = 0 THEN 40
+                  ELSE 40 - length(bin(h // 512)) END AS rho
+      FROM e),
+    regs AS (
+      SELECT event_date, b, max(rho) AS m FROM r GROUP BY 1, 2),
+    per_day AS (
+      SELECT event_date,
+             CAST(count(*) AS BIGINT) AS used_registers,
+             CAST(sum(CAST(pow(2, 40 - m) AS BIGINT)) AS BIGINT) AS present
+      FROM regs GROUP BY 1),
+    exact AS (
+      SELECT event_date, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_users
+      FROM e GROUP BY 1)
+    SELECT p.event_date, x.exact_users, p.used_registers,
+           CAST(p.present + (512 - p.used_registers) * (1::BIGINT << 40)
+                AS BIGINT) AS denom_scaled
+    FROM per_day p JOIN exact x USING (event_date)
+"""
+QUERIES_LLM["events_hll_daily_users"] = q_events_hll_daily_users
+
+
+def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): per document, the guaranteed-coverage subset of k-gram
+    hashes — from every window of w=4 consecutive trigram hashes keep
+    the minimum (rightmost position on hash ties), so any shared
+    substring of >= w+k-1 tokens between two documents shares a
+    fingerprint. Emits exact-integer facts per doc: k-gram count,
+    fingerprint count, and the sum of the selected (hash, position)
+    composites — enough for a bit-exact cross-engine check and for
+    downstream overlap joins on the fingerprint set.
+
+    Scale shape: ENTIRELY array-side — the (hash*2^24 + (2^24-1-pos))
+    composite, the sliding-window minima, and the distinct/sum fold
+    all run inside per-row higher-order functions, so there is NO
+    explode, NO window exchange, NO shuffle at all before the final
+    projection; cost is O(tokens * w) per document regardless of
+    corpus size. (HOFs are interpreted per row, but this is a scan-
+    local map — the plan has zero exchanges.)"""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        hex_to_long,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingles = F.when(
+        F.size(w) < 3, F.array(F.concat_ws(" ", w))
+    ).otherwise(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat(element_at(split(text, ' '), i + 1), ' ', "
+            "element_at(split(text, ' '), i + 2), ' ', "
+            "element_at(split(text, ' '), i + 3)))"
+        )
+    )
+    kh = F.transform(shingles, lambda s: hex_to_long(F.md5(s), 8))
+    base = d.select("doc_id", kh.alias("kh")).select(
+        "doc_id",
+        F.size("kh").cast("long").alias("n_kgrams"),
+        F.expr(
+            "transform(kh, (h, i) -> h * 16777216 + (16777215 - i))"
+        ).alias("ch"),
+    )
+    wins = base.select(
+        "doc_id",
+        "n_kgrams",
+        F.when(
+            F.col("n_kgrams") < 4, F.array(F.array_min("ch"))
+        ).otherwise(
+            F.expr(
+                "transform(sequence(0, int(n_kgrams) - 4), "
+                "i -> array_min(slice(ch, i + 1, 4)))"
+            )
+        ).alias("wn"),
+    )
+    fps = F.array_distinct("wn")
+    return wins.select(
+        "doc_id",
+        "n_kgrams",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_comp_sum"),
+    )
+
+
+ORACLE_SQL_LLM["docs_winnowing"] = f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(len(w) - 2),
+                            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                  END AS s
+           FROM tk),
+    kh AS (SELECT doc_id,
+                  list_transform(s, g -> {_sql_hex_to_long('md5(g)', 8)})
+                    AS kh
+           FROM sh),
+    ch AS (SELECT doc_id, len(kh) AS n,
+                  list_transform(range(len(kh)),
+                    i -> kh[i+1] * 16777216 + (16777215 - i)) AS ch
+           FROM kh),
+    wins AS (SELECT doc_id, n,
+                    CASE WHEN n < 4 THEN [list_aggregate(ch, 'min')]
+                         ELSE list_transform(range(n - 3),
+                              i -> list_aggregate(ch[i+1:i+4], 'min'))
+                    END AS wn
+             FROM ch)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_kgrams,
+           CAST(len(list_distinct(wn)) AS BIGINT) AS n_fingerprints,
+           CAST(list_aggregate(list_distinct(wn), 'sum') AS BIGINT)
+             AS fp_comp_sum
+    FROM wins
+"""
+QUERIES_LLM["docs_winnowing"] = q_docs_winnowing
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted SYSTEMATIC sample (size-proportional
+    probability, the classic PPS grid): lay the corpus out on a line
+    by exclusive prefix sum of n_chars in doc_id order, drop K=100
+    evenly spaced picks t_j = floor((2j+1)*T / 2K) on it, and keep
+    every doc whose [W_i, W_i + w_i) interval contains a pick — a doc
+    can win multiple picks if its weight exceeds the stride. All
+    integer arithmetic, so both engines select the identical set (no
+    float keys, unlike exponential-key A-ES sampling).
+
+    Scale shape: the exclusive prefix sum comes from
+    chunk.with_global_rank — per-bucket window sums + a bounded
+    driver-collected per-bucket total lookup, NO single-partition
+    window; the grid test is then a pure per-row closed form (two
+    ceil-divs), no join against the pick list. T is one bounded
+    scalar agg (the q22 literal-lookup pattern)."""
+    from rust_dms_cdc_operator_spark.operators.chunk import (  # noqa: PLC0415
+        with_global_rank,
+    )
+
+    K = 100
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    total = d.agg(F.sum("n_chars").alias("_t")).collect()[0]["_t"]
+    if not total:
+        return d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.lit(0).cast("long").alias("w_prefix"),
+            F.lit(0).cast("long").alias("n_picks"),
+        ).filter(F.lit(False))
+    T = int(total)
+    ranked = with_global_rank(
+        d, ["doc_id"], weight_col="n_chars", prefix_col="w_prefix"
+    )
+    lo_num = F.lit(2 * K) * F.col("w_prefix") - F.lit(T)
+    j_low = F.when(lo_num <= 0, F.lit(0)).otherwise(
+        F.floor((lo_num + F.lit(2 * T - 1)) / F.lit(2 * T))
+    )
+    hi_num = (
+        F.lit(2 * K) * (F.col("w_prefix") + F.col("n_chars")) - F.lit(T)
+    )
+    j_high = F.when(hi_num <= 0, F.lit(-1)).otherwise(
+        F.floor((hi_num + F.lit(2 * T - 1)) / F.lit(2 * T)) - F.lit(1)
+    )
+    n_picks = (
+        F.least(j_high, F.lit(K - 1)) - F.greatest(j_low, F.lit(0)) + 1
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("w_prefix").cast("long").alias("w_prefix"),
+            n_picks.cast("long").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") >= 1)
+    )
+
+
+ORACLE_SQL_LLM["docs_weighted_sample"] = """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS w_prefix
+      FROM documents),
+    t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+    j AS (
+      SELECT p.doc_id, p.n_chars, p.w_prefix,
+             CASE WHEN 200 * p.w_prefix - t.total <= 0 THEN 0
+                  ELSE (200 * p.w_prefix - t.total + 2 * t.total - 1)
+                       // (2 * t.total) END AS j_low,
+             CASE WHEN 200 * (p.w_prefix + p.n_chars) - t.total <= 0
+                  THEN -1
+                  ELSE (200 * (p.w_prefix + p.n_chars) - t.total
+                        + 2 * t.total - 1) // (2 * t.total) - 1
+             END AS j_high
+      FROM p CROSS JOIN t)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, w_prefix,
+           CAST(least(j_high, 99) - greatest(j_low, 0) + 1 AS BIGINT)
+             AS n_picks
+    FROM j
+    WHERE least(j_high, 99) - greatest(j_low, 0) + 1 >= 1
+"""
+QUERIES_LLM["docs_weighted_sample"] = q_docs_weighted_sample
