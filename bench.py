@@ -226,6 +226,14 @@ SCALE_QUERIES = [
     # HOF scan whose per-row cost must stay O(tokens * w) at 10x
     "docs_dsir_weights",
     "docs_winnowing",
+    # round-8 session 2: drift gate is one map-combined (type x 16)
+    # agg; HLL retention's union merge is calendar-bounded register
+    # state (the exact audit is its only corpus-sized shuffle); the
+    # gain table rides the boundary-bucketed two-pass rank — each
+    # must hold its shape at 10x
+    "events_histogram_drift",
+    "events_hll_retention",
+    "orders_decile_lift",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -10752,3 +10752,448 @@ ORACLE_SQL_LLM["docs_weighted_sample"] = """
     WHERE least(j_high, 99) - greatest(j_low, 0) + 1 >= 1
 """
 QUERIES_LLM["docs_weighted_sample"] = q_docs_weighted_sample
+
+
+def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift census (PSI-family): per event_type, the
+    total-variation distance between the ``value`` histograms of the
+    EARLY and LATE halves of the time range — the data-quality gate a
+    100 TB ingest runs before accepting a new snapshot into a
+    training mix. 16 fixed-width bins over the global value range;
+    the drift stat is emitted as the EXACT integer
+    ``tvd_scaled = sum_bins |a_i*B - b_i*A|`` (TVD = that / (2AB)) so
+    both engines agree bit-for-bit — no float ratios cross the
+    comparison. ``top_bin``/``top_dev`` name the worst bin
+    (deterministic tie-break: larger bin wins, via the exact combo
+    ``dev*16 + bin``).
+
+    Scale shape: one scan for four global scalars (the q22
+    literal-lookup collect — bounded, no scalar BNLJ), then one scan
+    into a (type x 16)-row map-combined aggregate; the totals join is
+    broadcast-small. Bin edges are IEEE-identical across engines:
+    both sides evaluate ``floor((value - lo) * 16.0 / span)`` with
+    the same double literals (min/max are exact selections; the
+    driver-side ``span`` subtraction is the same correctly-rounded
+    IEEE op DuckDB performs), so no boundary row can flip."""
+    e = _t(spark, sf_dir, "events").select(
+        # NTZ parquet timestamps: cast through TIMESTAMP under the
+        # session's pinned UTC zone so unix_micros == DuckDB epoch_us
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    g = e.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    ).collect()[0]
+    if g["t0"] is None:
+        return e.select(
+            F.col("event_type"),
+            F.lit(0).cast("long").alias("early_n"),
+            F.lit(0).cast("long").alias("late_n"),
+            F.lit(0).cast("long").alias("tvd_scaled"),
+            F.lit(0).cast("int").alias("top_bin"),
+            F.lit(0).cast("long").alias("top_dev"),
+        ).limit(0)
+    mid = (int(g["t0"]) + int(g["t1"])) // 2
+    lo = float(g["v0"])
+    span = float(g["v1"]) - lo
+    nbin = F.least(
+        F.lit(15),
+        F.floor((F.col("value") - F.lit(lo)) * F.lit(16.0) / F.lit(span)),
+    ).cast("int")
+    early = F.unix_micros("ts") <= F.lit(mid)
+    per_bin = (
+        e.select("event_type", nbin.alias("bin"), early.alias("early"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(~F.col("early"), 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("a").alias("early_n"), F.sum("b").alias("late_n")
+    )
+    dev = F.abs(
+        F.col("a") * F.col("late_n") - F.col("b") * F.col("early_n")
+    )
+    return (
+        per_bin.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("early_n").alias("early_n"),
+            F.max("late_n").alias("late_n"),
+            F.sum(dev).cast("long").alias("tvd_scaled"),
+            F.max(dev * 16 + F.col("bin")).alias("_combo"),
+        )
+        .select(
+            "event_type",
+            "early_n",
+            "late_n",
+            "tvd_scaled",
+            (F.col("_combo") % 16).cast("int").alias("top_bin"),
+            F.floor(F.col("_combo") / 16).cast("long").alias("top_dev"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["events_histogram_drift"] = """
+    WITH g AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid,
+             min(value) AS lo, max(value) - min(value) AS span
+      FROM events),
+    e AS (
+      SELECT event_type,
+             least(15, CAST(floor((value - g.lo) * 16.0 / g.span)
+                            AS BIGINT)) AS bin,
+             epoch_us(ts) <= g.mid AS early
+      FROM events, g),
+    per_bin AS (
+      SELECT event_type, bin,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM e GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(sum(a) AS BIGINT) AS early_n,
+             CAST(sum(b) AS BIGINT) AS late_n
+      FROM per_bin GROUP BY 1)
+    SELECT p.event_type,
+           max(t.early_n) AS early_n,
+           max(t.late_n) AS late_n,
+           CAST(sum(abs(p.a * t.late_n - p.b * t.early_n)) AS BIGINT)
+             AS tvd_scaled,
+           CAST(max(abs(p.a * t.late_n - p.b * t.early_n) * 16 + p.bin)
+                % 16 AS INTEGER) AS top_bin,
+           CAST(max(abs(p.a * t.late_n - p.b * t.early_n) * 16 + p.bin)
+                // 16 AS BIGINT) AS top_dev
+    FROM per_bin p JOIN tot t USING (event_type)
+    GROUP BY 1
+"""
+QUERIES_LLM["events_histogram_drift"] = q_events_histogram_drift
+
+
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-count series,
+    per event_type: the classic drift alarm a pipeline runs on ingest
+    volume. The cumulative sum of (daily_count - mean) peaks at the
+    day the level shifts; computed EXACTLY by scaling through the
+    day count: ``cusum_t = sum_{d<=t} (c_d * days - total)`` (integer;
+    the real CUSUM is that / days). The peak day is picked by the
+    deterministic integer combo ``|cusum| * 100000 + (99999 -
+    epoch_day)`` — max deviation wins, ties go to the EARLIEST day
+    (epoch days are 5 digits until year 2243, asserted nowhere
+    because the combo simply degrades to a later-day tie-break).
+
+    Scale shape: the only shuffle is the (type x day) count — state
+    is calendar-bounded (types x days rows), map-side combined. The
+    running sum is a per-type window over <= days rows; no
+    single-partition exchange anywhere."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("days"),
+    )
+    j = daily.join(F.broadcast(tot), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.sum(
+        F.col("c") * F.col("days") - F.col("total")
+    ).over(w)
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    combo = F.abs(cusum) * 100000 + (F.lit(99999) - epoch_day)
+    return (
+        j.select("event_type", "days", "total", combo.alias("_combo"))
+        .groupBy("event_type")
+        .agg(
+            F.max("days").alias("days"),
+            F.max("total").alias("total"),
+            F.max("_combo").alias("_best"),
+        )
+        .select(
+            "event_type",
+            "days",
+            "total",
+            F.floor(F.col("_best") / 100000).cast("long").alias("peak_dev"),
+            F.date_add(
+                F.lit("1970-01-01"),
+                (F.lit(99999) - F.col("_best") % 100000).cast("int"),
+            ).alias("peak_day"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["events_cusum_changepoint"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS days
+      FROM daily GROUP BY 1),
+    cu AS (
+      SELECT d.event_type, t.days, t.total,
+             abs(sum(d.c * t.days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               * 100000
+             + (99999 - datediff('day', DATE '1970-01-01', d.day))
+               AS combo
+      FROM daily d JOIN tot t USING (event_type))
+    SELECT event_type, max(days) AS days, max(total) AS total,
+           CAST(max(combo) // 100000 AS BIGINT) AS peak_dev,
+           DATE '1970-01-01'
+             + CAST(99999 - max(combo) % 100000 AS INTEGER) AS peak_day
+    FROM cu GROUP BY 1
+"""
+QUERIES_LLM["events_cusum_changepoint"] = q_events_cusum_changepoint
+
+
+def q_events_hll_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention via HLL register MERGES — the reason a
+    100 TB pipeline keeps sketches instead of exact sets: the union
+    of two days is a register-wise max (512 integers), and the
+    intersection estimate falls out of inclusion-exclusion
+    (|A∩B| ≈ est(A) + est(B) - est(A∪B)) WITHOUT re-scanning either
+    day. Same sketch as ``events_hll_daily_users`` (p=9, 48-bit md5,
+    2^40-scaled dyadic denominators — exact BIGINTs both engines
+    compute bit-identically; the float estimates are a driver-side
+    formula). ``exact_retained`` rides along so the estimate's error
+    is auditable per day pair.
+
+    Scale shape: registers reduce map-side to <= 512 rows/day; the
+    union merge is a full-outer join of two (days x 512)-row frames —
+    calendar-bounded state, constant in the corpus. The exact audit
+    is one distinct + a (day,user)-keyed self-join, the only
+    corpus-sized shuffle here (and exactly the cost the sketch path
+    deletes in production)."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        hex_to_long,
+    )
+
+    M_REG = 512
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    h = hex_to_long(F.md5(F.col("user_id").cast("string")), 12)
+    rest = F.floor(h / M_REG).cast("long")
+    rho = (
+        F.when(rest == 0, F.lit(40))
+        .otherwise(F.lit(40) - F.length(F.bin(rest)))
+        .cast("long")
+    )
+    regs = (
+        e.select("day", (h % M_REG).alias("b"), rho.alias("rho"))
+        .groupBy("day", "b")
+        .agg(F.max("rho").alias("m"))
+    )
+
+    def _denom(rf: DataFrame, out: str) -> DataFrame:
+        per = rf.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("used"),
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(40) - F.col("m")).cast("long")
+            ).alias("present"),
+        )
+        denom = (
+            F.col("present")
+            + (F.lit(M_REG) - F.col("used")) * F.lit(1 << 40)
+        ).cast("long")
+        return per.select("day", denom.alias(out))
+
+    d_a = _denom(regs, "denom_a")
+    d_b = _denom(
+        regs.select(F.date_sub("day", 1).alias("day"), "b", "m"),
+        "denom_b",
+    )
+    merged = regs.select("day", "b", F.col("m").alias("ma")).join(
+        regs.select(
+            F.date_sub("day", 1).alias("day"), "b", F.col("m").alias("mb")
+        ),
+        ["day", "b"],
+        "full_outer",
+    )
+    d_u = _denom(
+        merged.select(
+            "day",
+            "b",
+            F.greatest(
+                F.coalesce("ma", F.lit(0)), F.coalesce("mb", F.lit(0))
+            ).alias("m"),
+        ),
+        "denom_union",
+    )
+    du = e.distinct()
+    retained = (
+        du.join(
+            du.select(F.date_sub("day", 1).alias("day"), "user_id"),
+            ["day", "user_id"],
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_retained"))
+    )
+    return (
+        d_a.join(d_b, "day")
+        .join(d_u, "day")
+        .join(retained, "day", "left")
+        .select(
+            F.col("day").alias("event_date"),
+            "denom_a",
+            "denom_b",
+            "denom_union",
+            F.coalesce("exact_retained", F.lit(0))
+            .cast("long")
+            .alias("exact_retained"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["events_hll_retention"] = f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             {_sql_hex_to_long("md5(CAST(user_id AS VARCHAR))", 12)} AS h
+      FROM events),
+    regs AS (
+      SELECT day, h % 512 AS b,
+             max(CASE WHEN h // 512 = 0 THEN 40
+                      ELSE 40 - length(bin(h // 512)) END) AS m
+      FROM e GROUP BY 1, 2),
+    da AS (
+      SELECT day,
+             CAST(sum(CAST(pow(2, 40 - m) AS BIGINT))
+                  + (512 - count(*)) * (1::BIGINT << 40) AS BIGINT)
+               AS denom_a
+      FROM regs GROUP BY 1),
+    db AS (
+      SELECT day - 1 AS day,
+             CAST(sum(CAST(pow(2, 40 - m) AS BIGINT))
+                  + (512 - count(*)) * (1::BIGINT << 40) AS BIGINT)
+               AS denom_b
+      FROM regs GROUP BY 1),
+    merged AS (
+      SELECT coalesce(a.day, b.day) AS day, coalesce(a.b, b.b) AS b,
+             greatest(coalesce(a.m, 0), coalesce(b.m, 0)) AS m
+      FROM regs a FULL OUTER JOIN
+           (SELECT day - 1 AS day, b, m FROM regs) b
+        ON a.day = b.day AND a.b = b.b),
+    du AS (
+      SELECT day,
+             CAST(sum(CAST(pow(2, 40 - m) AS BIGINT))
+                  + (512 - count(*)) * (1::BIGINT << 40) AS BIGINT)
+               AS denom_union
+      FROM merged GROUP BY 1),
+    pairs AS (SELECT DISTINCT day, user_id FROM e),
+    ret AS (
+      SELECT p.day, CAST(count(*) AS BIGINT) AS exact_retained
+      FROM pairs p JOIN
+           (SELECT day - 1 AS day, user_id FROM pairs) q
+        ON p.day = q.day AND p.user_id = q.user_id
+      GROUP BY 1)
+    SELECT da.day AS event_date, da.denom_a, db.denom_b, du.denom_union,
+           coalesce(ret.exact_retained, 0) AS exact_retained
+    FROM da JOIN db USING (day) JOIN du USING (day)
+    LEFT JOIN ret USING (day)
+"""
+QUERIES_LLM["events_hll_retention"] = q_events_hll_retention
+
+
+def q_orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue gain table (decile lift): customers ranked by total
+    spend, cut into 10 equal-count deciles, each reporting its
+    customer count, exact revenue cents, and the cumulative running
+    revenue — the 'top 10% of customers drive X% of revenue' census,
+    and the shape of every model-lift evaluation a training pipeline
+    runs. Deciles come from operators/chunk.with_global_rank
+    (boundary-bucketed two-pass rank, NO single-partition window;
+    rank order = spend DESC, custkey ASC for determinism); the
+    decile cut is the exact integer ``(rank-1)*10 // n`` with n from
+    the q22 literal-lookup collect. The final running sum is a
+    window over EXACTLY 10 rows — bounded by construction.
+
+    Scale shape: one groupBy(custkey) shuffle for spend, the rank's
+    boundary-bucketed pass, then a 10-row aggregate. Nothing here
+    grows faster than |customers|."""
+    from rust_dms_cdc_operator_spark.operators.chunk import (  # noqa: PLC0415
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    n = spend.count()
+    if n == 0:
+        return spend.select(
+            F.lit(0).cast("int").alias("decile"),
+            F.lit(0).cast("long").alias("customers"),
+            F.lit(0).cast("long").alias("revenue_cents"),
+            F.lit(0).cast("long").alias("cum_revenue_cents"),
+        ).limit(0)
+    ranked = with_global_rank(
+        spend.select(
+            "o_custkey", "rev_cents", (-F.col("rev_cents")).alias("_neg")
+        ),
+        ["_neg", "o_custkey"],
+        rank_col="_rk",
+    )
+    decile = F.floor((F.col("_rk") - 1) * 10 / F.lit(n)).cast("int")
+    per = ranked.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("customers"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # 10-row frame: the global window is bounded by construction
+    return per.select(
+        "decile",
+        "customers",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias(
+            "cum_revenue_cents"
+        ),
+    )
+
+
+ORACLE_SQL_LLM["orders_decile_lift"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT rev_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+               AS rk,
+             (SELECT count(*) FROM spend) AS n
+      FROM spend),
+    per AS (
+      SELECT CAST((rk - 1) * 10 // n AS INTEGER) AS decile,
+             CAST(count(*) AS BIGINT) AS customers,
+             CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+      FROM ranked GROUP BY 1)
+    SELECT decile, customers, revenue_cents,
+           CAST(sum(revenue_cents) OVER (
+             ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_revenue_cents
+    FROM per
+"""
+QUERIES_LLM["orders_decile_lift"] = q_orders_decile_lift

@@ -4205,3 +4205,187 @@ def test_weighted_sample_exact_pick_count(spark):
             assert r.doc_id in picked, (r.doc_id, r.n_chars, stride)
     again = q_docs_weighted_sample(spark, sf).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_histogram_drift_replica(spark):
+    """TVD census vs a sequential replica of the bin/scale rules:
+    a drifting type maxes the scaled TVD, a stable type zeroes it."""
+    import datetime as dt
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_histogram_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type "drift": 4 early rows at low values, 4 late at high values
+    for i in range(4):
+        rows.append((i, t0 + dt.timedelta(hours=i), 1, "drift", 1.0, "{}"))
+        rows.append(
+            (10 + i, t0 + dt.timedelta(days=9, hours=i), 1, "drift",
+             99.0, "{}")
+        )
+    # type "stable": same value early and late
+    rows.append((20, t0, 2, "stable", 50.0, "{}"))
+    rows.append((21, t0 + dt.timedelta(days=9), 2, "stable", 50.0, "{}"))
+    tmp = _write_sf(
+        spark, "drift_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+
+    ts_us = [int((r[1] - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+             for r in rows]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    vals = [r[4] for r in rows]
+    lo, span = min(vals), max(vals) - min(vals)
+
+    def replica(tname):
+        a, b = [0] * 16, [0] * 16
+        for r, us in zip(rows, ts_us):
+            if r[3] != tname:
+                continue
+            bin_ = min(15, int((r[4] - lo) * 16.0 / span))
+            (a if us <= mid else b)[bin_] += 1
+        A, B = sum(a), sum(b)
+        # only OCCUPIED bins exist as groupBy rows in the query
+        occ = [i for i in range(16) if a[i] or b[i]]
+        devs = {i: abs(a[i] * B - b[i] * A) for i in occ}
+        combo = max(devs[i] * 16 + i for i in occ)
+        return (A, B, sum(devs.values()), combo % 16, combo // 16)
+
+    got = {r.event_type: (r.early_n, r.late_n, r.tvd_scaled, r.top_bin,
+                          r.top_dev)
+           for r in q_events_histogram_drift(spark, tmp).collect()}
+    assert got["drift"] == replica("drift"), got["drift"]
+    assert got["stable"] == replica("stable"), got["stable"]
+    # full separation: every early row in a bin with zero late rows
+    assert got["drift"][2] == 2 * 4 * 4
+    assert got["stable"][2] == 0
+
+
+def test_cusum_changepoint_peak_day(spark):
+    """A level shift peaks the exact scaled CUSUM at the last
+    pre-shift day; ties break to the EARLIEST day."""
+    import datetime as dt
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_cusum_changepoint,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # 4 days at 1 event/day, then 4 days at 5 events/day
+    daily = [1, 1, 1, 1, 5, 5, 5, 5]
+    for d, c in enumerate(daily):
+        for _ in range(c):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=d), 1, "shift", 0.0, "{}")
+            )
+            eid += 1
+    tmp = _write_sf(
+        spark, "cusum_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    total, days = sum(daily), len(daily)
+    cusums = []
+    run = 0
+    for c in daily:
+        run += c * days - total
+        cusums.append(run)
+    peak = max(abs(c) for c in cusums)
+    peak_idx = min(i for i, c in enumerate(cusums) if abs(c) == peak)
+
+    [r] = q_events_cusum_changepoint(spark, tmp).collect()
+    assert (r.days, r.total) == (days, total)
+    assert r.peak_dev == peak
+    assert r.peak_day == (t0 + dt.timedelta(days=peak_idx)).date()
+
+
+def test_hll_retention_replica(spark):
+    """Register-merge retention vs a sequential replica: per day pair,
+    denom_a/denom_b match the per-day sketches, denom_union is the
+    register-wise max merge, and exact_retained is the true overlap."""
+    import datetime as dt
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_hll_retention,
+    )
+
+    day_users = {0: [1, 2, 3, 4], 1: [3, 4, 5], 2: [9]}
+    t0 = dt.datetime(2024, 5, 1, 6)
+    rows = []
+    eid = 0
+    for d, users in day_users.items():
+        for u in users:
+            rows.append((eid, t0 + dt.timedelta(days=d), u, "t", 0.0, "{}"))
+            eid += 1
+    tmp = _write_sf(
+        spark, "hllret_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+
+    def regs(uids):
+        out = {}
+        for u in set(uids):
+            h = _md5_long(str(u), 12)
+            b, rest = h % 512, h // 512
+            rho = 40 if rest == 0 else 40 - rest.bit_length()
+            out[b] = max(out.get(b, 0), rho)
+        return out
+
+    def denom(rr):
+        return (sum(1 << (40 - m) for m in rr.values())
+                + (512 - len(rr)) * (1 << 40))
+
+    got = {r.event_date.day: r
+           for r in q_events_hll_retention(spark, tmp).collect()}
+    assert sorted(got) == [1, 2]  # day pairs (0,1) and (1,2)
+    for d in (0, 1):
+        ra, rb = regs(day_users[d]), regs(day_users[d + 1])
+        merged = {b: max(ra.get(b, 0), rb.get(b, 0))
+                  for b in set(ra) | set(rb)}
+        row = got[d + 1]
+        assert row.denom_a == denom(ra)
+        assert row.denom_b == denom(rb)
+        assert row.denom_union == denom(merged)
+        assert row.exact_retained == len(
+            set(day_users[d]) & set(day_users[d + 1])
+        )
+        # merged sketch covers at least each side's registers
+        assert row.denom_union <= min(row.denom_a, row.denom_b)
+
+
+def test_decile_lift_exact_cuts(spark):
+    """20 customers with distinct spends -> 2 per decile, revenue per
+    decile = the two ranked spends, cumulative strictly increasing."""
+    import datetime as dt
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_orders_decile_lift,
+    )
+
+    t0 = dt.datetime(1996, 1, 1)
+    # customer k spends (k+1) dollars in one order -> rank = 20-k
+    rows = [
+        (k, k, "O", float(k + 1), t0, "1-URGENT") for k in range(20)
+    ]
+    tmp = _write_sf(
+        spark, "lift_",
+        orders=(rows, "o_orderkey long, o_custkey long, "
+                      "o_orderstatus string, o_totalprice double, "
+                      "o_orderdate timestamp, o_orderpriority string"),
+    )
+    out = {r.decile: r for r in q_orders_decile_lift(spark, tmp).collect()}
+    assert sorted(out) == list(range(10))
+    ranked = sorted(((k + 1) * 100 for k in range(20)), reverse=True)
+    cum = 0
+    for d in range(10):
+        expect_rev = ranked[2 * d] + ranked[2 * d + 1]
+        cum += expect_rev
+        assert out[d].customers == 2
+        assert out[d].revenue_cents == expect_rev
+        assert out[d].cum_revenue_cents == cum
