@@ -11197,3 +11197,157 @@ ORACLE_SQL_LLM["orders_decile_lift"] = """
     FROM per
 """
 QUERIES_LLM["orders_decile_lift"] = q_orders_decile_lift
+
+
+def q_docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination via a BLOOM FILTER over corpus 5-grams
+    — the sketch a 100 TB pipeline ships instead of the corpus gram
+    set: m=4096 bits as 128 x 32-bit words, k=3 salted-md5 positions.
+    The build is ONE map-side-combined bit_or aggregate straight off
+    the gram explode (no distinct, no gram-string shuffle — OR is
+    idempotent); the probe side reads the 128-word filter as a
+    LITERAL array (the q22 literal-lookup collect, the same shape as
+    broadcasting the filter to 1000 executors) so per-gram membership
+    is a pure expression — zero joins on the hot path. ``exact_hits``
+    rides along (eval grams are bounded: broadcast join into one
+    corpus gram scan) so the filter's false-positive rate is
+    auditable per doc; production drops that audit and keeps only the
+    constant-size sketch. bloom_hits >= exact_hits always (no false
+    negatives) — asserted in tests.
+
+    Eval set = doc_id < 40, corpus = doc_id >= 40 (the
+    docs_contamination convention)."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        hex_to_long,
+        sliding_word_ngrams,
+    )
+
+    M_BITS, WORDS = 4096, 128
+    d = _t(spark, sf_dir, "documents")
+    corpus_grams = d.filter(F.col("doc_id") >= 40).select(
+        F.explode(sliding_word_ngrams(F.col("text"), 5)).alias("g")
+    )
+
+    def pos(g, salt: str):
+        return hex_to_long(F.md5(F.concat(g, F.lit(salt))), 8) % M_BITS
+
+    # build: 3 salted positions per gram occurrence -> bit_or per word
+    stacked = corpus_grams.select(
+        F.explode(
+            F.array(*[pos(F.col("g"), s) for s in ("b1", "b2", "b3")])
+        ).alias("p")
+    )
+    built = (
+        stacked.select(
+            (F.col("p") / 32).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("p") % 32).cast("int"),
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    words = [0] * WORDS
+    for r in built:
+        words[r["w"]] = int(r["bits"])
+    lit_words = F.array(*[F.lit(v).cast("long") for v in words])
+
+    ev = d.filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(sliding_word_ngrams(F.col("text"), 5))
+        ).alias("g"),
+    )
+
+    def is_set(g, salt: str):
+        p = pos(g, salt)
+        word = F.element_at(lit_words, (p / 32).cast("int") + 1)
+        return (
+            F.call_function(
+                "shiftright", word, (p % 32).cast("int")
+            ).bitwiseAND(F.lit(1))
+        )
+
+    hit = (
+        is_set(F.col("g"), "b1")
+        * is_set(F.col("g"), "b2")
+        * is_set(F.col("g"), "b3")
+    )
+    bloom = ev.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(hit).cast("long").alias("bloom_hits"),
+    )
+    exact = (
+        corpus_grams.join(
+            F.broadcast(ev.withColumnRenamed("doc_id", "_d")),
+            "g",
+        )
+        .groupBy(F.col("_d").alias("doc_id"))
+        .agg(F.countDistinct("g").cast("long").alias("exact_hits"))
+    )
+    return (
+        bloom.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "bloom_hits",
+            F.coalesce("exact_hits", F.lit(0)).cast("long").alias(
+                "exact_hits"
+            ),
+        )
+    )
+
+
+def _sql_bloom_pos(g: str, salt: str) -> str:
+    return f"({_sql_hex_to_long(f'md5({g} || {salt!r})', 8)} % 4096)"
+
+
+ORACLE_SQL_LLM["docs_bloom_contamination"] = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(w) - 4, 0)),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] || ' ' || w[i+5]) AS gs
+      FROM words),
+    cg AS (
+      SELECT unnest(gs) AS g FROM grams WHERE doc_id >= 40),
+    pos AS (
+      SELECT {_sql_bloom_pos('g', 'b1')} AS p FROM cg
+      UNION ALL SELECT {_sql_bloom_pos('g', 'b2')} FROM cg
+      UNION ALL SELECT {_sql_bloom_pos('g', 'b3')} FROM cg),
+    bloom AS (
+      SELECT CAST(p // 32 AS INTEGER) AS w,
+             bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+      FROM pos GROUP BY 1),
+    ev AS (
+      SELECT doc_id, unnest(list_distinct(gs)) AS g
+      FROM grams WHERE doc_id < 40),
+    probes AS (
+      SELECT doc_id, g, {_sql_bloom_pos('g', 'b1')} AS p FROM ev
+      UNION ALL SELECT doc_id, g, {_sql_bloom_pos('g', 'b2')} FROM ev
+      UNION ALL SELECT doc_id, g, {_sql_bloom_pos('g', 'b3')} FROM ev),
+    per_gram AS (
+      SELECT doc_id, g,
+             min(coalesce((b.bits >> CAST(p.p % 32 AS INTEGER)) & 1, 0))
+               AS hit
+      FROM probes p
+      LEFT JOIN bloom b ON b.w = CAST(p.p // 32 AS INTEGER)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(hit) AS BIGINT) AS bloom_hits
+      FROM per_gram GROUP BY 1),
+    exact AS (
+      SELECT e.doc_id,
+             CAST(count(DISTINCT e.g) AS BIGINT) AS exact_hits
+      FROM ev e JOIN cg USING (g) GROUP BY 1)
+    SELECT a.doc_id, a.n_grams, a.bloom_hits,
+           coalesce(x.exact_hits, 0) AS exact_hits
+    FROM agg a LEFT JOIN exact x USING (doc_id)
+"""
+QUERIES_LLM["docs_bloom_contamination"] = q_docs_bloom_contamination

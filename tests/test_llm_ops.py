@@ -4389,3 +4389,55 @@ def test_decile_lift_exact_cuts(spark):
         assert out[d].customers == 2
         assert out[d].revenue_cents == expect_rev
         assert out[d].cum_revenue_cents == cum
+
+
+def test_bloom_contamination_replica(spark):
+    """Bloom membership vs a sequential replica of the 3-salt bit
+    rules; no false negatives: every exact hit is a bloom hit."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_bloom_contamination,
+    )
+
+    # corpus doc (id 50) and eval docs (ids 1, 2): doc 1 shares its
+    # only 5-gram with the corpus; doc 2 shares none
+    corpus_text = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (50, corpus_text, "en", "s0", 6),
+        (1, "alpha beta gamma delta epsilon", "en", "s0", 5),
+        (2, "one two three four five six", "en", "s0", 6),
+    ]
+    tmp = _write_sf(
+        spark, "bloom_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_tokens long"),
+    )
+
+    def grams(text):
+        t = text.split(" ")
+        return [" ".join(t[i:i + 5]) for i in range(len(t) - 4)]
+
+    words = [0] * 128
+    for g in grams(corpus_text):
+        for s in ("b1", "b2", "b3"):
+            p = _md5_long(g + s, 8) % 4096
+            words[p // 32] |= 1 << (p % 32)
+
+    def bloom_has(g):
+        return all(
+            (words[(_md5_long(g + s, 8) % 4096) // 32]
+             >> ((_md5_long(g + s, 8) % 4096) % 32)) & 1
+            for s in ("b1", "b2", "b3")
+        )
+
+    corpus_set = set(grams(corpus_text))
+    got = {r.doc_id: r
+           for r in q_docs_bloom_contamination(spark, tmp).collect()}
+    for d in (1, 2):
+        gs = sorted(set(grams(next(x[1] for x in docs if x[0] == d))))
+        row = got[d]
+        assert row.n_grams == len(gs)
+        assert row.bloom_hits == sum(bloom_has(g) for g in gs)
+        assert row.exact_hits == sum(g in corpus_set for g in gs)
+        # a bloom filter has no false negatives
+        assert row.bloom_hits >= row.exact_hits
+    assert got[1].exact_hits == 1 and got[2].exact_hits == 0
