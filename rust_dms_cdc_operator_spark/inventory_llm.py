@@ -11351,3 +11351,87 @@ ORACLE_SQL_LLM["docs_bloom_contamination"] = f"""
     FROM agg a LEFT JOIN exact x USING (doc_id)
 """
 QUERIES_LLM["docs_bloom_contamination"] = q_docs_bloom_contamination
+
+
+def q_docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus token
+    MASS the top-k most frequent words cover, for k in {10, 100,
+    1000, 10000} — the census that sizes a tokenizer vocabulary (and
+    explains why BPE beats word-level at any k). Rank over the
+    VOCABULARY (not the corpus) comes from chunk.with_global_rank —
+    boundary-bucketed two-pass, order (count DESC, word ASC) so
+    boundary ties are deterministic on both engines; coverage is one
+    conditional-sum aggregate over vocab-sized rows, unpivoted to 4
+    rows via stack(). Exact integers; the fraction is a driver-side
+    division.
+
+    Scale shape: the only corpus-sized exchange is the word count's
+    map-combined groupBy; everything after is vocabulary-bounded."""
+    from rust_dms_cdc_operator_spark.operators.chunk import (  # noqa: PLC0415
+        with_global_rank,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = with_global_rank(
+        counts.select("word", "c", (-F.col("c")).alias("_neg")),
+        ["_neg", "word"],
+        rank_col="_rk",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("_rk") <= k, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"_cov{k}")
+            for k in (10, 100, 1000, 10000)
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 10, _cov10, 100, _cov100, 1000, _cov1000, "
+            "10000, _cov10000) AS (top_k, covered_tokens)"
+        ),
+        "vocab_size",
+        "total_tokens",
+    ).select(
+        F.col("top_k").cast("int").alias("top_k"),
+        "covered_tokens",
+        "vocab_size",
+        "total_tokens",
+    )
+
+
+ORACLE_SQL_LLM["docs_vocab_coverage"] = """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk
+      FROM counts),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(c) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT)
+               AS cov10,
+             CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS BIGINT)
+               AS cov100,
+             CAST(sum(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS BIGINT)
+               AS cov1000,
+             CAST(sum(CASE WHEN rk <= 10000 THEN c ELSE 0 END) AS BIGINT)
+               AS cov10000
+      FROM ranked)
+    SELECT CAST(k.top_k AS INTEGER) AS top_k,
+           CASE k.top_k WHEN 10 THEN cov10 WHEN 100 THEN cov100
+                WHEN 1000 THEN cov1000 ELSE cov10000 END
+             AS covered_tokens,
+           vocab_size, total_tokens
+    FROM agg, (SELECT unnest([10, 100, 1000, 10000]) AS top_k) k
+"""
+QUERIES_LLM["docs_vocab_coverage"] = q_docs_vocab_coverage

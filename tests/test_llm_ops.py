@@ -4441,3 +4441,34 @@ def test_bloom_contamination_replica(spark):
         # a bloom filter has no false negatives
         assert row.bloom_hits >= row.exact_hits
     assert got[1].exact_hits == 1 and got[2].exact_hits == 0
+
+
+def test_vocab_coverage_replica(spark):
+    """Coverage sums vs a sequential replica with the same
+    (count DESC, word ASC) rank order; curve is monotone in k."""
+    from collections import Counter
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_vocab_coverage,
+    )
+
+    docs = [
+        (1, "a a a b b c", "en", "s0", 6),
+        (2, "a b c d e f", "en", "s0", 6),
+        (3, "a a d d d d", "en", "s0", 6),
+    ]
+    tmp = _write_sf(
+        spark, "cov_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_tokens long"),
+    )
+    counts = Counter(w for _, t, *_ in docs for w in t.split(" "))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    got = {r.top_k: r for r in q_docs_vocab_coverage(spark, tmp).collect()}
+    assert sorted(got) == [10, 100, 1000, 10000]
+    for k, row in got.items():
+        assert row.vocab_size == len(counts)
+        assert row.total_tokens == total
+        assert row.covered_tokens == sum(c for _, c in ranked[:k])
+    assert got[10].covered_tokens <= got[100].covered_tokens
