@@ -173,6 +173,16 @@ def main() -> int:
              "is recorded as TIMEOUT instead of wedging the sweep "
              "(0 = no limit)",
     )
+    ap.add_argument(
+        "--materialize-pairs", action="store_true",
+        help="compute the shared minhash banded-LSH pair block ONCE "
+             "into a DuckDB temp table and substitute it into every "
+             "oracle that embeds it verbatim — a common-subexpression "
+             "cache for the big-scale sweep, where 9+ CC-family "
+             "oracles otherwise each re-derive the same multi-minute "
+             "200M-pair set before their own closure work even "
+             "starts. Pure caching: identical SQL semantics.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -207,6 +217,32 @@ def main() -> int:
         print(f"(per-sf trained oracles: {sorted(overrides)})")
         oracles = {**oracles, **overrides}
     names = args.names or list(queries)
+    if args.materialize_pairs:
+        from rust_dms_cdc_operator_spark.inventory_llm import (
+            _LSH_MAX_BUCKET,
+            _minhash_sql,
+        )
+
+        for tbl, block in (
+            ("__mh_pairs_plain", _minhash_sql()),
+            ("__mh_pairs_capped", _minhash_sql(16, 2, _LSH_MAX_BUCKET)),
+        ):
+            users = [
+                n for n in names if block in oracles.get(n, "")
+            ]
+            if not users:
+                continue
+            t0 = time.time()
+            con.sql(f"CREATE TEMP TABLE {tbl} AS {block}")
+            n_rows = con.sql(f"SELECT count(*) FROM {tbl}").fetchall()[0][0]
+            print(
+                f"(materialized {tbl}: {n_rows} pairs in "
+                f"{time.time() - t0:.0f}s for {len(users)} oracles)"
+            )
+            for n in users:
+                oracles[n] = oracles[n].replace(
+                    block, f"SELECT id_a, id_b FROM {tbl}"
+                )
     failures = []
     timeouts = []
     n_digest = 0
