@@ -243,6 +243,91 @@ def main() -> int:
                 oracles[n] = oracles[n].replace(
                     block, f"SELECT id_a, id_b FROM {tbl}"
                 )
+        # The lbl-closure family: the oracle's recursive frontier
+        # min-label CTE is correct but infeasible single-node at
+        # ~200M pairs (the frontier join re-touches the 2x-directed
+        # edge set every improvement wave; measured > 50 min at
+        # native sf1). Compute THE SAME function once — component id
+        # = min doc_id, over exactly the cached pair set — by
+        # iterative hash-to-min over temp tables (O(diameter)
+        # rounds, each one join + one group-by), then substitute the
+        # closure block. Different algorithm, same spec; the driver's
+        # sf0.01 gate still runs the untouched recursive SQL.
+        import re
+
+        cc_users = [
+            n for n in names
+            if n in oracles and "FROM lbl GROUP BY node" in oracles[n]
+        ]
+        if cc_users:
+            t0 = time.time()
+            con.sql(
+                "CREATE TEMP TABLE __sym AS "
+                "SELECT id_a AS a, id_b AS b FROM __mh_pairs_plain "
+                "UNION ALL SELECT id_b, id_a FROM __mh_pairs_plain"
+            )
+            con.sql(
+                "CREATE TEMP TABLE __lbl AS SELECT a AS node, "
+                "least(a, min(b)) AS comp FROM __sym GROUP BY a"
+            )
+            for it in range(50):
+                con.sql(
+                    "CREATE OR REPLACE TEMP TABLE __lbl2 AS "
+                    "SELECT node, min(comp) AS comp FROM ("
+                    "  SELECT s.b AS node, l.comp FROM __sym s "
+                    "  JOIN __lbl l ON l.node = s.a "
+                    "  UNION ALL SELECT node, comp FROM __lbl"
+                    ") t GROUP BY node"
+                )
+                changed = con.sql(
+                    "SELECT count(*) FROM __lbl a JOIN __lbl2 b "
+                    "USING (node) WHERE a.comp <> b.comp"
+                ).fetchone()[0]
+                con.sql("DROP TABLE __lbl")
+                con.sql("ALTER TABLE __lbl2 RENAME TO __lbl")
+                if changed == 0:
+                    break
+            else:
+                raise RuntimeError("CC hash-to-min did not converge")
+            con.sql(
+                "CREATE TEMP TABLE __cc_groups AS SELECT node AS "
+                "doc_id, comp AS group_id FROM __lbl"
+            )
+            n_cc = con.sql(
+                "SELECT count(*) FROM __cc_groups"
+            ).fetchone()[0]
+            print(
+                f"(materialized __cc_groups: {n_cc} labeled nodes, "
+                f"{it + 1} rounds, {time.time() - t0:.0f}s for "
+                f"{len(cc_users)} oracles)"
+            )
+            pat_wrap = re.compile(
+                r",\s*sym AS \(.*?,\s*(\w+) AS \(SELECT node AS "
+                r"doc_id, MIN\(comp\) AS group_id\s+FROM lbl "
+                r"GROUP BY node\)",
+                re.S,
+            )
+            pat_tail = re.compile(
+                r",\s*sym AS \(.*?SELECT node AS doc_id, "
+                r"MIN\(comp\) AS group_id\s+FROM lbl GROUP BY "
+                r"node\s*\Z",
+                re.S,
+            )
+            for n in cc_users:
+                sql, subs = pat_wrap.subn(
+                    r", \1 AS (SELECT doc_id, group_id FROM "
+                    r"__cc_groups)",
+                    oracles[n],
+                )
+                if not subs:
+                    sql, subs = pat_tail.subn(
+                        " SELECT doc_id, group_id FROM __cc_groups",
+                        oracles[n],
+                    )
+                if subs:
+                    oracles[n] = sql
+                else:
+                    print(f"(no closure substitution for {n})")
     failures = []
     timeouts = []
     n_digest = 0
