@@ -2645,8 +2645,8 @@ ORACLE_SQL_LLM: dict[str, str] = {
     """,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_groups": f"""
-        WITH RECURSIVE pairs AS ({_minhash_sql()}),
-        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql()}),
+        sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
         -- frontier min-label propagation, NOT the full transitive
         -- closure: a row (node, comp) only spawns neighbors when comp
@@ -2978,8 +2978,8 @@ _CANON_QUALITY = f"""least(greatest(
       0.0), 1.0)"""
 
 ORACLE_SQL_LLM["docs_canonical_by_quality"] = f"""
-    WITH RECURSIVE pairs AS ({_minhash_sql()}),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql()}),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
     lbl(node, comp) AS (
       SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
@@ -3465,11 +3465,15 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
     """Unrolled-iteration SQL mirror of graph.pagerank_undirected:
     identical IEEE op sequence ((1.0 - 0.85)/n base, per-iteration
     round to 9)."""
+    # MATERIALIZED: bi/deg are referenced in EVERY unrolled iteration
+    # and each p{i} twice-over downstream — plain CTEs inline per
+    # reference and re-derive the pair block exponentially at native
+    # sf1. Pure evaluation hint — identical rows at every scale.
     steps = []
     for i in range(iters):
         prev = f"p{i}"
         steps.append(f"""
-    p{i + 1} AS (
+    p{i + 1} AS MATERIALIZED (
       SELECT b.dst AS src,
              round((1.0 - 0.85) / nn.n
                    + 0.85 * sum(p.pr / d.deg), 9) AS pr
@@ -3479,15 +3483,17 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
       CROSS JOIN nn
       GROUP BY b.dst, nn.n)""")
     return f"""
-    WITH e AS (SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
-    bi AS (
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
+    bi AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM e
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM e),
-    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+    deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
             FROM bi GROUP BY src),
     nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
-    p0 AS (SELECT src, round(1.0 / nn.n, 9) AS pr FROM deg CROSS JOIN nn),
+    p0 AS MATERIALIZED (
+      SELECT src, round(1.0 / nn.n, 9) AS pr FROM deg CROSS JOIN nn),
     {','.join(steps)}
     SELECT src AS v, pr FROM p{iters}
     """
@@ -3532,14 +3538,20 @@ ORACLE_SQL_LLM["events_markov_transitions"] = """
            round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
     FROM counts c JOIN totals t USING (from_type)
 """
+# MATERIALIZED on e0/keep/e: e0 is read three times (degree census
+# + both IN-subqueries) and e five times (wedges, the triangle
+# two-hop join twice, the EXISTS probe, the edge count) — plain CTEs
+# inline per reference and re-derive the pair block at native sf1.
+# Pure evaluation hint — identical rows at every scale.
 ORACLE_SQL_LLM["dedup_triangle_stats"] = f"""
-    WITH e0 AS (SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
     deg0 AS (
       SELECT v, count(*) AS d
       FROM (SELECT id_a AS v FROM e0 UNION ALL SELECT id_b FROM e0)
       GROUP BY v),
-    keep AS (SELECT v FROM deg0 WHERE d <= 32),
-    e AS (
+    keep AS MATERIALIZED (SELECT v FROM deg0 WHERE d <= 32),
+    e AS MATERIALIZED (
       SELECT id_a, id_b FROM e0
       WHERE id_a IN (SELECT v FROM keep)
         AND id_b IN (SELECT v FROM keep)),
@@ -4576,14 +4588,18 @@ def q_docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_oracle_sql(iters: int = 3) -> str:
+    # MATERIALIZED: sym is joined in every unrolled vote round and
+    # each l{i} feeds the next — plain CTEs inline per reference and
+    # re-derive the pair block per round at native sf1. Pure
+    # evaluation hint — identical rows at every scale.
     rounds = []
     prev = "l0"
     for i in range(1, iters + 1):
         rounds.append(f"""
-        v{i} AS (SELECT s.b AS v, l.label, count(*) AS c
+        v{i} AS MATERIALIZED (SELECT s.b AS v, l.label, count(*) AS c
                  FROM sym s JOIN {prev} l ON l.v = s.a
                  GROUP BY 1, 2),
-        l{i} AS (SELECT v, label FROM (
+        l{i} AS MATERIALIZED (SELECT v, label FROM (
                    SELECT v, label,
                           row_number() OVER (PARTITION BY v
                             ORDER BY c DESC, label ASC) AS rn
@@ -4591,10 +4607,11 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
         prev = f"l{i}"
     body = ",".join(rounds)
     return f"""
-        WITH pairs AS ({{pairs}}),
-        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-        l0 AS (SELECT DISTINCT a AS v, a AS label FROM sym),
+        WITH pairs AS MATERIALIZED ({{pairs}}),
+        sym AS MATERIALIZED (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS label FROM sym),
         {body}
         SELECT v, label FROM {prev}
     """
@@ -4999,8 +5016,8 @@ ORACLE_SQL_LLM["docs_ppl_buckets"] = """
     FROM ranked
 """
 ORACLE_SQL_LLM["docs_soft_dedup_weights"] = f"""
-    WITH RECURSIVE pairs AS ({_minhash_sql()}),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql()}),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
     lbl(node, comp) AS (
       SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
@@ -5358,7 +5375,7 @@ ORACLE_SQL_LLM["dedup_embedding_groups"] = """
           ON a.label = b.label AND a.vec_id < b.vec_id
          AND b.vec_id - a.vec_id <= 25)
       WHERE cos_sim >= 0.2),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
     lbl(node, comp) AS (
       SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
@@ -8148,17 +8165,23 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
     """Unrolled-sweep SQL mirror of graph.kcore_membership: each peel
     sweep is one HAVING-filtered degree census + two endpoint joins,
     the same deletion schedule the Spark loop runs."""
+    # MATERIALIZED: each g{i}/k{i} is referenced 2-3 times down the
+    # chain; DuckDB inlines plain CTEs per reference, which turns the
+    # unrolled chain into EXPONENTIAL re-evaluation of the pair block
+    # (>20 min at native sf1 where the forced-materialized form is
+    # linear). Pure evaluation hint — identical rows at every scale.
     steps = []
     for i in range(rounds):
         steps.append(f"""
-    k{i} AS (SELECT src FROM g{i} GROUP BY src
+    k{i} AS MATERIALIZED (SELECT src FROM g{i} GROUP BY src
              HAVING count(*) >= {k}),
-    g{i + 1} AS (SELECT g.src, g.dst FROM g{i} g
+    g{i + 1} AS MATERIALIZED (SELECT g.src, g.dst FROM g{i} g
             JOIN k{i} a ON g.src = a.src
             JOIN k{i} b ON g.dst = b.src)""")
     return f"""
-    WITH e AS (SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
-    g0 AS (
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
+    g0 AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM e
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM e),
@@ -9475,8 +9498,8 @@ def q_docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL_LLM["docs_group_split"] = f"""
-    WITH RECURSIVE pairs AS ({_minhash_sql()}),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql()}),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
     lbl(node, comp) AS (
       SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
@@ -10183,8 +10206,8 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL_LLM["dedup_group_cohesion"] = f"""
-    WITH RECURSIVE pairs AS ({_minhash_sql()}),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql()}),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
     lbl(node, comp) AS (
       SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a

@@ -302,13 +302,13 @@ def main() -> int:
                 f"{len(cc_users)} oracles)"
             )
             pat_wrap = re.compile(
-                r",\s*sym AS \(.*?,\s*(\w+) AS \(SELECT node AS "
+                r",\s*sym AS (?:MATERIALIZED )?\(.*?,\s*(\w+) AS \(SELECT node AS "
                 r"doc_id, MIN\(comp\) AS group_id\s+FROM lbl "
                 r"GROUP BY node\)",
                 re.S,
             )
             pat_tail = re.compile(
-                r",\s*sym AS \(.*?SELECT node AS doc_id, "
+                r",\s*sym AS (?:MATERIALIZED )?\(.*?SELECT node AS doc_id, "
                 r"MIN\(comp\) AS group_id\s+FROM lbl GROUP BY "
                 r"node\s*\Z",
                 re.S,
