@@ -183,6 +183,14 @@ def main() -> int:
              "200M-pair set before their own closure work even "
              "starts. Pure caching: identical SQL semantics.",
     )
+    ap.add_argument(
+        "--duck-memory", default="",
+        help="DuckDB memory_limit (e.g. 40GB). DuckDB's default is "
+             "80%% of RAM, which OOM-kills the sweep process when the "
+             "Spark JVM shares the box at native sf1 — a bounded "
+             "limit makes DuckDB SPILL instead (temp_directory is "
+             "pointed at /tmp/duckspill, outside the repo).",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -192,6 +200,11 @@ def main() -> int:
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     import os
+
+    if args.duck_memory:
+        os.makedirs("/tmp/duckspill", exist_ok=True)
+        con.sql(f"SET memory_limit='{args.duck_memory}'")
+        con.sql("SET temp_directory='/tmp/duckspill'")
 
     for t in TABLES:
         path = f"{args.sf_dir}/{t}.parquet"
