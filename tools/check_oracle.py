@@ -341,6 +341,72 @@ def main() -> int:
                     oracles[n] = sql
                 else:
                     print(f"(no closure substitution for {n})")
+        # pagerank / label-prop: even with MATERIALIZED CTEs, DuckDB
+        # keeps every unrolled iteration's spill files alive until the
+        # STATEMENT ends — 5 iterations over the 2x-directed 200M-pair
+        # edge set filled a 70 GB disk at native sf1. Run the SAME
+        # per-iteration SQL (identical formulas/rounding as
+        # _pagerank_oracle_sql / _lpa_oracle_sql) as separate
+        # statements over temp tables, so each round's spill is freed
+        # before the next. The driver's sf0.01 gate still runs the
+        # untouched single-statement SQL.
+        if "dedup_pagerank" in names and "dedup_pagerank" in oracles:
+            t0 = time.time()
+            con.sql(
+                "CREATE TEMP TABLE __pr_bi AS "
+                "SELECT id_a AS src, id_b AS dst FROM __mh_pairs_plain "
+                "UNION ALL SELECT id_b, id_a FROM __mh_pairs_plain"
+            )
+            con.sql(
+                "CREATE TEMP TABLE __pr_deg AS SELECT src, "
+                "CAST(count(*) AS BIGINT) AS deg FROM __pr_bi GROUP BY src"
+            )
+            con.sql(
+                "CREATE TEMP TABLE __pr_p AS SELECT src, round(1.0 / "
+                "(SELECT count(*)::DOUBLE FROM __pr_deg), 9) AS pr "
+                "FROM __pr_deg"
+            )
+            for _ in range(5):
+                con.sql(
+                    "CREATE OR REPLACE TEMP TABLE __pr_p2 AS "
+                    "SELECT b.dst AS src, round((1.0 - 0.85) / "
+                    "(SELECT count(*)::DOUBLE FROM __pr_deg) "
+                    "+ 0.85 * sum(p.pr / d.deg), 9) AS pr "
+                    "FROM __pr_bi b JOIN __pr_p p ON b.src = p.src "
+                    "JOIN __pr_deg d ON b.src = d.src GROUP BY b.dst"
+                )
+                con.sql("DROP TABLE __pr_p")
+                con.sql("ALTER TABLE __pr_p2 RENAME TO __pr_p")
+            oracles["dedup_pagerank"] = "SELECT src AS v, pr FROM __pr_p"
+            print(f"(pagerank loop assist: {time.time() - t0:.0f}s)")
+        if ("dedup_label_propagation" in names
+                and "dedup_label_propagation" in oracles):
+            t0 = time.time()
+            con.sql(
+                "CREATE TEMP TABLE __lp_sym AS "
+                "SELECT id_a AS a, id_b AS b FROM __mh_pairs_plain "
+                "UNION SELECT id_b, id_a FROM __mh_pairs_plain"
+            )
+            con.sql(
+                "CREATE TEMP TABLE __lp_l AS "
+                "SELECT DISTINCT a AS v, a AS label FROM __lp_sym"
+            )
+            for _ in range(3):
+                con.sql(
+                    "CREATE OR REPLACE TEMP TABLE __lp_l2 AS "
+                    "SELECT v, label FROM ("
+                    "  SELECT v, label, row_number() OVER ("
+                    "    PARTITION BY v ORDER BY c DESC, label ASC) AS rn"
+                    "  FROM (SELECT s.b AS v, l.label, count(*) AS c "
+                    "        FROM __lp_sym s JOIN __lp_l l ON l.v = s.a "
+                    "        GROUP BY 1, 2)) WHERE rn = 1"
+                )
+                con.sql("DROP TABLE __lp_l")
+                con.sql("ALTER TABLE __lp_l2 RENAME TO __lp_l")
+            oracles["dedup_label_propagation"] = (
+                "SELECT v, label FROM __lp_l"
+            )
+            print(f"(label-prop loop assist: {time.time() - t0:.0f}s)")
     failures = []
     timeouts = []
     n_digest = 0
