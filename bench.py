@@ -234,6 +234,11 @@ SCALE_QUERIES = [
     "events_histogram_drift",
     "events_hll_retention",
     "orders_decile_lift",
+    # round-8 session 2: the scale-safe kNN — per-band candidate
+    # volume is cap-bounded, so the 10x step must stay ~linear where
+    # the uncapped sim_minhash_knn follows the quadratic bucket
+    # volume (16.9x on this fixture)
+    "sim_minhash_knn_capped",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -4104,7 +4104,9 @@ def _simhash_hamming_oracle_sql(
     """
 
 
-def _minhash_knn_oracle_sql(num_hashes: int = 16, bands: int = 2) -> str:
+def _minhash_knn_oracle_sql(
+    num_hashes: int = 16, bands: int = 2, max_bucket: int | None = None
+) -> str:
     from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
         _MERSENNE,
         _mix_a,
@@ -4129,6 +4131,19 @@ def _minhash_knn_oracle_sql(num_hashes: int = 16, bands: int = 2) -> str:
         f"(CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
+    if max_bucket is None:
+        banded_block = f"banded AS ({band_selects})"
+    else:
+        # hot-bucket enumeration cap replay: an over-cap (band,
+        # bucket) never expands into candidates (minhash_lsh_pairs
+        # contract); occ is MATERIALIZED (read per band side)
+        banded_block = f"""banded0 AS ({band_selects}),
+        occ AS MATERIALIZED (SELECT bk, band_idx, count(*) AS c
+                FROM banded0 GROUP BY 1, 2),
+        banded AS MATERIALIZED (SELECT b.doc_id, b.bk, b.band_idx
+                   FROM banded0 b JOIN occ o
+                     ON o.bk = b.bk AND o.band_idx = b.band_idx
+                   WHERE o.c <= {max_bucket})"""
     return f"""
         WITH wh AS (
           SELECT doc_id,
@@ -4136,7 +4151,7 @@ def _minhash_knn_oracle_sql(num_hashes: int = 16, bands: int = 2) -> str:
                                 w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
           FROM documents),
         sigs AS (SELECT doc_id, {sigs} FROM wh),
-        banded AS ({band_selects}),
+        {banded_block},
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM banded a JOIN banded b
                     ON a.band_idx = b.band_idx AND a.bk = b.bk
@@ -11458,3 +11473,33 @@ ORACLE_SQL_LLM["docs_vocab_coverage"] = """
     FROM agg, (SELECT unnest([10, 100, 1000, 10000]) AS top_k) k
 """
 QUERIES_LLM["docs_vocab_coverage"] = q_docs_vocab_coverage
+
+
+def q_sim_minhash_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe MinHash kNN: sim_minhash_knn under the
+    hot-bucket enumeration cap (max_bucket=256, the
+    dedup_*_capped contract) — an over-cap (band, bucket) never
+    expands into candidates at all, so the per-band join output is
+    bounded by cap x bucket count: LINEAR in the corpus where the
+    uncapped census follows the quadratic bucket volume (measured
+    16.9x at 10x data on the adversarial native-sf1 fixture; the
+    capped pair censuses run ~2.1x under the same cap). Recall
+    trade is explicit: neighbors reachable ONLY through a hot bucket
+    are unranked — exactly the documents exact-dedup already
+    collapses. Same salted in-place per-band top-k as the uncapped
+    form; the oracle replays the occupancy filter bit-for-bit."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_knn_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_knn_topk(
+        d, "doc_id", "text", num_hashes=16, bands=2, k=3, salt=8,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+
+
+ORACLE_SQL_LLM["sim_minhash_knn_capped"] = _minhash_knn_oracle_sql(
+    max_bucket=_LSH_MAX_BUCKET
+)
+QUERIES_LLM["sim_minhash_knn_capped"] = q_sim_minhash_knn_capped

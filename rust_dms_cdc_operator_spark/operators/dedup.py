@@ -349,6 +349,7 @@ def minhash_knn_topk(
     bands: int = 2,
     k: int = 3,
     salt: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Per-document top-``k`` nearest neighbors by ESTIMATED Jaccard
     (matching MinHash components / ``num_hashes``) over the banded-LSH
@@ -407,8 +408,28 @@ def minhash_knn_topk(
     )
     per_band = []
     for i in range(bands):
+        side = keyed
+        if max_bucket is not None:
+            # hot-bucket enumeration cap (the minhash_lsh_pairs
+            # contract): a (band, bucket) with occupancy > cap never
+            # expands into candidates AT ALL, so the per-band join
+            # output is bounded by cap x bucket count — linear in the
+            # corpus where the uncapped form follows the quadratic
+            # bucket volume. Hot buckets are few by construction:
+            # broadcast anti-join.
+            hot = (
+                keyed.groupBy(F.col(f"bk_{i}").alias("bk"))
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > max_bucket)
+                .select("bk")
+            )
+            side = keyed.join(
+                F.broadcast(hot),
+                keyed[f"bk_{i}"] == hot["bk"],
+                "left_anti",
+            )
         a = (
-            keyed.select(
+            side.select(
                 F.col(id_col).alias("doc_id"),
                 "sig",
                 F.col(f"bk_{i}").alias("bk"),
@@ -416,7 +437,7 @@ def minhash_knn_topk(
             .withColumn("_sa", F.pmod(F.hash("doc_id"), F.lit(salt)))
             .repartition(npart, "bk", "_sa")
         )
-        b = keyed.select(
+        b = side.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("sig").alias("nsig"),
             F.col(f"bk_{i}").alias("bk"),

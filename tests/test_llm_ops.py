@@ -4472,3 +4472,34 @@ def test_vocab_coverage_replica(spark):
         assert row.total_tokens == total
         assert row.covered_tokens == sum(c for _, c in ranked[:k])
     assert got[10].covered_tokens <= got[100].covered_tokens
+
+
+def test_minhash_knn_capped_excludes_hot_buckets(spark):
+    """With a bucket cap below the clique size, identical docs (one
+    giant band bucket) produce NO capped candidates, while the
+    uncapped form ranks them; distinct docs sharing an under-cap
+    bucket survive the cap."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        minhash_knn_topk,
+    )
+
+    rows = [(i, "same text for every clone doc", "en", "s0", 6)
+            for i in range(10)]
+    rows += [(100, "aa bb cc dd ee ff", "en", "s0", 6),
+             (101, "aa bb cc dd ee ff", "en", "s0", 6)]
+    tmp = _write_sf(
+        spark, "knncap_",
+        documents=(rows, "doc_id long, text string, lang string, "
+                         "source string, n_tokens long"),
+    )
+    d = spark.read.parquet(f"{tmp}/documents.parquet")
+    uncapped = minhash_knn_topk(d, "doc_id", "text", k=3)
+    capped = minhash_knn_topk(d, "doc_id", "text", k=3, max_bucket=4)
+    got_u = {(r.doc_id, r.neighbor_id) for r in uncapped.collect()}
+    got_c = {(r.doc_id, r.neighbor_id) for r in capped.collect()}
+    # the 10-clone clique is over-cap: none of its pairs survive
+    assert not any(a < 100 and b < 100 for a, b in got_c)
+    assert any(a < 100 and b < 100 for a, b in got_u)
+    # the 2-doc under-cap bucket survives in both
+    assert (100, 101) in got_c and (101, 100) in got_c
+    assert got_c <= got_u
