@@ -6156,11 +6156,11 @@ def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(sliding_word_ngrams(F.col("text"), 2)).alias("w"),
     )
     first = grams.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    # integer `div` (not double `/`): exact at any id-span magnitude,
+    # matching the DuckDB `//` bit-for-bit past 2^53
     decile = F.least(
         F.lit(9),
-        F.floor((F.col("first_doc") - F.lit(lo)) * 10 / F.lit(span)).cast(
-            "int"
-        ),
+        F.expr(f"((first_doc - {lo}) * 10) div {int(span)}").cast("int"),
     )
     per_decile = first.groupBy(decile.alias("decile")).agg(
         F.count(F.lit(1)).alias("new_words")
@@ -10801,7 +10801,13 @@ def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drift stat is emitted as the EXACT integer
     ``tvd_scaled = sum_bins |a_i*B - b_i*A|`` (TVD = that / (2AB)) so
     both engines agree bit-for-bit — no float ratios cross the
-    comparison. ``top_bin``/``top_dev`` name the worst bin
+    comparison. Magnitude bound: the cross products scale as n^2 per
+    event_type, so int64 holds while every single event_type stays
+    below ~3e9 rows (sqrt(2^63)); past that, switch the dev/sum
+    intermediates to DECIMAL(38,0) on BOTH engines (documented in
+    SCALE.md — Spark ANSI-off would wrap silently while DuckDB
+    raises, so the bound is a contract, not a latent divergence).
+    ``top_bin``/``top_dev`` name the worst bin
     (deterministic tie-break: larger bin wins, via the exact combo
     ``dev*16 + bin``).
 
@@ -10838,10 +10844,19 @@ def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (int(g["t0"]) + int(g["t1"])) // 2
     lo = float(g["v0"])
     span = float(g["v1"]) - lo
-    nbin = F.least(
-        F.lit(15),
-        F.floor((F.col("value") - F.lit(lo)) * F.lit(16.0) / F.lit(span)),
-    ).cast("int")
+    if span == 0.0:
+        # degenerate fixture: every value identical. (v-lo)*16/0 would
+        # be NaN → floor→cast wraps to 0 on Spark but ERRORS in the
+        # DuckDB oracle — force bin 0 explicitly on both sides (the
+        # oracle SQL carries the matching CASE WHEN g.span = 0 guard)
+        nbin = F.lit(0).cast("int")
+    else:
+        nbin = F.least(
+            F.lit(15),
+            F.floor(
+                (F.col("value") - F.lit(lo)) * F.lit(16.0) / F.lit(span)
+            ),
+        ).cast("int")
     early = F.unix_micros("ts") <= F.lit(mid)
     per_bin = (
         e.select("event_type", nbin.alias("bin"), early.alias("early"))
@@ -10876,7 +10891,10 @@ def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_n",
             "tvd_scaled",
             (F.col("_combo") % 16).cast("int").alias("top_bin"),
-            F.floor(F.col("_combo") / 16).cast("long").alias("top_dev"),
+            # integer `div`, not double `/`: dev scales as n^2 per
+            # event_type, and double division is only exact below
+            # 2^53 — `div` matches the DuckDB `//` at any magnitude
+            F.expr("_combo div 16").cast("long").alias("top_dev"),
         )
     )
 
@@ -10888,8 +10906,9 @@ ORACLE_SQL_LLM["events_histogram_drift"] = """
       FROM events),
     e AS (
       SELECT event_type,
-             least(15, CAST(floor((value - g.lo) * 16.0 / g.span)
-                            AS BIGINT)) AS bin,
+             CASE WHEN g.span = 0 THEN 0
+                  ELSE least(15, CAST(floor((value - g.lo) * 16.0 / g.span)
+                                      AS BIGINT)) END AS bin,
              epoch_us(ts) <= g.mid AS early
       FROM events, g),
     per_bin AS (
@@ -10966,7 +10985,9 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "days",
             "total",
-            F.floor(F.col("_best") / 100000).cast("long").alias("peak_dev"),
+            # integer `div` (exact at any magnitude), mirroring the
+            # oracle's `//` — double `/` loses bits past 2^53
+            F.expr("_best div 100000").cast("long").alias("peak_dev"),
             F.date_add(
                 F.lit("1970-01-01"),
                 (F.lit(99999) - F.col("_best") % 100000).cast("int"),
@@ -11191,7 +11212,9 @@ def q_orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["_neg", "o_custkey"],
         rank_col="_rk",
     )
-    decile = F.floor((F.col("_rk") - 1) * 10 / F.lit(n)).cast("int")
+    # integer `div` keeps the decile boundary exact past 2^53 rows
+    # (double `/` would round the product and flip edge ranks)
+    decile = F.expr(f"((_rk - 1) * 10) div {int(n)}").cast("int")
     per = ranked.groupBy(decile.alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("customers"),
         F.sum("rev_cents").cast("long").alias("revenue_cents"),

@@ -4503,3 +4503,86 @@ def test_minhash_knn_capped_excludes_hot_buckets(spark):
     # the 2-doc under-cap bucket survives in both
     assert (100, 101) in got_c and (101, 100) in got_c
     assert got_c <= got_u
+
+
+def test_histogram_drift_span_zero_degenerate(spark):
+    """All values identical (span == 0): both engines must force
+    bin 0. Unguarded, Spark evaluates (v-lo)*16/0 = NaN and
+    floor→cast wraps it to 0 while the DuckDB oracle ERRORS on
+    CAST(floor(NaN) AS BIGINT) — an engine divergence/oracle crash
+    on a degenerate fixture (round-8 ADVICE)."""
+    import datetime as dt
+
+    import duckdb
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        ORACLE_SQL_LLM,
+        q_events_histogram_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "flat", 7.5, "{}"),
+        (1, t0 + dt.timedelta(days=2), 1, "flat", 7.5, "{}"),
+        (2, t0 + dt.timedelta(days=9), 2, "flat", 7.5, "{}"),
+    ]
+    tmp = _write_sf(
+        spark, "driftz_",
+        events=(rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string"),
+    )
+    got = {r.event_type: (r.early_n, r.late_n, r.tvd_scaled, r.top_bin,
+                          r.top_dev)
+           for r in q_events_histogram_drift(spark, tmp).collect()}
+    # everything lands in bin 0; early 2 / late 1; dev = |2*1-1*2| = 0
+    assert got == {"flat": (2, 1, 0, 0, 0)}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp}/events.parquet/*.parquet'"
+    )
+    ora = con.sql(ORACLE_SQL_LLM["events_histogram_drift"]).fetchall()
+    assert [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in ora] == [
+        ("flat", 2, 1, 0, 0, 0)
+    ]
+
+
+def test_combo_decode_integer_div_exact_past_2p53(spark):
+    """The combo decodes use integer `div`, not double `/`
+    (round-8 ADVICE): dev scales as n^2 per group, and double
+    division silently rounds past 2^53 — at x = 2^57-1 the old
+    floor(x/16.0) decode returns 2^53 while the true x//16 (and
+    DuckDB's `//`) is 2^53-1."""
+    big = (1 << 57) - 1
+    row = (
+        spark.createDataFrame([(big,)], "x long")
+        .select(
+            F.expr("x div 16").alias("d"),
+            F.floor(F.col("x") / 16).cast("long").alias("f"),
+            (F.col("x") % 16).cast("int").alias("m"),
+        )
+        .first()
+    )
+    assert row.d == big // 16
+    assert row.m == big % 16
+    # the defect this guards against: double division is off by one here
+    assert row.f != big // 16
+
+
+def test_check_oracle_embedding_groups_assist_gating():
+    """`check_oracle.py --materialize-pairs dedup_embedding_groups`
+    alone: the CC hash-to-min assist must NOT fire (that oracle's
+    closure is over EMBEDDING pairs, not minhash pairs) and the run
+    must not crash on the missing __mh_pairs_plain temp table
+    (round-8 ADVICE)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/check_oracle.py", "--materialize-pairs",
+         "--sf-dir", "/root/testdata/sf0.001", "dedup_embedding_groups"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "1/1 queries match" in r.stdout
+    assert "__cc_groups" not in r.stdout

@@ -236,6 +236,7 @@ def main() -> int:
             _minhash_sql,
         )
 
+        materialized: set[str] = set()
         for tbl, block in (
             ("__mh_pairs_plain", _minhash_sql()),
             ("__mh_pairs_capped", _minhash_sql(16, 2, _LSH_MAX_BUCKET)),
@@ -247,6 +248,7 @@ def main() -> int:
                 continue
             t0 = time.time()
             con.sql(f"CREATE TEMP TABLE {tbl} AS {block}")
+            materialized.add(tbl)
             n_rows = con.sql(f"SELECT count(*) FROM {tbl}").fetchall()[0][0]
             print(
                 f"(materialized {tbl}: {n_rows} pairs in "
@@ -268,9 +270,20 @@ def main() -> int:
         # sf0.01 gate still runs the untouched recursive SQL.
         import re
 
+        # Gate on the minhash pair cache ACTUALLY having been
+        # materialized, and on the oracle's closure deriving from it
+        # (its pair block was substituted above, so the text now reads
+        # FROM __mh_pairs_plain). dedup_embedding_groups matches the
+        # 'FROM lbl GROUP BY node' marker but closes over EMBEDDING
+        # pairs, not minhash pairs — substituting would silently swap
+        # its input set, and selecting it alone used to crash on the
+        # missing temp table.
         cc_users = [
             n for n in names
-            if n in oracles and "FROM lbl GROUP BY node" in oracles[n]
+            if "__mh_pairs_plain" in materialized
+            and n in oracles
+            and "FROM lbl GROUP BY node" in oracles[n]
+            and "FROM __mh_pairs_plain" in oracles[n]
         ]
         if cc_users:
             t0 = time.time()
@@ -350,7 +363,12 @@ def main() -> int:
         # statements over temp tables, so each round's spill is freed
         # before the next. The driver's sf0.01 gate still runs the
         # untouched single-statement SQL.
-        if "dedup_pagerank" in names and "dedup_pagerank" in oracles:
+        if (
+            "dedup_pagerank" in names
+            and "dedup_pagerank" in oracles
+            and "__mh_pairs_plain" in materialized
+            and "FROM __mh_pairs_plain" in oracles["dedup_pagerank"]
+        ):
             t0 = time.time()
             con.sql(
                 "CREATE TEMP TABLE __pr_bi AS "
@@ -380,7 +398,10 @@ def main() -> int:
             oracles["dedup_pagerank"] = "SELECT src AS v, pr FROM __pr_p"
             print(f"(pagerank loop assist: {time.time() - t0:.0f}s)")
         if ("dedup_label_propagation" in names
-                and "dedup_label_propagation" in oracles):
+                and "dedup_label_propagation" in oracles
+                and "__mh_pairs_plain" in materialized
+                and "FROM __mh_pairs_plain"
+                in oracles["dedup_label_propagation"]):
             t0 = time.time()
             con.sql(
                 "CREATE TEMP TABLE __lp_sym AS "
