@@ -46,6 +46,30 @@ SKIP = tuple(
     if n.startswith("stream_") or n == "cdc_incremental_agg_view"
 )
 
+# Single-partition Window nodes (no partitionBy): every entry's input
+# frame is BOUNDED BY CONSTRUCTION — a fixed grid, a ≤10-row decile
+# set, a day spine, or a .limit(k) head — so "move all data to one
+# partition" moves O(10..365) rows, not the corpus. Anything else
+# planning a global window is a 100 TB bug: the whole input serializes
+# through one task.
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "docs_rrf_hybrid",          # two .limit(50) ranked heads (2 nodes)
+    "docs_vocab_growth",        # 10-row decile spine running sum
+    "docs_zipf_fit",            # .limit(100) rank head
+    "events_cumulative_uniques",  # day spine (O(days)) running sum
+    "events_value_quantiles",   # fixed 16-bucket grid (6 nodes)
+    "orders_decile_lift",       # 10-row decile running sum
+    "orders_open_backlog_daily",  # day spine (O(days)) running sum
+}
+
+# A Window node is UNPARTITIONED iff its windowspecdefinition's FIRST
+# argument is already a sort order (bare partition columns would
+# precede it) or the frame itself (no partition, no order).
+_GLOBAL_WINDOW = __import__("re").compile(
+    r"windowspecdefinition\((?:[^,()\s]+ (?:ASC|DESC) NULLS"
+    r"|specifiedwindowframe)"
+)
+
 
 @pytest.fixture(scope="module")
 def plans(spark):
@@ -118,4 +142,32 @@ def test_allowlist_not_stale(plans):
         assert name in plans, f"{name} vanished from the inventory"
         assert "BroadcastNestedLoopJoin" in plans[name], (
             f"{name} no longer plans a BNLJ — remove it from the allowlist"
+        )
+
+
+def test_unpartitioned_windows_only_on_allowlist(plans):
+    """No query may plan a single-partition Window (Window with no
+    partitionBy) unless its input frame is provably bounded and it is
+    on UNPARTITIONED_WINDOW_ALLOWED — a global window over a growing
+    input serializes the corpus through ONE task at scale (the same
+    class of bug as a cartesian). Global ranks over unbounded inputs
+    must go through the two-level ``with_global_rank`` instead."""
+    offenders = [
+        n
+        for n, p in plans.items()
+        if _GLOBAL_WINDOW.search(p) and n not in UNPARTITIONED_WINDOW_ALLOWED
+    ]
+    assert offenders == [], offenders
+
+
+def test_unpartitioned_window_allowlist_not_stale(plans):
+    """Every allowlisted global-window query still exists and still
+    plans one — prune the list when a plan improves (the BNLJ
+    staleness contract, mirrored)."""
+    assert len(UNPARTITIONED_WINDOW_ALLOWED) <= 10
+    for name in UNPARTITIONED_WINDOW_ALLOWED:
+        assert name in plans, f"{name} vanished from the inventory"
+        assert _GLOBAL_WINDOW.search(plans[name]), (
+            f"{name} no longer plans a global window — remove it "
+            "from the allowlist"
         )
