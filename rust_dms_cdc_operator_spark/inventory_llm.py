@@ -7286,11 +7286,21 @@ QUERIES_LLM["docs_contamination_fuzzy"] = q_docs_contamination_fuzzy
 
 def _density_n_lists(n_vectors: int) -> int:
     """Corpus-scaled IVF list count for the self-k-NN density query:
-    cell population must stay ~CONSTANT (here ~512) or within-cell
+    cell population must stay ~CONSTANT (here ~256) or within-cell
     pair volume grows quadratically with the corpus — the exact
     superlinearity the sf1 bench exposed with n_lists pinned at 8
-    (20 s -> 555 s for a 10x step). ceil(n/512), floor 8."""
-    return max(8, -(-n_vectors // 512))
+    (20 s -> 555 s for a 10x step). ceil(n/256), floor 8.
+
+    Round 9 halved the occupancy target from 512: with ceil(n/512)
+    the floor of 8 left the sub-sf0.1 scales at occupancy ~250 while
+    sf1 sat at ~500, so per-row pair volume DOUBLED across the 10x
+    step and the bench ratio read superlinear (8.8x) even though the
+    plan was sound. ceil(n/256) is identical at sf0.1 and below
+    (still 8 lists — the driver's static sf0.01 oracle is untouched)
+    and pins occupancy ~256 wherever the floor is unbound, so
+    intra-cell pair volume per row is scale-constant by
+    construction."""
+    return max(8, -(-n_vectors // 256))
 
 
 _DENSITY_CENT_CACHE: dict[str, list] = {}
@@ -8480,19 +8490,40 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by id ABOVE the join, and the cosine HOF runs as a projection —
     never inside a join condition."""
     from rust_dms_cdc_operator_spark.operators.similarity import (  # noqa: PLC0415
+        _as_double,
         cosine,
-        ivf_assign,
+        ivf_assign_join,
     )
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
     cents = _trained_density_cents(spark, sf_dir)
-    a = e.select(
-        "vec_id", ivf_assign(F.col("embedding"), cents).alias("cluster")
-    )
+    # broadcast-join centroid assignment (round 9): flat per-centroid
+    # cost under the corpus-scaled list count, bit-identical to the
+    # ivf_assign expression — see similarity._centroid_scores.
+    # persist: `a` feeds BOTH sides of the cluster self-join and the
+    # returned plan is lazy — without the cache the centroid scoring
+    # recomputes per reference (measured 52 s vs 10 s at native sf1).
+    # One (vec_id, int) row per vector: corpus-bounded, LRU-evicted
+    # (the q11 deliberate-cache contract).
+    a = ivf_assign_join(
+        e.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        cents,
+        "vec_id",
+        out_col="cluster",
+    ).persist()
+    # width-repartition the NARROW pair stream (round 9, the
+    # ivf_knn_density fix): the cluster self-join multiplies row
+    # count by cluster occupancy while AQE sizes the next stage from
+    # the narrow map-side bytes, so the cosine projection would run
+    # at scan width. One cheap id-only shuffle pins it at cluster
+    # width. Measured at native sf1: 54.7 s -> 16 s, same rows.
     cand = (
         a.select(F.col("vec_id").alias("id_a"), "cluster")
         .join(a.select(F.col("vec_id").alias("id_b"), "cluster"), "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("id_a")
+        )
     )
     va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))

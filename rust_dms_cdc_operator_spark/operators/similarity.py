@@ -470,6 +470,103 @@ def ivf_probe_lists(
     )
 
 
+def _centroid_scores(
+    df: DataFrame,
+    centroid_vecs: list[list[float]],
+    id_col: str,
+    vec_col: str = "v",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, cid, s) rounded-cosine scores against every centroid via a
+    BROADCAST CENTROID JOIN — the corpus-scaled twin of the
+    :func:`ivf_assign` expression. The expression form inlines one
+    CreateArray literal + three interpreted HOF folds PER CENTROID
+    into a single projection, so its per-row cost grows with n_lists
+    (measured ~55 us per centroid cosine at 79 lists — 22 s just to
+    assign 20k rows); the join form evaluates ONE column-vs-column
+    cosine per (row, centroid) pair at HOF-normal cost and is how a
+    real IVF quantizer deploys: every worker holds the coarse
+    quantizer (faiss keeps it in RAM on each node) and streams its
+    rows against it — an explicit ``crossJoin(broadcast(quantizer))``,
+    a BNLJ whose build side is the TRAINED ARTIFACT, never the
+    corpus: its size is a deployment parameter (n/256 lists of 64
+    doubles today — KB to a few MB; a 100 TB deployment caps the
+    quantizer at the usual 2^16-2^20 lists and deepens the index
+    rather than broadcasting a corpus-sized one). Scores are
+    IEEE-identical to the expression form: same cosine fold over the
+    same doubles."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroid_vecs)],
+        "cid int, cvec array<double>",
+    )
+    return df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), round_digits)
+        .alias("s"),
+    )
+
+
+def ivf_assign_join(
+    df: DataFrame,
+    centroid_vecs: list[list[float]],
+    id_col: str,
+    vec_col: str = "v",
+    out_col: str = "lst",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, lst) nearest-centroid assignment via the broadcast
+    centroid join (:func:`_centroid_scores`) + a map-side-combinable
+    struct-max argmax. Ties -> lowest centroid index: max over
+    struct(s, -cid) is exactly :func:`ivf_assign`'s greatest() rule,
+    so the two forms are interchangeable bit-for-bit."""
+    scored = _centroid_scores(df, centroid_vecs, id_col, vec_col,
+                              round_digits)
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("s"), (-F.col("cid")).alias("ni"))).alias("m")
+    )
+    return best.select(
+        F.col(id_col), (-F.col("m.ni")).cast("int").alias(out_col)
+    )
+
+
+def ivf_probe_lists_join(
+    df: DataFrame,
+    centroid_vecs: list[list[float]],
+    id_col: str,
+    nprobe: int,
+    vec_col: str = "v",
+    out_col: str = "lst",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, lst) EXPLODED top-``nprobe`` probe lists via the broadcast
+    centroid join — the corpus-scaled twin of
+    :func:`ivf_probe_lists` (cosine desc, ties -> lowest id; the
+    same (-s, cid) struct sort, so list sets match the expression
+    form exactly). One narrow (id, struct) shuffle of n x n_lists
+    rows; the collect_list per id is n_lists-bounded."""
+    scored = _centroid_scores(df, centroid_vecs, id_col, vec_col,
+                              round_digits)
+    lists = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("s")).alias("ns"), F.col("cid").alias("i"))
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("_ls")
+    )
+    return lists.select(
+        F.col(id_col),
+        F.explode(F.transform(F.col("_ls"), lambda s: s["i"])).alias(
+            out_col
+        ),
+    )
+
+
 def ivf_knn_density(
     df: DataFrame,
     centroid_vecs: list[list[float]],
@@ -501,18 +598,54 @@ def ivf_knn_density(
     does — same determinism contract as the ivf_topk family (the
     oracle replays the identical algorithm, literally)."""
     e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    assign = e.select(
-        F.col(id_col).alias("id_b"),
-        ivf_assign(F.col("v"), centroid_vecs).alias("lst"),
+    # broadcast-join centroid scoring (round 9): the expression forms
+    # inline n_lists literal arrays per row, so their per-row cost
+    # grows with the corpus-scaled list count (22 s to assign 20k rows
+    # at 79 lists); the join form is flat per (row, centroid) and
+    # bit-identical — see _centroid_scores. ONE scored pass feeds both
+    # the assignment argmax and the top-nprobe probe lists (same
+    # struct-sort tie rules as ivf_assign / ivf_probe_lists), and the
+    # n-row result persists: it is referenced from BOTH sides of the
+    # cell join below, and the returned plan is lazy, so unpersisting
+    # here would recompute the scoring per reference (measured 5x the
+    # query wall). The cache is one (id, int, nprobe ints) row per
+    # vector — corpus-bounded and LRU-evicted (the q11 contract).
+    scored = _centroid_scores(e, centroid_vecs, id_col)
+    both = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("s"), (-F.col("cid")).alias("ni"))).alias("m"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("s")).alias("ns"), F.col("cid").alias("i"))
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("_ls"),
+    ).persist()
+    assign = both.select(
+        F.col(id_col).alias("id_b"), (-F.col("m.ni")).cast("int").alias("lst")
     )
-    probes = e.select(
+    probes = both.select(
         F.col(id_col).alias("id_a"),
-        F.explode(
-            ivf_probe_lists(F.col("v"), centroid_vecs, nprobe)
-        ).alias("lst"),
+        F.explode(F.transform(F.col("_ls"), lambda s: s["i"])).alias("lst"),
     )
-    cand = probes.join(assign, "lst").filter(
-        F.col("id_a") != F.col("id_b")
+    # width-repartition the NARROW candidate stream (round 9): the
+    # cell join multiplies row count by cell occupancy, but AQE sizes
+    # the post-join stage from the MAP-SIDE shuffle bytes (ids only —
+    # a few hundred MB at 10x), so the expensive cosine projection
+    # below would run at scan width (4 tasks on the committed
+    # fixtures, every core idle). Explicit numPartitions is exempt
+    # from AQE coalescing; the shuffle moves 12-byte id pairs, and
+    # hash-partitioning by id_a doubles as the window's required
+    # distribution so no second exchange appears. Measured at native
+    # sf1: 114.6 s -> 38.8 s, identical results.
+    cand = (
+        probes.join(assign, "lst")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
+        )
     )
     va = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))

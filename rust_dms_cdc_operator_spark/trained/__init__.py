@@ -72,6 +72,6 @@ def load_bpe(tag: str):
 
 def load_ivf_density(tag: str):
     """Corpus-scaled density-query centroids (registry kind 'ivfd').
-    Present only for scales where the ceil(n/512) list rule exceeds
+    Present only for scales where the ceil(n/256) list rule exceeds
     the shared 8-list artifact; callers fall back to load_ivf."""
     return _load("ivfd", tag)

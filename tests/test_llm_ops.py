@@ -4586,3 +4586,42 @@ def test_check_oracle_embedding_groups_assist_gating():
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "1/1 queries match" in r.stdout
     assert "__cc_groups" not in r.stdout
+
+
+def test_ivf_join_forms_match_expression_forms(spark):
+    """The broadcast-quantizer join forms (ivf_assign_join /
+    ivf_probe_lists_join, round 9) must reproduce the expression
+    forms (ivf_assign / ivf_probe_lists) bit-for-bit — same rounded
+    cosines, same argmax and probe-list tie rules — on a frame with
+    deliberate ties (duplicate vectors, symmetric centroids)."""
+    from rust_dms_cdc_operator_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_join,
+        ivf_probe_lists,
+        ivf_probe_lists_join,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+             [1.0, 1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.1, 0.0]), (2, [0.1, 1.0, 0.0]), (3, [0.0, 0.1, 1.0]),
+        (4, [1.0, 1.0, 0.0]),   # exact tie between cents 0/1 vs 3
+        (5, [1.0, 1.0, 0.0]),   # duplicate of 4
+        (6, [-1.0, -1.0, -1.0]),
+        (7, [0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    exp = {r.vec_id: r.lst for r in df.select(
+        "vec_id", ivf_assign(F.col("v"), cents).alias("lst")).collect()}
+    got = {r.vec_id: r.lst for r in
+           ivf_assign_join(df, cents, "vec_id").collect()}
+    assert got == exp, (got, exp)
+    exp_p = sorted(
+        (r.vec_id, r.lst) for r in df.select(
+            "vec_id",
+            F.explode(ivf_probe_lists(F.col("v"), cents, 2)).alias("lst"),
+        ).collect())
+    got_p = sorted(
+        (r.vec_id, r.lst)
+        for r in ivf_probe_lists_join(df, cents, "vec_id", 2).collect())
+    assert got_p == exp_p, (got_p, exp_p)

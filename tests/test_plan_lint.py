@@ -38,6 +38,12 @@ BNLJ_ALLOWED = {
     "sim_batch_topk",           # broadcast query-vector set (k rows)
     "events_dau_mau",           # day spine (O(days)) range join
     "sim_knn_classify",         # broadcast 50-query set (bounded)
+    # round 9: broadcast-quantizer centroid scoring
+    # (similarity._centroid_scores) — the build side is the TRAINED
+    # IVF quantizer (n/256 lists of 64 doubles, KB-MB; capped at the
+    # usual 2^16-2^20 lists in a 100 TB deployment), never the corpus
+    "sim_knn_density",
+    "dedup_semantic_pairs",
 }
 
 SKIP = tuple(
