@@ -4625,3 +4625,91 @@ def test_ivf_join_forms_match_expression_forms(spark):
         (r.vec_id, r.lst)
         for r in ivf_probe_lists_join(df, cents, "vec_id", 2).collect())
     assert got_p == exp_p, (got_p, exp_p)
+
+
+def test_q22_q11_empty_input_guard(spark):
+    """Round-8 defect class: F.sum over an empty set returns NULL and
+    the literal-lookup collect then raised int(None). Both queries
+    must return EMPTY (the old broadcast-join contract), not crash,
+    when the scalar's input set is empty."""
+    from rust_dms_cdc_operator_spark.inventory import q_q22_dormant_customers
+    from rust_dms_cdc_operator_spark.inventory_tpch2 import (
+        q_q11_important_stock,
+    )
+
+    tmp = _write_sf(
+        spark, "emptyq_",
+        # every balance non-positive -> q22's positive set is empty
+        customer=(
+            [(1, "SEG", -5.0), (2, "SEG", 0.0)],
+            "c_custkey long, c_mktsegment string, c_acctbal double",
+        ),
+        orders=(
+            [(10, 1, "2001-06-01")],
+            "o_orderkey long, o_custkey long, o_orderdate string",
+        ),
+        # empty lineitem -> q11's per-part aggregate is empty
+        lineitem=([], "l_partkey long, l_quantity double"),
+        part=([(1, 9.99)], "p_partkey long, p_retailprice double"),
+    )
+    assert q_q22_dormant_customers(spark, tmp).count() == 0
+    assert q_q11_important_stock(spark, tmp).count() == 0
+
+
+def test_kcore_unpersists_sweep_caches(spark):
+    """Round-8 defect: kcore_membership persisted per-sweep frames and
+    dropped them only on the converged path. On BOTH exit paths
+    (fixed point and rounds-exhausted), everything except the final
+    frontier must be unpersisted — at a 200M-pair sf1 graph each
+    leaked sweep is ~400M cached rows."""
+    from rust_dms_cdc_operator_spark.operators.graph import kcore_membership
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_cached()
+    # path graph: peels one layer per sweep -> rounds exhaust unconverged
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    out = kcore_membership(edges, k=2, rounds=3)
+    out.count()
+    assert n_cached() - base <= 1, (base, n_cached())  # final frontier only
+    spark.catalog.clearCache()
+    # near-clique: converges (break path)
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    out2 = kcore_membership(
+        spark.createDataFrame(clique, "id_a long, id_b long"), k=2, rounds=4
+    )
+    out2.count()
+    assert n_cached() - base <= 1, (base, n_cached())
+    spark.catalog.clearCache()
+
+
+def test_oracle_override_skips_wrong_density_artifact(monkeypatch):
+    """Round-8 defect: oracle_sql_overrides fell back from the 'ivfd'
+    registry to the shared 8-list artifact, rendering the
+    sim_knn_density / dedup_semantic_pairs oracles from the WRONG
+    centroids — a guaranteed false failure. A missing or
+    wrong-list-count artifact must now OMIT the two keys (documented
+    skip), never substitute."""
+    from rust_dms_cdc_operator_spark import inventory_llm as il
+    from rust_dms_cdc_operator_spark import trained
+
+    monkeypatch.setattr(il, "_density_n_lists", lambda n: 16)
+    monkeypatch.setattr(trained, "load_ivf_density", lambda tag: None)
+    out = il.oracle_sql_overrides("/root/testdata/sf0.1")
+    assert "sim_knn_density" not in out
+    assert "dedup_semantic_pairs" not in out
+    # an artifact trained at the WRONG list count is also a skip
+    eight = trained.load_ivf("sf0.1")
+    if eight is not None:
+        monkeypatch.setattr(trained, "load_ivf_density", lambda tag: eight)
+        out2 = il.oracle_sql_overrides("/root/testdata/sf0.1")
+        assert "sim_knn_density" not in out2
+    # a CORRECT 16-list artifact renders the overrides
+    fake = [[float(i == j) for j in range(64)] for i in range(16)]
+    monkeypatch.setattr(trained, "load_ivf_density", lambda tag: fake)
+    out3 = il.oracle_sql_overrides("/root/testdata/sf0.1")
+    assert "sim_knn_density" in out3 and "dedup_semantic_pairs" in out3

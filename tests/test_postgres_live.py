@@ -423,3 +423,231 @@ def test_full_lifecycle_snapshot_state_merge_validate(pg, spark):
     assert not rep3.ok and rep3.counts_match and rep3.mismatched_chunks
     bad = drill_down(state2, read_target(), ["id"]).collect()
     assert {r.id for r in bad} == {4}
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_PG_SF1"),
+    reason="opt-in: set SPARK_GRAFT_PG_SF1=1 (native-sf1 live-PG run, ~3-6 min)",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(
+        __import__("os").environ.get(
+            "SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native"
+        )
+    ),
+    reason="native sf1 dataset not generated (bench.py creates it)",
+)
+def test_sf1_snapshot_staged_merge_validate_live(pg, spark):
+    """Round-8 verdict item 6: the snapshot -> staged ON CONFLICT
+    merge -> V1/V2 validate chain against REAL PostgreSQL 15 at
+    NATIVE sf1 (~1M-row events): a ~900k-row full load through
+    server-side COPY (the bulk path psql offers without a PG JDBC
+    jar — the generated DDL and the staged merge/delete statements
+    are exactly the S8 SQL the JDBC sink emits), then THREE daily CDC
+    epochs each applied as COPY-into-staging + ONE server-side
+    staging_merge_sql / staging_delete_sql statement, per-epoch net
+    row counts asserted against source-derived expectations, then a
+    clean V1+V2 validate (chunked hashes over ~1M rows, PG->Spark
+    via a type-preserving duckdb CSV marshal) and a pinpointed
+    one-row corruption. Wall per phase prints as PG-SF1-WALL for
+    SCALE.md."""
+    import json
+    import os
+    import time
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.compact import (
+        compact_cdc,
+        replay_manifest,
+    )
+    from rust_dms_cdc_operator_spark.payloads import LoadMode
+    from rust_dms_cdc_operator_spark.sources.manifest import build_manifest
+    from rust_dms_cdc_operator_spark.validate import drill_down, validate_table
+
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
+    src = os.path.join(sf1, "events.parquet")
+    src_glob = f"{src}/*.parquet" if os.path.isdir(src) else src
+    work = f"/tmp/pgsf1-{uuid.uuid4().hex[:8]}"
+    root = os.path.join(work, "drop")
+    tdir = os.path.join(root, "mydb", "public", "events")
+    os.makedirs(tdir)
+    os.chmod(work, 0o777)
+
+    timers = {}
+
+    def clock(name):
+        class _C:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timers[name] = round(time.time() - self.t0, 2)
+
+        return _C()
+
+    # same drop shape as test_pipeline_jdbc's sf1 chain: LOAD = keys
+    # %10 != 0, three dated epochs of I/U/D over the held-out keys
+    con = duckdb.connect()
+    cols = "event_id, ts, user_id, event_type, value, props"
+    col_list = [c.strip() for c in cols.split(",")]
+    epochs = [
+        ("2026/08/02/20260802-000001.parquet", "'2026-08-02 00:00:01'",
+         "event_id % 10 = 0 AND event_id % 20 = 0", "event_id % 10 = 1",
+         1.0, "event_id % 10 = 2"),
+        ("2026/08/03/20260803-000001.parquet", "'2026-08-03 00:00:01'",
+         "event_id % 10 = 0 AND event_id % 20 != 0", "event_id % 10 = 3",
+         2.0, "event_id % 10 = 4"),
+        ("2026/08/04/20260804-000001.parquet", "'2026-08-04 00:00:01'",
+         "FALSE", "event_id % 10 = 0", 5.0, "event_id % 10 = 6"),
+    ]
+    with clock("build_drop"):
+        con.sql(
+            f"COPY (SELECT {cols} FROM '{src_glob}' WHERE event_id % 10 != 0 "
+            f"ORDER BY event_id) TO '{tdir}/LOAD00000001.parquet' "
+            "(FORMAT PARQUET)"
+        )
+        for rel, stamp, ins, upd, bump, dele in epochs:
+            os.makedirs(os.path.join(tdir, os.path.dirname(rel)),
+                        exist_ok=True)
+            con.sql(
+                "COPY ("
+                f"SELECT 'I' AS Op, {stamp} AS _dms_ingestion_timestamp, "
+                f"{cols} FROM '{src_glob}' WHERE {ins} "
+                "UNION ALL "
+                f"SELECT 'U', {stamp}, event_id, ts, user_id, event_type, "
+                f"value + {bump}, props FROM '{src_glob}' WHERE {upd} "
+                "UNION ALL "
+                f"SELECT 'D', {stamp}, {cols} FROM '{src_glob}' WHERE {dele}"
+                f") TO '{tdir}/{rel}' (FORMAT PARQUET)"
+            )
+    n_by_mod = dict(con.sql(
+        f"SELECT event_id % 10, count(*) FROM '{src_glob}' GROUP BY 1"
+    ).fetchall())
+    n_load = sum(v for k, v in n_by_mod.items() if k != 0)
+    n_ins1 = con.sql(
+        f"SELECT count(*) FROM '{src_glob}' "
+        "WHERE event_id % 10 = 0 AND event_id % 20 = 0"
+    ).fetchone()[0]
+    n_ins2 = n_by_mod[0] - n_ins1
+    expected_rows = [
+        n_load + n_ins1 - n_by_mod[2],
+        n_load + n_ins1 + n_ins2 - n_by_mod[2] - n_by_mod[4],
+        n_load + n_by_mod[0] - n_by_mod[2] - n_by_mod[4] - n_by_mod[6],
+    ]
+
+    schema_name, table = "live_sf1", "events"
+    pg_cols = {"event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+               "event_type": "text", "value": "double precision",
+               "props": "text"}
+
+    def copy_into(target: str, csv_path: str) -> None:
+        _psql(pg, f"\\copy {target} FROM '{csv_path}' "
+                  "WITH (FORMAT csv, HEADER true)")
+
+    # phase 1 — full load: generated DDL, bulk server-side COPY of the
+    # LOAD file (type-preserving parquet->csv marshal through duckdb)
+    _psql(pg, create_schema_sql(schema_name))
+    _psql(pg, create_table_sql(pg_cols, ["event_id"], schema_name, table))
+    with clock("full_load_copy"):
+        load_csv = f"{work}/load.csv"
+        con.sql(
+            f"COPY (SELECT {cols} FROM '{tdir}/LOAD00000001.parquet') "
+            f"TO '{load_csv}' (FORMAT CSV, HEADER true)"
+        )
+        os.chmod(load_csv, 0o644)
+        copy_into(f"{schema_name}.{table}", load_csv)
+    assert int(_psql(
+        pg, f"SELECT count(*) FROM {schema_name}.{table}"
+    )) == n_load
+
+    # phase 2 — staged CDC apply per epoch: compact in Spark, COPY the
+    # delta into a staging table, apply with ONE merge + ONE delete
+    epoch_stats = []
+    for i, (rel, *_rest) in enumerate(epochs):
+        delta = compact_cdc(
+            spark.read.parquet(os.path.join(tdir, rel)), ["event_id"],
+            order_cols=["_dms_ingestion_timestamp"], op_col="__keep_d__",
+        ).persist()
+        ups_dir = f"{work}/ups{i}"
+        del_dir = f"{work}/del{i}"
+        delta.filter(F.col("Op") != "D").select(*col_list).write.parquet(ups_dir)
+        delta.filter(F.col("Op") == "D").select("event_id").write.parquet(del_dir)
+        n_up = delta.filter(F.col("Op") != "D").count()
+        n_del = delta.filter(F.col("Op") == "D").count()
+        delta.unpersist()
+        stg = f"{schema_name}.stg_{i}"
+        stg_del = f"{schema_name}.stgdel_{i}"
+        with clock(f"staged_merge_epoch{i + 1}"):
+            _psql(pg, f"CREATE TABLE {stg} "
+                      f"(LIKE {schema_name}.{table} INCLUDING DEFAULTS)")
+            _psql(pg, f"CREATE TABLE {stg_del} (event_id bigint)")
+            for d, tgt in ((ups_dir, stg), (del_dir, stg_del)):
+                csv = f"{d}.csv"
+                sel = cols if tgt == stg else "event_id"
+                con.sql(f"COPY (SELECT {sel} FROM '{d}/*.parquet') "
+                        f"TO '{csv}' (FORMAT CSV, HEADER true)")
+                os.chmod(csv, 0o644)
+                copy_into(tgt, csv)
+            _psql(pg, staging_merge_sql(
+                schema_name, table, stg, list(pg_cols), ["event_id"]))
+            _psql(pg, staging_delete_sql(
+                schema_name, table, stg_del, ["event_id"]))
+            _psql(pg, f"DROP TABLE {stg}; DROP TABLE {stg_del}")
+        rows_after = int(_psql(
+            pg, f"SELECT count(*) FROM {schema_name}.{table}"
+        ))
+        assert rows_after == expected_rows[i], (i, rows_after,
+                                                expected_rows[i])
+        epoch_stats.append({"epoch": i + 1, "upserts": n_up,
+                            "deletes": n_del, "rows_after": rows_after})
+
+    # phase 3 — V1+V2 validate the replayed manifest vs live PG
+    files = build_manifest(
+        mode=LoadMode.DATE_AWARE, root=root, database="mydb",
+        schema="public", table="events", start_date="2026-08-01",
+    )
+    state = replay_manifest(spark, root, files, ["event_id"]).persist()
+
+    def read_target():
+        # PG -> csv -> duckdb (explicit types) -> parquet -> Spark:
+        # a type-preserving marshal with no Spark-side csv inference
+        out_csv = f"{work}/tgt-{uuid.uuid4().hex[:6]}.csv"
+        out_pq = out_csv.replace(".csv", ".parquet")
+        _psql(pg, f"\\copy (SELECT {cols} FROM {schema_name}.{table}) "
+                  f"TO '{out_csv}' WITH (FORMAT csv, HEADER true)")
+        con.sql(
+            f"COPY (SELECT * FROM read_csv('{out_csv}', header=true, "
+            "columns={'event_id': 'BIGINT', 'ts': 'TIMESTAMP', "
+            "'user_id': 'BIGINT', 'event_type': 'VARCHAR', "
+            "'value': 'DOUBLE', 'props': 'VARCHAR'})) "
+            f"TO '{out_pq}' (FORMAT PARQUET)"
+        )
+        return spark.read.parquet(out_pq).select(*col_list)
+
+    with clock("validate"):
+        rep = validate_table(
+            state.select(*col_list), read_target(), table, ["event_id"],
+            chunk_size=50000,
+        )
+    assert rep.ok and rep.counts_match and not rep.mismatched_chunks, vars(rep)
+    assert rep.source_rows == rep.target_rows == expected_rows[-1], vars(rep)
+
+    # corruption pinpointed at scale: one flipped row in ~1M
+    _psql(pg, f"UPDATE {schema_name}.{table} SET value = value + 1 "
+              "WHERE event_id = 11")
+    rep2 = validate_table(
+        state.select(*col_list), read_target(), table, ["event_id"],
+        chunk_size=50000,
+    )
+    assert not rep2.ok and len(rep2.mismatched_chunks) == 1, vars(rep2)
+    bad = drill_down(
+        state.select(*col_list), read_target(), ["event_id"]
+    ).collect()
+    assert [r.event_id for r in bad] == [11], bad
+    state.unpersist()
+
+    timers["epoch_stats"] = epoch_stats
+    print("PG-SF1-WALL " + json.dumps(timers))
