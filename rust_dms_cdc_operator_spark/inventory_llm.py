@@ -3461,7 +3461,9 @@ ORACLE_SQL_LLM["sim_ivfpq_topk"] = _ivfpq_oracle_sql()
 # artifacts, same nprobe/shortlist/k) — only the physical access path
 # differs, so it shares the oracle; literal-valid at sf0.01 like the rest
 ORACLE_SQL_LLM["sim_ivfpq_probe_partitioned"] = _ivfpq_oracle_sql()
-def _pagerank_oracle_sql(iters: int = 5) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 5, max_bucket: int | None = None
+) -> str:
     """Unrolled-iteration SQL mirror of graph.pagerank_undirected:
     identical IEEE op sequence ((1.0 - 0.85)/n base, per-iteration
     round to 9)."""
@@ -3484,7 +3486,7 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
       GROUP BY b.dst, nn.n)""")
     return f"""
     WITH e AS MATERIALIZED (
-      SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
+      SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2, max_bucket)})),
     bi AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM e
       UNION ALL
@@ -8186,7 +8188,9 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_membership(pairs, k=2, rounds=4)
 
 
-def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
+def _kcore_oracle_sql(
+    k: int = 2, rounds: int = 4, max_bucket: int | None = None
+) -> str:
     """Unrolled-sweep SQL mirror of graph.kcore_membership: each peel
     sweep is one HAVING-filtered degree census + two endpoint joins,
     the same deletion schedule the Spark loop runs."""
@@ -8205,7 +8209,7 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
             JOIN k{i} b ON g.dst = b.src)""")
     return f"""
     WITH e AS MATERIALIZED (
-      SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2)})),
+      SELECT DISTINCT id_a, id_b FROM ({_minhash_sql(16, 2, max_bucket)})),
     g0 AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM e
       UNION ALL
@@ -11557,3 +11561,86 @@ ORACLE_SQL_LLM["sim_minhash_knn_capped"] = _minhash_knn_oracle_sql(
     max_bucket=_LSH_MAX_BUCKET
 )
 QUERIES_LLM["sim_minhash_knn_capped"] = q_sim_minhash_knn_capped
+
+
+def q_dedup_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the HOT-BUCKET-CAPPED near-dup graph — the
+    deployment twin of dedup_pagerank (round 9, the
+    sim_minhash_knn_capped precedent): the exact query's edge list is
+    the uncapped banded pair stream, which grows with the quadratic
+    bucket volume of the adversarial fixture (2.1M -> 200.8M pairs
+    across the 10x step — 97x; its 12.9x wall is SUBLINEAR per edge
+    but pair-volume-bound by construction). Under the enumeration cap
+    (max_bucket=256, the no-silent-drop census `dedup_lsh_hot_buckets`
+    reports exactly what was dropped) the edge list is linear in the
+    corpus, so 5 unrolled BSP rounds hold their shape at any scale.
+    Same operator, same rounding contract, same unrolled oracle —
+    only the pair block differs."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        pagerank_undirected,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    return pagerank_undirected(pairs, iters=5)
+
+
+ORACLE_SQL_LLM["dedup_pagerank_capped"] = _pagerank_oracle_sql(
+    5, _LSH_MAX_BUCKET
+)
+QUERIES_LLM["dedup_pagerank_capped"] = q_dedup_pagerank_capped
+
+
+def q_dedup_label_propagation_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label propagation over the HOT-BUCKET-CAPPED near-dup graph —
+    the deployment twin of dedup_label_propagation (exact form is
+    pair-volume-bound: 97x edges at 10x docs on this fixture, 25.7x
+    wall). 3 semi-synchronous BSP rounds, identical vote/tie rules
+    and unrolled oracle; only the pair block carries the cap."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        label_propagation,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    return label_propagation(pairs, iters=3)
+
+
+ORACLE_SQL_LLM["dedup_label_propagation_capped"] = _lpa_oracle_sql(3).format(
+    pairs=_minhash_sql(16, 2, _LSH_MAX_BUCKET)
+)
+QUERIES_LLM["dedup_label_propagation_capped"] = (
+    q_dedup_label_propagation_capped
+)
+
+
+def q_dedup_kcore_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the HOT-BUCKET-CAPPED near-dup graph — the
+    deployment twin of dedup_kcore (exact form is pair-volume-bound:
+    97x edges at 10x docs on this fixture). k=2, 4 unrolled peel
+    sweeps, identical schedule and unrolled oracle; only the pair
+    block carries the cap."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        kcore_membership,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    return kcore_membership(pairs, k=2, rounds=4)
+
+
+ORACLE_SQL_LLM["dedup_kcore_capped"] = _kcore_oracle_sql(
+    2, 4, _LSH_MAX_BUCKET
+)
+QUERIES_LLM["dedup_kcore_capped"] = q_dedup_kcore_capped

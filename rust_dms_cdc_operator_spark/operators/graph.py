@@ -465,6 +465,21 @@ def label_propagation(
     return labels
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's backing blocks NOW. Dataset.unpersist
+    only covers CacheManager entries; a checkpointed frame's storage
+    hangs off its LogicalRDD leaf and is otherwise freed only when the
+    ContextCleaner GCs the RDD handle — nondeterministic, and the
+    k-core sweep contract is 'live set = {cur, removed}' at every
+    point. Best-effort: a non-checkpointed frame is a no-op."""
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover — GC fallback still applies
+        pass
+
+
 def kcore_membership(
     edges: DataFrame, k: int = 2, rounds: int = 4
 ) -> DataFrame:
@@ -507,17 +522,25 @@ def kcore_membership(
         )
         .persist()
     )
+    # Round-9 structure: the frontier is always ADJ MINUS A CUMULATIVE
+    # REMOVED SET, never a chain of per-sweep frames. A chained
+    # frontier references the previous sweep three times (directly,
+    # and twice through `removed`), so its logical plan grows
+    # 3^sweeps references to the upstream pair pipeline — four sweeps
+    # over the capped-LSH plan overflowed the driver heap just
+    # RENDERING the tree — and checkpointing the 400M-row frontier
+    # instead pinned unEVICTABLE storage that starved execution
+    # memory at native sf1. Here the only checkpoint is the CUMULATIVE
+    # REMOVED SET — whisker nodes, a small fraction of the graph —
+    # truncated per sweep (eager, tiny job), while each sweep's
+    # frontier re-derives from the ONE persisted adjacency via two
+    # anti-joins against that small (AQE-broadcast) set: plan growth
+    # is linear in sweeps, storage is one evictable recomputable
+    # cache plus one small leaf.
     cur = adj
-    prev = None
-    prev_removed = None
+    removed_cum = None
+    prev_cum = None
     for _ in range(rounds):
-        # peel by the REMOVED set, not the keep set: per sweep only the
-        # low-degree fringe leaves (whiskers — a small fraction of the
-        # nodes), so both endpoint filters are anti-joins against a
-        # SMALL frame that AQE broadcasts — one real shuffle per sweep
-        # (the map-side-combined degree census) instead of three. The
-        # per-sweep persist stops the lazy chain recomputing every
-        # prior sweep at each of its two downstream references.
         removed = (
             cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -525,18 +548,7 @@ def kcore_membership(
             .select("src")
             .persist()
         )
-        empty = removed.isEmpty()  # also materializes cur's cache
-        # cur is now cached end-to-end: EVERYTHING from the previous
-        # sweep — its frontier (which is adj itself after the first
-        # peel) AND its removed set — is dead weight. At a 200M-pair
-        # sf1 graph, keeping every sweep cached is rounds x 400M rows
-        # of storage; the live set here is exactly {cur, removed}.
-        if prev is not None:
-            prev.unpersist()
-            prev = None
-        if prev_removed is not None:
-            prev_removed.unpersist()
-            prev_removed = None
+        empty = removed.isEmpty()  # also materializes adj's cache
         if empty:
             # fixed point: every further sweep is a no-op, so stopping
             # here returns EXACTLY the scheduled-rounds result (the
@@ -545,21 +557,22 @@ def kcore_membership(
             # 1-2 sweeps, so this halves the sweep stages in practice.
             removed.unpersist()
             break
-        prev = cur
-        prev_removed = removed
-        cur = cur.join(removed, "src", "left_anti").join(
-            removed.withColumnRenamed("src", "dst"), "dst", "left_anti"
-        ).persist()
-    if prev is not None:
-        # rounds exhausted without a fixed point: the last cur was
-        # never materialized, so force it (one count over the smallest
-        # frontier) BEFORE dropping the prior sweep's caches — else
-        # the caller's action recomputes the whole peel chain cold.
-        cur.count()
-        prev.unpersist()
-        prev_removed.unpersist()
-    # the final frontier stays cached: the returned plan is lazy and
-    # reads it at the caller's action — one bounded frame, LRU-evicted.
+        removed_cum = (
+            removed
+            if removed_cum is None
+            else removed_cum.unionByName(removed)
+        ).localCheckpoint(eager=True)
+        removed.unpersist()
+        if prev_cum is not None:
+            _free_local_checkpoint(prev_cum)
+        prev_cum = removed_cum
+        cur = adj.join(removed_cum, "src", "left_anti").join(
+            removed_cum.withColumnRenamed("src", "dst"), "dst", "left_anti"
+        )
+    # the final frontier is lazy over the persisted adjacency and the
+    # last (small) checkpointed removed set — the caller's action
+    # reads the cache; adj's lifetime is caller-owned after that, the
+    # pagerank_undirected contract (one bounded, LRU-evictable cache).
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     ).select(F.col("src").alias("node"), "core_deg")

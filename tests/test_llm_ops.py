@@ -4667,7 +4667,17 @@ def test_kcore_unpersists_sweep_caches(spark):
     def n_cached():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    spark.catalog.clearCache()
+    def clear_all():
+        # catalog.clearCache() frees CacheManager entries only; the
+        # final-frontier localCheckpoint (caller-owned by contract)
+        # must be dropped at the RDD layer
+        spark.catalog.clearCache()
+        for r in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            r.unpersist()
+
+    clear_all()
     base = n_cached()
     # path graph: peels one layer per sweep -> rounds exhaust unconverged
     edges = spark.createDataFrame(
@@ -4675,16 +4685,18 @@ def test_kcore_unpersists_sweep_caches(spark):
     )
     out = kcore_membership(edges, k=2, rounds=3)
     out.count()
-    assert n_cached() - base <= 1, (base, n_cached())  # final frontier only
-    spark.catalog.clearCache()
-    # near-clique: converges (break path)
+    # live set by contract: the persisted adjacency + the LAST (small)
+    # checkpointed cumulative-removed set — never per-sweep frames
+    assert n_cached() - base <= 2, (base, n_cached())
+    clear_all()
+    # near-clique: converges (break path) -> adjacency only
     clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     out2 = kcore_membership(
         spark.createDataFrame(clique, "id_a long, id_b long"), k=2, rounds=4
     )
     out2.count()
     assert n_cached() - base <= 1, (base, n_cached())
-    spark.catalog.clearCache()
+    clear_all()
 
 
 def test_oracle_override_skips_wrong_density_artifact(monkeypatch):
