@@ -269,6 +269,10 @@ SCALE_QUERIES = [
     "dedup_pagerank_capped",
     "dedup_label_propagation_capped",
     "dedup_kcore_capped",
+    # round-9: keep-best representative selection rides the capped
+    # pair stream + CC + one map-combined integer-combo argmax — must
+    # track the capped twins' linear shape
+    "dedup_keep_best",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -11644,3 +11644,78 @@ ORACLE_SQL_LLM["dedup_kcore_capped"] = _kcore_oracle_sql(
     2, 4, _LSH_MAX_BUCKET
 )
 QUERIES_LLM["dedup_kcore_capped"] = q_dedup_kcore_capped
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per duplicate group — the step a real
+    curation pipeline runs AFTER grouping: hot-bucket-capped LSH pairs
+    -> connected components (operators/graph.dedup_groups) -> keep the
+    LONGEST member per group (the standard keep-best heuristic; ties
+    -> lowest doc_id). Returns (group_id, keep_doc_id, keep_n_chars,
+    group_size); every other member of the group is the drop list.
+
+    The argmax travels as ONE exact integer combo
+    ``n_chars * 2^32 + (2^32-1 - doc_id)`` through a map-side-
+    combinable max (no window), decoded with integer `div` — valid
+    while doc_id and n_chars each stay below 2^32 (the committed
+    corpora are ~10^5; at larger ids widen the combo base). Capped
+    pair stream -> linear edge volume (the round-9 graph-twin
+    contract), and the closure oracle replays the same cap."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        dedup_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    meta = d.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+    combo = F.col("nc") * F.lit(4294967296) + (
+        F.lit(4294967295) - F.col("doc_id")
+    )
+    best = (
+        groups.join(meta, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.max(combo).alias("_m"),
+        )
+    )
+    return best.select(
+        "group_id",
+        (F.lit(4294967295) - F.col("_m") % F.lit(4294967296))
+        .cast("long")
+        .alias("keep_doc_id"),
+        F.expr("_m div 4294967296").cast("long").alias("keep_n_chars"),
+        "group_size",
+    )
+
+
+ORACLE_SQL_LLM["dedup_keep_best"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        {_minhash_sql(16, 2, _LSH_MAX_BUCKET)}),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    lbl(node, comp) AS (
+      SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
+      UNION
+      SELECT s.b, l.comp
+      FROM lbl l JOIN sym s ON s.a = l.node
+      WHERE l.comp < s.b
+    ),
+    grp AS (SELECT node AS doc_id, MIN(comp) AS group_id
+            FROM lbl GROUP BY node)
+    SELECT g.group_id,
+           CAST(4294967295 - max(d.n_chars::BIGINT * 4294967296
+                                 + (4294967295 - d.doc_id))
+                % 4294967296 AS BIGINT) AS keep_doc_id,
+           CAST(max(d.n_chars::BIGINT * 4294967296
+                    + (4294967295 - d.doc_id))
+                // 4294967296 AS BIGINT) AS keep_n_chars,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM grp g JOIN documents d USING (doc_id)
+    GROUP BY g.group_id
+"""
+QUERIES_LLM["dedup_keep_best"] = q_dedup_keep_best

@@ -4725,3 +4725,31 @@ def test_oracle_override_skips_wrong_density_artifact(monkeypatch):
     monkeypatch.setattr(trained, "load_ivf_density", lambda tag: fake)
     out3 = il.oracle_sql_overrides("/root/testdata/sf0.1")
     assert "sim_knn_density" in out3 and "dedup_semantic_pairs" in out3
+
+
+def test_dedup_keep_best_longest_then_lowest_id(spark):
+    """Keep-best representative selection: per duplicate group the
+    LONGEST member wins (n_chars), ties break to the lowest doc_id —
+    and the combo encode/decode round-trips exactly."""
+    from rust_dms_cdc_operator_spark.inventory_llm import q_dedup_keep_best
+
+    mk = lambda i, t, nc: (i, t, "en", "s0", nc)  # noqa: E731
+    docs = [
+        # group A: identical text, distinct lengths -> keep 2 (nc 99)
+        mk(1, "alpha beta gamma delta epsilon zeta", 10),
+        mk(2, "alpha beta gamma delta epsilon zeta", 99),
+        mk(3, "alpha beta gamma delta epsilon zeta", 50),
+        # group B: identical text, tied lengths -> keep 7 (lowest id)
+        mk(7, "omicron sigma tau upsilon phi chi", 5),
+        mk(8, "omicron sigma tau upsilon phi chi", 5),
+        # singleton: no pair -> absent from the output
+        mk(9, "unrelated words entirely here now then", 77),
+    ]
+    tmp = _write_sf(
+        spark, "keepbest_",
+        documents=(docs, "doc_id long, text string, lang string, "
+                         "source string, n_chars int"),
+    )
+    got = {r.group_id: (r.keep_doc_id, r.keep_n_chars, r.group_size)
+           for r in q_dedup_keep_best(spark, tmp).collect()}
+    assert got == {1: (2, 99, 3), 7: (7, 5, 2)}, got

@@ -428,6 +428,47 @@ def main() -> int:
                 "SELECT v, label FROM __lp_l"
             )
             print(f"(label-prop loop assist: {time.time() - t0:.0f}s)")
+        # kcore: the unrolled 4-sweep MATERIALIZED chain keeps every
+        # 400M-row generation g0..g4 alive until the STATEMENT ends,
+        # and the final generations' hash builds request monolithic
+        # multi-GB allocations that cannot spill mid-allocation —
+        # measured OOM at native sf1 even under a 100GB memory_limit.
+        # Run the SAME peel schedule (k=2, 4 sweeps — the committed
+        # oracle's constants) as separate per-sweep temp-table
+        # statements, dropping each prior generation first. Same
+        # function, same constants; the driver's sf0.01 gate still
+        # runs the untouched single-statement SQL.
+        if ("dedup_kcore" in names and "dedup_kcore" in oracles
+                and "__mh_pairs_plain" in materialized
+                and "FROM __mh_pairs_plain" in oracles["dedup_kcore"]):
+            t0 = time.time()
+            con.sql(
+                "CREATE TEMP TABLE __kc_g AS "
+                "SELECT id_a AS src, id_b AS dst FROM ("
+                "  SELECT DISTINCT id_a, id_b FROM __mh_pairs_plain) "
+                "UNION ALL "
+                "SELECT id_b, id_a FROM ("
+                "  SELECT DISTINCT id_a, id_b FROM __mh_pairs_plain)"
+            )
+            for _ in range(4):
+                con.sql(
+                    "CREATE TEMP TABLE __kc_k AS SELECT src FROM __kc_g "
+                    "GROUP BY src HAVING count(*) >= 2"
+                )
+                con.sql(
+                    "CREATE TEMP TABLE __kc_g2 AS "
+                    "SELECT g.src, g.dst FROM __kc_g g "
+                    "JOIN __kc_k a ON g.src = a.src "
+                    "JOIN __kc_k b ON g.dst = b.src"
+                )
+                con.sql("DROP TABLE __kc_g")
+                con.sql("DROP TABLE __kc_k")
+                con.sql("ALTER TABLE __kc_g2 RENAME TO __kc_g")
+            oracles["dedup_kcore"] = (
+                "SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg "
+                "FROM __kc_g GROUP BY src"
+            )
+            print(f"(kcore loop assist: {time.time() - t0:.0f}s)")
     failures = []
     timeouts = []
     n_digest = 0
