@@ -273,6 +273,18 @@ SCALE_QUERIES = [
     # pair stream + CC + one map-combined integer-combo argmax — must
     # track the capped twins' linear shape
     "dedup_keep_best",
+    # round-9 session 2: the classifier / calibration family — langid
+    # training is a vocab agg + top-30 broadcast, the NB votes are a
+    # vocab agg + broadcast join, the two calibration censuses ride
+    # the capped pair stream, KMV resemblance is k-longs-per-source
+    # state, and power iteration is 6 zero-exchange corpus passes +
+    # 64-row dim aggs: each must hold a ~linear shape at 10x
+    "text_langid_trained",
+    "docs_nb_source_classifier",
+    "dedup_minhash_error",
+    "dedup_threshold_sweep",
+    "docs_source_kmv_jaccard",
+    "sim_power_iteration",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -11719,3 +11719,729 @@ ORACLE_SQL_LLM["dedup_keep_best"] = f"""
     GROUP BY g.group_id
 """
 QUERIES_LLM["dedup_keep_best"] = q_dedup_keep_best
+
+
+# ------------------------------------------------------------------
+# round 9: classifier / calibration / sketch-similarity family — the
+# eval-and-filter operators a curation pipeline runs AROUND dedup:
+# trained language ID, a quality-filter classifier, estimator
+# calibration, the dedup threshold operating curve, cross-source
+# sketch resemblance, and fixed-point spectral analysis.
+# ------------------------------------------------------------------
+
+_LANGID_PROFILE_TOP = 30  # profile depth (Cavnar-Trenkle top-K)
+
+
+def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (Cavnar & Trenkle 1994's rank-order
+    profiles, token-level): per language, the top-30 tokens by corpus
+    frequency (ties -> token asc) form the profile with integer rank
+    weights 30..1; a doc scores each language by the summed weights of
+    its DISTINCT tokens that hit the profile, and is labeled by the
+    best score (ties -> language asc; no profile hit at all -> 'und').
+    Contrast with text_langid (hand-written stopword heuristic): this
+    one LEARNS the profiles from the labeled corpus — the supervised
+    half of the langid story. Output is the (lang, pred_lang)
+    confusion census with the exact integer score mass.
+
+    Scale shape: training is one vocabulary-sized (lang, token) agg
+    whose top-30-per-lang survives a lang-partitioned window (frame =
+    per-lang vocabulary, never the corpus); the 150-row profile
+    broadcasts; scoring is one broadcast join + (doc, lang) agg with
+    <= n_langs rows per doc; the argmax window partitions by doc_id.
+    Everything is exact integers — no float can flip a label."""
+    d = _t(spark, sf_dir, "documents")
+    p = _LANGID_PROFILE_TOP
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    prof = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= p)
+        .select(
+            F.col("lang").alias("prof_lang"),
+            "tok",
+            (F.lit(p + 1) - F.col("rank")).cast("long").alias("w"),
+        )
+    )
+    dtoks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "tok"
+        ),
+    )
+    scores = (
+        dtoks.join(F.broadcast(prof), "tok")
+        .groupBy("doc_id", "prof_lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("prof_lang").asc()
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("prof_lang").alias("pred_lang"), "score")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .groupBy(
+            "lang",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("score"), F.lit(0)))
+            .cast("long")
+            .alias("sum_score"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["text_langid_trained"] = f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+    ranked AS (
+      SELECT lang, tok,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, tok ASC) AS rank
+      FROM toks GROUP BY lang, tok),
+    prof AS (
+      SELECT lang AS prof_lang, tok,
+             CAST({_LANGID_PROFILE_TOP} + 1 - rank AS BIGINT) AS w
+      FROM ranked WHERE rank <= {_LANGID_PROFILE_TOP}),
+    dtoks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    scores AS (
+      SELECT doc_id, prof_lang, sum(w) AS score
+      FROM dtoks JOIN prof USING (tok) GROUP BY doc_id, prof_lang),
+    best AS (
+      SELECT doc_id, prof_lang AS pred_lang, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC,
+                                              prof_lang ASC) AS rn
+        FROM scores) WHERE rn = 1)
+    SELECT d.lang,
+           coalesce(b.pred_lang, 'und') AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(b.score), 0) AS BIGINT) AS sum_score
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    GROUP BY 1, 2
+"""
+QUERIES_LLM["text_langid_trained"] = q_text_langid_trained
+
+
+def q_docs_nb_source_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Naive-Bayes-vote quality-filter classifier (the fastText /
+    CCNet pattern of training a linear text classifier on a trusted
+    source vs the rest, here with Laplace-smoothed per-token
+    likelihood VOTES instead of log-odds so every comparison is an
+    exact integer cross-multiplication that both engines resolve
+    identically): the positive class H is the largest source by doc
+    count (ties -> source asc); a token votes +1 for H iff
+    (c_h+1)*(N_o+V) > (c_o+1)*(N_h+V) — algebraically the smoothed
+    P(tok|H) > P(tok|rest) — and -1 for the reverse strict
+    inequality (equal likelihoods abstain). A doc's margin sums its
+    tokens' votes WITH multiplicity; pred_high = margin > 0. Output
+    is the per-(source, pred_high) census with the exact vote mass.
+
+    Scale shape: the class pick and the three corpus scalars (N_h,
+    N_o, V) are bounded literal-lookups (the chunk-offset pattern —
+    source is a low-cardinality dimension, the scalars are one agg
+    row); token votes are one vocabulary-sized agg joined broadcast
+    to the token stream; the doc margin is one map-combinable sum.
+    Int64 bound: the vote cross-products stay exact while per-class
+    token totals remain below ~3e9 (products < 2^63) — the TVD
+    precedent; DECIMAL(38) intermediates beyond."""
+    d = _t(spark, sf_dir, "documents")
+    # bounded collect #1: the positive class — source is a dimension
+    src_counts = sorted(
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: (-r["c"], r["source"]),
+    )
+    if not src_counts:
+        return spark.createDataFrame(
+            [],
+            "source string, pred_high boolean, n_docs long, "
+            "sum_margin long",
+        )
+    hsrc = src_counts[0]["source"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.sum((F.col("source") == hsrc).cast("long")).alias("c_h"),
+        F.sum((F.col("source") != hsrc).cast("long")).alias("c_o"),
+    )
+    # bounded collect #2: one 3-int row (class totals + vocab size)
+    t = per_tok.agg(
+        F.sum("c_h").alias("_nh"),
+        F.sum("c_o").alias("_no"),
+        F.count(F.lit(1)).alias("_v"),
+    ).collect()[0]
+    nh, no, v = int(t["_nh"]), int(t["_no"]), int(t["_v"])
+    lhs = (F.col("c_h") + 1) * F.lit(no + v)
+    rhs = (F.col("c_o") + 1) * F.lit(nh + v)
+    votes = per_tok.select(
+        "tok",
+        F.when(lhs > rhs, F.lit(1))
+        .when(lhs < rhs, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("vote"),
+    )
+    margins = (
+        toks.join(F.broadcast(votes), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("vote").alias("margin"))
+    )
+    return margins.groupBy(
+        "source", (F.col("margin") > 0).alias("pred_high")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("margin").cast("long").alias("sum_margin"),
+    )
+
+
+ORACLE_SQL_LLM["docs_nb_source_classifier"] = """
+    WITH hpick AS (
+      SELECT source AS hsrc FROM documents
+      GROUP BY source ORDER BY count(*) DESC, source ASC LIMIT 1),
+    toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    per_tok AS (
+      SELECT tok,
+             sum(CASE WHEN source = (SELECT hsrc FROM hpick)
+                      THEN 1 ELSE 0 END) AS c_h,
+             sum(CASE WHEN source = (SELECT hsrc FROM hpick)
+                      THEN 0 ELSE 1 END) AS c_o
+      FROM toks GROUP BY tok),
+    tot AS (
+      SELECT sum(c_h) AS nh, sum(c_o) AS no_, count(*) AS v
+      FROM per_tok),
+    votes AS (
+      SELECT tok,
+             CASE WHEN (c_h + 1) * (t.no_ + t.v)
+                       > (c_o + 1) * (t.nh + t.v) THEN 1
+                  WHEN (c_h + 1) * (t.no_ + t.v)
+                       < (c_o + 1) * (t.nh + t.v) THEN -1
+                  ELSE 0 END AS vote
+      FROM per_tok, tot t),
+    margins AS (
+      SELECT doc_id, source, sum(vote) AS margin
+      FROM toks JOIN votes USING (tok)
+      GROUP BY doc_id, source)
+    SELECT source,
+           margin > 0 AS pred_high,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(margin) AS BIGINT) AS sum_margin
+    FROM margins
+    GROUP BY 1, 2
+"""
+QUERIES_LLM["docs_nb_source_classifier"] = q_docs_nb_source_classifier
+
+
+def _sigs_wh_sql(num_hashes: int) -> str:
+    """CTE fragment `swh(doc_id, wh, mh_0..mh_{n-1})`: the distinct-
+    word hash array + MinHash signature per doc — the DuckDB mirror of
+    dedup.minhash_signature_cols, shared by the calibration oracles."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        _mix_a,
+        _mix_b,
+    )
+
+    sigs = ", ".join(
+        "list_aggregate(list_transform(wh, "
+        f"h -> ({_mix_a(i)} * h + {_mix_b(i)}) % {_MERSENNE}), 'min')"
+        f" AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+        wh0 AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')),
+                                w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
+          FROM documents),
+        swh AS (SELECT doc_id, wh, {sigs} FROM wh0)
+    """
+
+
+def _pair_wordset_join(d: DataFrame, num_hashes: int) -> DataFrame:
+    """Capped-LSH candidate pairs joined with both sides' signature +
+    distinct-word-hash arrays, plus the exact intersection/union sizes
+    and the count of matching signature components — the shared verify
+    frame of the two round-9 calibration censuses. Candidate volume is
+    hot-bucket-cap-bounded (linear in the corpus); the two id-keyed
+    joins against the signature table are the standard verify cost."""
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text",
+        num_hashes=num_hashes, bands=2, max_bucket=_LSH_MAX_BUCKET,
+    )
+    wh, sig = minhash_signature_cols(F.col("text"), num_hashes)
+    sigs = d.select("doc_id", wh).select("doc_id", "_wh", *sig)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("_wh").alias("wh_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("_wh").alias("wh_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("long")
+        for i in range(num_hashes)
+    )
+    inter = F.size(F.array_intersect(F.col("wh_a"), F.col("wh_b"))).cast(
+        "long"
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        matches.alias("mh_matches"),
+        inter.alias("inter"),
+        (
+            F.size(F.col("wh_a")).cast("long")
+            + F.size(F.col("wh_b")).cast("long")
+            - inter
+        ).alias("uni"),
+    )
+
+
+def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION census — the eval step that tells
+    you whether 16 hashes are enough before you trust the sketch at
+    100 TB: on the hot-bucket-capped LSH candidate pairs, compare the
+    MinHash Jaccard estimate (matching signature components / 16)
+    against the EXACT distinct-word Jaccard, and histogram the
+    absolute error into eighths. Bin arithmetic is exact integer:
+    bin = (|matches*union - 16*inter| * 8) div (16 * union) — no float
+    touches a bucket boundary. Per bin: pair count and the exact
+    numerator masses (sum of matches / intersections / unions), from
+    which any downstream consumer recovers mean estimate and mean
+    truth as rationals.
+
+    Scale shape: candidates are cap-bounded (linear in the corpus);
+    the signature+wordset attach is two id-keyed joins; the census is
+    one 9-row agg. The word-hash arrays ride the join exactly like
+    jaccard_verify_pairs' shingle arrays."""
+    d = _t(spark, sf_dir, "documents")
+    j = _pair_wordset_join(d, 16)
+    err_num = F.abs(
+        F.col("mh_matches") * F.col("uni") - F.lit(16) * F.col("inter")
+    )
+    # exact integer floor division (operands are non-negative)
+    bin_ = ((err_num * 8) - ((err_num * 8) % (16 * F.col("uni")))) / (
+        16 * F.col("uni")
+    )
+    return (
+        j.select(bin_.cast("long").alias("err_bin"), "mh_matches",
+                 "inter", "uni")
+        .groupBy("err_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("mh_matches").cast("long").alias("sum_matches"),
+            F.sum("inter").cast("long").alias("sum_inter"),
+            F.sum("uni").cast("long").alias("sum_union"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["dedup_minhash_error"] = f"""
+    WITH pairs AS MATERIALIZED ({_minhash_sql(16, 2, _LSH_MAX_BUCKET)}),
+    {_sigs_wh_sql(16)},
+    j AS (
+      SELECT p.id_a, p.id_b,
+             {" + ".join(f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(16))} AS mh_matches,
+             len(list_intersect(a.wh, b.wh)) AS inter,
+             len(a.wh) + len(b.wh) - len(list_intersect(a.wh, b.wh)) AS uni
+      FROM pairs p
+      JOIN swh a ON a.doc_id = p.id_a
+      JOIN swh b ON b.doc_id = p.id_b)
+    SELECT CAST(abs(mh_matches * uni - 16 * inter) * 8
+                // (16 * uni) AS BIGINT) AS err_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(mh_matches) AS BIGINT) AS sum_matches,
+           CAST(sum(inter) AS BIGINT) AS sum_inter,
+           CAST(sum(uni) AS BIGINT) AS sum_union
+    FROM j GROUP BY 1
+"""
+QUERIES_LLM["dedup_minhash_error"] = q_dedup_minhash_error
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold OPERATING CURVE — the census a pipeline owner
+    reads before committing a Jaccard cutoff to a 100 TB dedup run:
+    from ONE capped-LSH candidate verify pass, the count of pairs at
+    or above each candidate threshold t/10 for t in 5..9, with the
+    exact intersection/union masses of each survivor set. Membership
+    is the exact integer cross-multiplication 10*inter >= t*union
+    (word-level Jaccard, the MinHash basis), so no survivor can flip
+    on float rounding.
+
+    Scale shape: the verify frame is computed once (cap-bounded
+    candidates, two id-keyed joins — see _pair_wordset_join); the
+    sweep itself is ONE map-combinable agg with 15 conditional sums,
+    unpivoted to 5 rows via stack — no re-verification per threshold,
+    no window, no second pass."""
+    d = _t(spark, sf_dir, "documents")
+    j = _pair_wordset_join(d, 16)
+    aggs = []
+    for t in range(5, 10):
+        ge = (F.lit(10) * F.col("inter")) >= (F.lit(t) * F.col("uni"))
+        aggs += [
+            F.sum(ge.cast("long")).alias(f"n_{t}"),
+            F.sum(F.when(ge, F.col("inter")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"i_{t}"),
+            F.sum(F.when(ge, F.col("uni")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"u_{t}"),
+        ]
+    one = j.agg(*aggs)
+    stack = ", ".join(
+        f"{t}L, coalesce(n_{t}, 0L), coalesce(i_{t}, 0L), "
+        f"coalesce(u_{t}, 0L)"
+        for t in range(5, 10)
+    )
+    return one.select(
+        F.expr(
+            f"stack(5, {stack}) AS "
+            "(threshold_tenths, n_pairs_ge, sum_inter, sum_union)"
+        )
+    )
+
+
+ORACLE_SQL_LLM["dedup_threshold_sweep"] = f"""
+    WITH pairs AS MATERIALIZED ({_minhash_sql(16, 2, _LSH_MAX_BUCKET)}),
+    {_sigs_wh_sql(16)},
+    j AS (
+      SELECT len(list_intersect(a.wh, b.wh)) AS inter,
+             len(a.wh) + len(b.wh)
+               - len(list_intersect(a.wh, b.wh)) AS uni
+      FROM pairs p
+      JOIN swh a ON a.doc_id = p.id_a
+      JOIN swh b ON b.doc_id = p.id_b),
+    one AS (
+      SELECT
+        {", ".join(
+            f"coalesce(sum(CASE WHEN 10 * inter >= {t} * uni THEN 1 ELSE 0 END), 0) AS n_{t}, "
+            f"coalesce(sum(CASE WHEN 10 * inter >= {t} * uni THEN inter ELSE 0 END), 0) AS i_{t}, "
+            f"coalesce(sum(CASE WHEN 10 * inter >= {t} * uni THEN uni ELSE 0 END), 0) AS u_{t}"
+            for t in range(5, 10)
+        )}
+      FROM j)
+    {" UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS threshold_tenths, "
+        f"CAST(n_{t} AS BIGINT) AS n_pairs_ge, "
+        f"CAST(i_{t} AS BIGINT) AS sum_inter, "
+        f"CAST(u_{t} AS BIGINT) AS sum_union FROM one"
+        for t in range(5, 10)
+    )}
+"""
+QUERIES_LLM["dedup_threshold_sweep"] = q_dedup_threshold_sweep
+
+
+_KMV_JACCARD_K = 16  # estimator-branch depth on the committed fixtures
+
+
+def q_docs_source_kmv_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source vocabulary RESEMBLANCE via KMV sketches (Beyer et
+    al. 2007's k-minimum-values estimator, the mergeable form of
+    pairwise set similarity): each source's token vocabulary collapses
+    to its k smallest md5 hashes; a source pair's Jaccard estimate is
+    |union-k ∩ A_k ∩ B_k| / |union-k|, where union-k is the k smallest
+    of the merged sketches — per source the state is k longs however
+    many tokens the source holds, which is why this is the shape that
+    survives 100 TB (vs the exact token self-join, emitted alongside
+    as the calibration truth: its per-token fanout is bounded by the
+    SOURCE dimension's cardinality squared, not the corpus). All
+    outputs are exact integers: the estimate travels as
+    (kmv_matches, k_used) and the truth as (exact_inter, exact_union).
+
+    Scale shape: one (source, token-hash) distinct agg; k-smallest via
+    a source-partitioned window; the pair frame is a bounded
+    dimension-metadata collect (the chunk-offset pattern) joined
+    broadcast against the k-row-per-source sketch lists; the exact
+    truth is one token-keyed self-join whose fanout per token is
+    <= |sources|^2."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        hex_to_long,
+    )
+
+    k = _KMV_JACCARD_K
+    d = _t(spark, sf_dir, "documents")
+    th = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+                "tok"
+            ),
+        )
+        .select("source", hex_to_long(F.md5(F.col("tok")), 8).alias("h"))
+        .distinct()
+    )
+    w_k = Window.partitionBy("source").orderBy(F.col("h").asc())
+    sk = (
+        th.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    # bounded collect: the source dimension (pair spine, |S|^2/2 rows)
+    sources = sorted(r["source"] for r in sk.select("source").collect())
+    pairs = [
+        (a, b) for i, a in enumerate(sources) for b in sources[i + 1:]
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [],
+            "src_a string, src_b string, k_used long, kmv_matches long, "
+            "exact_inter long, exact_union long",
+        )
+    pair_df = spark.createDataFrame(pairs, "src_a string, src_b string")
+    ska = sk.select(F.col("source").alias("src_a"), F.col("hs").alias("hs_a"))
+    skb = sk.select(F.col("source").alias("src_b"), F.col("hs").alias("hs_b"))
+    j = pair_df.join(F.broadcast(ska), "src_a").join(
+        F.broadcast(skb), "src_b"
+    )
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat("hs_a", "hs_b"))), 1, k
+    )
+    both = F.array_intersect(F.col("hs_a"), F.col("hs_b"))
+    est = j.select(
+        "src_a",
+        "src_b",
+        F.size(union_k).cast("long").alias("k_used"),
+        F.size(F.array_intersect(union_k, both))
+        .cast("long")
+        .alias("kmv_matches"),
+    )
+    # exact truth: token-keyed self-join, fanout bounded by |S| per tok
+    ta = th.select(F.col("source").alias("src_a"), "h")
+    tb = th.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        ta.join(tb, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    vocab = th.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    va = vocab.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "k_used",
+            "kmv_matches",
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("long")
+            .alias("exact_inter"),
+            (
+                F.col("va") + F.col("vb")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            )
+            .cast("long")
+            .alias("exact_union"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["docs_source_kmv_jaccard"] = f"""
+    WITH th AS (
+      SELECT DISTINCT source,
+             {_sql_hex_to_long('md5(tok)', 8)} AS h
+      FROM (SELECT source,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)),
+    sk AS (
+      SELECT source, list_sort(list(h)) AS hs FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM th) WHERE rn <= {_KMV_JACCARD_K}
+      GROUP BY source),
+    ps AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM th) a
+      JOIN (SELECT DISTINCT source FROM th) b ON a.source < b.source),
+    est AS (
+      SELECT p.src_a, p.src_b,
+             len(list_slice(list_sort(list_distinct(a.hs || b.hs)),
+                            1, {_KMV_JACCARD_K})) AS k_used,
+             len(list_intersect(
+                   list_slice(list_sort(list_distinct(a.hs || b.hs)),
+                              1, {_KMV_JACCARD_K}),
+                   list_intersect(a.hs, b.hs))) AS kmv_matches
+      FROM ps p
+      JOIN sk a ON a.source = p.src_a
+      JOIN sk b ON b.source = p.src_b),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS exact_inter
+      FROM th a JOIN th b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2),
+    vocab AS (SELECT source, count(*) AS v FROM th GROUP BY source)
+    SELECT e.src_a, e.src_b,
+           CAST(e.k_used AS BIGINT) AS k_used,
+           CAST(e.kmv_matches AS BIGINT) AS kmv_matches,
+           CAST(coalesce(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(va.v + vb.v - coalesce(i.exact_inter, 0) AS BIGINT)
+             AS exact_union
+    FROM est e
+    LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+    JOIN vocab va ON va.source = e.src_a
+    JOIN vocab vb ON vb.source = e.src_b
+"""
+QUERIES_LLM["docs_source_kmv_jaccard"] = q_docs_source_kmv_jaccard
+
+
+_POWER_ITER_ROUNDS = 3
+_POWER_ITER_Q = 100  # fixed-point quantization scale
+
+
+def q_sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via FIXED-POINT
+    power iteration (von Mises & Pollaczek-Geiringer 1929), the
+    spectral probe a curation pipeline runs to find the dominant
+    axis of its embedding space (anisotropy / "rogue dimension"
+    detection): 3 rounds of v <- X^T (X v) with the embeddings
+    quantized to integers (floor(x*100)) and v renormalized to
+    max-abs 100 by EXACT integer floor division each round — every
+    engine reproduces the identical trajectory, no float sum order
+    can flip a digit. The corpus-facing output is the per-label
+    census of the final projection (n, sum/min/max of <xq, v>).
+
+    Scale shape: each round is two corpus passes — a per-row dot
+    against the broadcast-literal v (zip_with fold, zero exchange)
+    and one 64-row dimension agg (posexplode, map-combined); the
+    driver holds only the 64-int v between rounds (the chunk-offset
+    literal-lookup pattern). Int64 bound: per-row terms are
+    <= d*Q^2*Q = 6.4e7, so the dimension sums stay exact below ~1.4e11
+    rows; rescale Q beyond (documented, the TVD precedent)."""
+    d_dim = 64
+    q = _POWER_ITER_Q
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * q).cast("long"),
+    )
+    e = emb.select("vec_id", "label", xq.alias("xq"))
+    v = [q] * d_dim
+    for _ in range(_POWER_ITER_ROUNDS):
+        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("xq"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        y_rows = (
+            e.select(
+                F.posexplode(
+                    F.transform(F.col("xq"), lambda x: x * dot)
+                ).alias("dim", "t")
+            )
+            .groupBy("dim")
+            .agg(F.sum("t").alias("y"))
+            .collect()  # bounded: exactly d rows of longs
+        )
+        if not y_rows:
+            break  # empty corpus: v (and the output) are vacuous
+        y = {r["dim"]: int(r["y"]) for r in y_rows}
+        m = max(abs(c) for c in y.values())
+        if m == 0:
+            break  # degenerate spectrum: keep the current direction
+        v = [(y.get(i, 0) * q) // m for i in range(d_dim)]
+    vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+    proj = F.aggregate(
+        F.zip_with(F.col("xq"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", proj.alias("p"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("p").cast("long").alias("sum_proj"),
+            F.min("p").cast("long").alias("min_proj"),
+            F.max("p").cast("long").alias("max_proj"),
+        )
+    )
+
+
+def _power_iter_sql(rounds: int, q: int, d_dim: int) -> str:
+    """DuckDB mirror of the fixed-point power iteration: round 0's v
+    is the constant-q vector (dot = q * sum(xq)); each later round
+    joins the previous 64-row v CTE. Floor division is emulated
+    exactly for signed numerators: (n - ((n % m + m) % m)) / m."""
+    ctes = [
+        "e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* {q}) AS BIGINT)) AS xq FROM embeddings)",
+        f"d0 AS (SELECT label, xq, {q} * list_aggregate(xq, 'sum') AS dot "
+        "FROM e)",
+    ]
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"y{r} AS (SELECT t.i AS dim, sum(xq[t.i + 1] * dot) AS y "
+            f"FROM {prev}, range({d_dim}) t(i) GROUP BY t.i)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT max(abs(y)) AS m FROM y{r})"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT dim, CASE WHEN m.m = 0 THEN "
+            + (f"{q}" if r == 1 else f"(SELECT v FROM v{r - 1} pv "
+                                     f"WHERE pv.dim = y{r}.dim)")
+            + f" ELSE CAST((y * {q} - ((y * {q} % m.m + m.m) % m.m)) "
+            f"// m.m AS BIGINT) END AS v FROM y{r}, m{r} m)"
+        )
+        if r < rounds:
+            ctes.append(
+                f"d{r} AS (SELECT label, xq, "
+                f"(SELECT sum(xq[v.dim + 1] * v.v) FROM v{r} v) AS dot "
+                f"FROM e)"
+            )
+            prev = f"d{r}"
+    last = rounds
+    return f"""
+    WITH {", ".join(ctes)},
+    fin AS (SELECT label,
+                   (SELECT sum(xq[v.dim + 1] * v.v) FROM v{last} v) AS p
+            FROM e)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(p) AS BIGINT) AS sum_proj,
+           CAST(min(p) AS BIGINT) AS min_proj,
+           CAST(max(p) AS BIGINT) AS max_proj
+    FROM fin GROUP BY label
+    """
+
+
+ORACLE_SQL_LLM["sim_power_iteration"] = _power_iter_sql(
+    _POWER_ITER_ROUNDS, _POWER_ITER_Q, 64
+)
+QUERIES_LLM["sim_power_iteration"] = q_sim_power_iteration
