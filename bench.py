@@ -285,6 +285,15 @@ SCALE_QUERIES = [
     "dedup_threshold_sweep",
     "docs_source_kmv_jaccard",
     "sim_power_iteration",
+    # round-9 session 2 (cont.): band tuning = 3 cap-bounded LSH
+    # streams + ONE pooled verify (persisted across its two passes);
+    # the size power-law rides the same capped CC the dedup path pays
+    "dedup_band_tuning",
+    "dedup_group_size_powerlaw",
+    # round-9 session 2 (cont.): source impact rides capped CC +
+    # keep-best; PC1-explained re-runs the bounded-driver iteration
+    "dedup_source_impact",
+    "sim_pc1_explained",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -12445,3 +12445,451 @@ ORACLE_SQL_LLM["sim_power_iteration"] = _power_iter_sql(
     _POWER_ITER_ROUNDS, _POWER_ITER_Q, 64
 )
 QUERIES_LLM["sim_power_iteration"] = q_sim_power_iteration
+
+
+_BAND_CONFIGS = (2, 4, 8)  # bands over the shared 16-hash signature
+# The tuning census runs under a TIGHTER shared cap than the
+# production stream (64 vs 256): with 2-hash bands nearly every
+# bucket sits just under the cap, so emission volume scales as
+# bands x buckets x cap^2/2 — at cap 256 the 8x2 config alone cost
+# 45 s at sf0.001 (measured); cap 64 prices the identical trade at
+# 1/16th the pair emissions. The cap is an explicit parameter of the
+# experiment and the oracle replays it.
+_BAND_TUNING_CAP = 64
+
+
+def q_dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH PARAMETER-TUNING census — the decision table an operator
+    reads before picking (bands, rows) for a 100 TB dedup run: over
+    the SAME 16-hash MinHash signature, the banded candidate sets at
+    2x8 / 4x4 / 8x2 (each under the shared hot-bucket cap), verified
+    once against exact word-Jaccard >= 0.8. Per config: candidate
+    volume, true positives among its candidates, and the pooled truth
+    (true positives in the UNION of all three candidate sets), so
+    precision and POOLED RELATIVE RECALL (Buckley & Voorhees' pooling
+    practice) read off as exact rationals. NOTE the cap interaction
+    this census exists to expose: uncapped, more bands is strictly
+    more candidates, but looser bands concentrate occupancy, so under
+    the hot-bucket cap a loose config can surface FEWER candidates
+    than a tight one — exactly the non-obvious trade the table prices
+    before a corpus-scale run commits to a config.
+
+    Scale shape: ONE flat (config, band_idx, bucket) explode off one
+    signature table (14 rows/doc), one occupancy agg, one under-cap
+    filter, one self-join whose per-key fanout is cap-bounded, one
+    distinct — all three configs in 4 shuffles (see the inline note:
+    the production per-config generator costs ~50 fixed stages here).
+    The union dedups before the single exact-verify attach, so no
+    pair is verified twice; the census is one 3-row agg. The
+    candidate stream and the verified-pair table persist across the
+    pooled-scalar pass and the per-config census (a deliberate
+    bounded cache, the q11 precedent: capped-stream-sized,
+    LRU-evictable; the returned plan is lazy, so unpersisting here
+    would force recomputation)."""
+    d = _t(spark, sf_dir, "documents")
+    # ONE flat banded frame for all three configs: the production
+    # generator (minhash_lsh_pairs) plans bands broadcast-gated joins
+    # PER CONFIG (first-kept-colliding-band emission) — the right
+    # shape for a single deployed config, but 2+4+8 bands of it cost
+    # ~50 stages of fixed overhead here (measured 45 s for the 8x2
+    # config alone at sf0.001). The census only needs the candidate
+    # SET ("collides in >= 1 under-cap bucket"), which one
+    # explode -> occupancy filter -> self-join -> distinct computes
+    # identically with 4 shuffles for ALL configs at once.
+    wh, sig = minhash_signature_cols(F.col("text"), 16)
+    sigs = d.select("doc_id", wh).select("doc_id", *sig)
+    levels = []
+    for b in _BAND_CONFIGS:
+        rows = 16 // b
+        for i in range(b):
+            levels.append(
+                F.struct(
+                    F.lit(f"{b}x{rows}").alias("config"),
+                    F.lit(i).alias("band_idx"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{i * rows + r}")
+                            for r in range(rows)
+                        ],
+                    ).alias("bk"),
+                )
+            )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*levels)).alias("_l")
+    ).select("doc_id", "_l.config", "_l.band_idx", "_l.bk")
+    occ_keys = ["config", "band_idx", "bk"]
+    kept = (
+        banded.groupBy(*occ_keys)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= _BAND_TUNING_CAP)
+        .select(*occ_keys)
+    )
+    bk2 = banded.join(kept, occ_keys)
+    tagged = (
+        bk2.select("config", "band_idx", "bk",
+                   F.col("doc_id").alias("id_a"))
+        .join(
+            bk2.select("config", "band_idx", "bk",
+                       F.col("doc_id").alias("id_b")),
+            occ_keys,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("config", "id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    uniq = tagged.select("id_a", "id_b").distinct()
+    sets = d.select("doc_id", wh).select(
+        F.col("doc_id"), F.col("_wh").alias("wh")
+    )
+    verified = (
+        uniq.join(
+            sets.select(F.col("doc_id").alias("id_a"),
+                        F.col("wh").alias("wh_a")), "id_a")
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"),
+                        F.col("wh").alias("wh_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("wh_a", "wh_b"))
+            .cast("long").alias("inter"),
+            (F.size("wh_a") + F.size("wh_b")
+             - F.size(F.array_intersect("wh_a", "wh_b")))
+            .cast("long").alias("uni"),
+        )
+    )
+    is_true = (F.lit(10) * F.col("inter")) >= (F.lit(8) * F.col("uni"))
+    vt = verified.select("id_a", "id_b", is_true.alias("is_true")).persist()
+    pooled = vt.agg(
+        F.sum(F.col("is_true").cast("long")).alias("_pool")
+    ).collect()[0]
+    n_pool = int(pooled["_pool"] or 0)  # bounded: one scalar
+    return (
+        tagged.join(vt, ["id_a", "id_b"])
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.col("is_true").cast("long"))
+            .cast("long")
+            .alias("n_true_pos"),
+        )
+        .select(
+            "config", "n_candidates", "n_true_pos",
+            F.lit(n_pool).cast("long").alias("n_true_pooled"),
+        )
+    )
+
+
+def _band_tuning_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT id_a, id_b, '{b}x{16 // b}' AS config "
+        f"FROM ({_minhash_sql(16, b, _BAND_TUNING_CAP)})"
+        for b in _BAND_CONFIGS
+    )
+    return f"""
+    WITH tagged AS MATERIALIZED ({unions}),
+    uniq AS (SELECT DISTINCT id_a, id_b FROM tagged),
+    wh0 AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
+      FROM documents),
+    vt AS (
+      SELECT u.id_a, u.id_b,
+             10 * len(list_intersect(a.wh, b.wh))
+               >= 8 * (len(a.wh) + len(b.wh)
+                       - len(list_intersect(a.wh, b.wh))) AS is_true
+      FROM uniq u
+      JOIN wh0 a ON a.doc_id = u.id_a
+      JOIN wh0 b ON b.doc_id = u.id_b),
+    pool AS (
+      SELECT coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0)
+             AS n_pool FROM vt)
+    SELECT t.config,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN v.is_true THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_pos,
+           CAST((SELECT n_pool FROM pool) AS BIGINT) AS n_true_pooled
+    FROM tagged t
+    JOIN vt v ON v.id_a = t.id_a AND v.id_b = t.id_b
+    GROUP BY t.config
+"""
+
+
+ORACLE_SQL_LLM["dedup_band_tuning"] = _band_tuning_sql()
+QUERIES_LLM["dedup_band_tuning"] = q_dedup_band_tuning
+
+
+def q_dedup_group_size_powerlaw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-group SIZE-DISTRIBUTION census: connected components
+    over the hot-bucket-capped pair stream, histogrammed by
+    floor(log2(group_size)) — the observability row a dedup run emits
+    to answer "is duplication a long tail of pairs or a few mega
+    cliques?" (the answer decides whether keep-best selection or
+    cluster-cap salting is the binding cost at 100 TB). The log2 bin
+    travels as an INTEGER (binary-string length - 1), so no float
+    logarithm can straddle a bucket boundary. Per bin: group count
+    and total docs inside those groups.
+
+    Scale shape: capped pairs (linear) -> dedup_groups (bounded
+    driver union-find fast path / two-level contraction beyond) ->
+    one group-size agg -> one <=32-row bin agg. Nothing here exceeds
+    the components computation the dedup path already pays for."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        dedup_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    sizes = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    size_bin = (
+        F.length(F.conv(F.col("size").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        sizes.groupBy(size_bin.alias("size_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("size").cast("long").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_SQL_LLM["dedup_group_size_powerlaw"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        {_minhash_sql(16, 2, _LSH_MAX_BUCKET)}),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    lbl(node, comp) AS (
+      SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
+      UNION
+      SELECT s.b, l.comp
+      FROM lbl l JOIN sym s ON s.a = l.node
+      WHERE l.comp < s.b
+    ),
+    grp AS (SELECT node AS doc_id, MIN(comp) AS group_id
+            FROM lbl GROUP BY node),
+    sizes AS (SELECT group_id, count(*) AS sz FROM grp GROUP BY group_id)
+    SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_bin,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+"""
+QUERIES_LLM["dedup_group_size_powerlaw"] = q_dedup_group_size_powerlaw
+
+
+def q_dedup_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DEDUP IMPACT census — the table a training-mix
+    owner reads after a dedup pass: for each source, how many docs
+    (and how much token mass) survive keep-best representative
+    selection over the duplicate groups. Survivors = every doc not in
+    a group, plus each group's keep-best member (longest n_chars,
+    ties -> lowest doc_id — the dedup_keep_best rule, recomputed here
+    via the same exact integer combo so the two censuses can never
+    disagree). Token mass is the whitespace token count, so the
+    output prices dedup in the same unit the token-budget planner
+    consumes.
+
+    Scale shape: capped pairs -> connected components -> one
+    group-argmax agg (map-combinable combo max, no window) -> one
+    per-source agg over a corpus-wide frame with two bounded joins
+    (group membership, keep set). Nothing exceeds what
+    dedup_keep_best already pays."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        dedup_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    meta = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    combo = F.col("nc") * F.lit(4294967296) + (
+        F.lit(4294967295) - F.col("doc_id")
+    )
+    keep = (
+        groups.join(meta, "doc_id")
+        .groupBy("group_id")
+        .agg(F.max(combo).alias("_m"))
+        .select(
+            (F.lit(4294967295) - F.col("_m") % F.lit(4294967296))
+            .cast("long")
+            .alias("doc_id"),
+            F.lit(1).alias("_keep"),
+        )
+    )
+    j = (
+        meta.join(groups, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "source",
+            "toks",
+            (
+                F.col("group_id").isNull() | F.col("_keep").isNotNull()
+            ).alias("survives"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("survives").cast("long")).cast("long").alias("n_kept"),
+        F.sum("toks").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("survives"), F.col("toks")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+ORACLE_SQL_LLM["dedup_source_impact"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        {_minhash_sql(16, 2, _LSH_MAX_BUCKET)}),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    lbl(node, comp) AS (
+      SELECT a, LEAST(a, MIN(b)) FROM sym GROUP BY a
+      UNION
+      SELECT s.b, l.comp
+      FROM lbl l JOIN sym s ON s.a = l.node
+      WHERE l.comp < s.b
+    ),
+    grp AS (SELECT node AS doc_id, MIN(comp) AS group_id
+            FROM lbl GROUP BY node),
+    keep AS (
+      SELECT CAST(4294967295 - max(d.n_chars::BIGINT * 4294967296
+                                   + (4294967295 - d.doc_id))
+                  % 4294967296 AS BIGINT) AS doc_id
+      FROM grp g JOIN documents d USING (doc_id)
+      GROUP BY g.group_id),
+    j AS (
+      SELECT d.source,
+             len(string_split(d.text, ' '))::BIGINT AS toks,
+             (g.doc_id IS NULL OR k.doc_id IS NOT NULL) AS survives
+      FROM documents d
+      LEFT JOIN grp g ON g.doc_id = d.doc_id
+      LEFT JOIN keep k ON k.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN survives THEN toks ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM j GROUP BY source
+"""
+QUERIES_LLM["dedup_source_impact"] = q_dedup_source_impact
+
+
+def q_sim_pc1_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAINED-VARIANCE census for the fixed-point PC1
+    (sim_power_iteration's v): per label, the exact integer masses
+    from which the PC1 explained-variance ratio reads off as a
+    rational — sum of squared projections <x_q, v>^2 against the
+    total quantized second moment |v|^2 * sum |x_q|^2 (the
+    Rayleigh-quotient decomposition; ratio near 1 on a label means
+    that cluster IS the dominant axis, the anisotropy diagnostic for
+    embedding spaces). Re-runs the identical 3-round trajectory, so
+    this census and the projection census can never disagree about v.
+
+    Scale shape: the iteration cost (6 zero-exchange passes + 64-row
+    aggs, driver holds 64 ints); the census itself is one
+    map-combinable per-label agg. Int64 bound: proj^2 <= 4.1e11 per
+    row — exact below ~2e7 rows per label at Q=100; rescale Q (or
+    widen to DECIMAL(38)) beyond, the TVD precedent."""
+    d_dim = 64
+    q = _POWER_ITER_Q
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * q).cast("long"),
+    )
+    e = emb.select("vec_id", "label", xq.alias("xq"))
+    v = [q] * d_dim
+    for _ in range(_POWER_ITER_ROUNDS):
+        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("xq"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        y_rows = (
+            e.select(
+                F.posexplode(
+                    F.transform(F.col("xq"), lambda x: x * dot)
+                ).alias("dim", "t")
+            )
+            .groupBy("dim")
+            .agg(F.sum("t").alias("y"))
+            .collect()
+        )
+        if not y_rows:
+            break
+        y = {r["dim"]: int(r["y"]) for r in y_rows}
+        m = max(abs(c) for c in y.values())
+        if m == 0:
+            break
+        v = [(y.get(i, 0) * q) // m for i in range(d_dim)]
+    v_norm2 = sum(c * c for c in v)
+    vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+    proj = F.aggregate(
+        F.zip_with(F.col("xq"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm2 = F.aggregate(
+        F.transform(F.col("xq"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", proj.alias("p"), norm2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("p") * F.col("p")).cast("long").alias("sum_proj2"),
+            F.sum("n2").cast("long").alias("sum_norm2"),
+        )
+        .select(
+            "label", "n_vecs", "sum_proj2", "sum_norm2",
+            F.lit(int(v_norm2)).cast("long").alias("v_norm2"),
+        )
+    )
+
+
+def _pc1_explained_sql(rounds: int, q: int, d_dim: int) -> str:
+    base = _power_iter_sql(rounds, q, d_dim)
+    # reuse the iteration CTE chain; replace the projection census
+    # with the explained-variance masses (split on the shared marker)
+    head = base.split("fin AS (")[0]
+    return f"""{head}fin AS (SELECT label,
+                   (SELECT sum(xq[v.dim + 1] * v.v) FROM v{rounds} v) AS p,
+                   list_aggregate(list_transform(xq, x -> x * x), 'sum')
+                     AS n2
+            FROM e),
+    vn AS (SELECT sum(v * v) AS v_norm2 FROM v{rounds})
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(p * p) AS BIGINT) AS sum_proj2,
+           CAST(sum(n2) AS BIGINT) AS sum_norm2,
+           CAST((SELECT v_norm2 FROM vn) AS BIGINT) AS v_norm2
+    FROM fin GROUP BY label
+    """
+
+
+ORACLE_SQL_LLM["sim_pc1_explained"] = _pc1_explained_sql(
+    _POWER_ITER_ROUNDS, _POWER_ITER_Q, 64
+)
+QUERIES_LLM["sim_pc1_explained"] = q_sim_pc1_explained
