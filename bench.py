@@ -294,6 +294,11 @@ SCALE_QUERIES = [
     # keep-best; PC1-explained re-runs the bounded-driver iteration
     "dedup_source_impact",
     "sim_pc1_explained",
+    # round-9 session 2 (cont.): the IVF balance census is one
+    # broadcast argmax + n_lists-row agg; the A/B readout is two
+    # distinct-user aggs — both must stay flat-ish at 10x
+    "sim_ivf_occupancy",
+    "events_ab_test",
 ]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

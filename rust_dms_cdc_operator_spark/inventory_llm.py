@@ -6362,9 +6362,10 @@ QUERIES_LLM["docs_template_grams"] = q_docs_template_grams
 
 
 def oracle_sql_overrides(sf_dir: str) -> dict[str, str]:
-    """Per-scale re-renderings of the five trained-artifact oracles
-    (sim_ivf_trained, sim_ivf_probe_partitioned, sim_pq_topk,
-    sim_ivfpq_topk, sim_ivfpq_probe_partitioned). The driver's static
+    """Per-scale re-renderings of the trained-artifact oracles
+    (sim_ivf_trained, sim_ivf_probe_partitioned, sim_ivf_occupancy,
+    sim_pq_topk, sim_ivfpq_topk, sim_ivfpq_probe_partitioned). The
+    driver's static
     ORACLE_SQL entries embed the sf0.01 artifacts; this returns the
     SAME oracle SQL rendered with the artifacts trained at ``sf_dir``
     (tag = dir basename, registry: trained/ JSON written by
@@ -6383,6 +6384,7 @@ def oracle_sql_overrides(sf_dir: str) -> dict[str, str]:
         ivf = _ivf_trained_oracle_sql(cents)
         out["sim_ivf_trained"] = ivf
         out["sim_ivf_probe_partitioned"] = ivf
+        out["sim_ivf_occupancy"] = _ivf_occupancy_oracle_sql(cents)
         from rust_dms_cdc_operator_spark.trained import (  # noqa: PLC0415
             load_ivf_density,
         )
@@ -12893,3 +12895,176 @@ ORACLE_SQL_LLM["sim_pc1_explained"] = _pc1_explained_sql(
     _POWER_ITER_ROUNDS, _POWER_ITER_Q, 64
 )
 QUERIES_LLM["sim_pc1_explained"] = q_sim_pc1_explained
+
+
+def q_sim_ivf_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF LIST-BALANCE census — the ANN observability row (the
+    lsh_hot_buckets counterpart for the IVF family): per trained
+    list, its occupancy under the shared seed-42 centroids, next to
+    the corpus total and list count, so imbalance (max/mean as a
+    rational) and dead lists read straight off. At 100 TB this is THE
+    number that decides whether probe latency is uniform or one hot
+    cell serves half the corpus — faiss calls it the imbalance
+    factor; a run that deploys IVF without this census is flying
+    blind.
+
+    Scale shape: assignment is the broadcast-centroid struct-max
+    argmax (map-side combinable, zero pre-agg exchange); the census
+    is one n_lists-row agg plus one bounded scalar lookup. Oracle:
+    the identical rounded-cosine / ties->lowest-cid rule rendered
+    from the same artifact registry (per-sf via
+    oracle_sql_overrides)."""
+    from rust_dms_cdc_operator_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_assign_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    cents = _trained_ivf_cents(spark, sf_dir)
+    assign = ivf_assign_join(
+        e, cents, "vec_id", vec_col="embedding", out_col="cid"
+    )
+    occ = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    t = occ.agg(
+        F.sum("n_vecs").alias("_tot"), F.count(F.lit(1)).alias("_nl")
+    ).collect()[0]  # bounded: one 2-int row
+    tot = int(t["_tot"] or 0)
+    nl_used = int(t["_nl"] or 0)
+    return occ.select(
+        F.col("cid").cast("long").alias("cid"),
+        "n_vecs",
+        F.lit(tot).cast("long").alias("n_total"),
+        F.lit(len(cents)).cast("long").alias("n_lists"),
+        F.lit(nl_used).cast("long").alias("n_lists_used"),
+    )
+
+
+def _ivf_occupancy_oracle_sql(cents=None) -> str:
+    """sim_ivf_occupancy oracle: assignment by the identical
+    rounded-cosine / ties->lowest-cid rule over the trained centroid
+    literals, then the occupancy census."""
+    if cents is None:
+        from rust_dms_cdc_operator_spark.ivf_constants import (  # noqa: PLC0415
+            _IVF_TRAINED_CENTROIDS_SF001 as cents,
+        )
+    rows = ",\n          ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents AS (
+          SELECT * FROM (VALUES
+          {rows}
+          ) AS t(cid, cemb)
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.cemb), 6) DESC, c.cid
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cents c WHERE e.vec_id > 0
+        ),
+        assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        occ AS (SELECT cid, count(*) AS n_vecs FROM assign GROUP BY cid),
+        tot AS (SELECT sum(n_vecs) AS t, count(*) AS nl FROM occ)
+        SELECT CAST(o.cid AS BIGINT) AS cid,
+               CAST(o.n_vecs AS BIGINT) AS n_vecs,
+               CAST((SELECT t FROM tot) AS BIGINT) AS n_total,
+               CAST({len(cents)} AS BIGINT) AS n_lists,
+               CAST((SELECT nl FROM tot) AS BIGINT) AS n_lists_used
+        FROM occ o
+    """
+
+
+ORACLE_SQL_LLM["sim_ivf_occupancy"] = _ivf_occupancy_oracle_sql()
+QUERIES_LLM["sim_ivf_occupancy"] = q_sim_ivf_occupancy
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with EXACT-INTEGER significance — the
+    analytics table an experimentation pipeline emits per metric: arms
+    split deterministically by user parity (the hash-bucket diversion
+    every real system uses), exposure = any event, conversion on a
+    metric = the user emitted that event_type. Per event_type:
+    per-arm conversion counts, exposure totals, and the two-proportion
+    pooled z-test at |z| > 2 decided by the exact cross-multiplication
+    (c_a*n_b - c_b*n_a)^2 * N > 4 * n_a*n_b * C * (N-C)
+    (algebraically z^2 > 4 with pooled variance, the
+    events_anomaly_hours pattern) — membership can never flip on
+    float rounding, and the zero-conversion / full-conversion
+    degenerate cases fall out as not-significant with no division.
+    Int64-exact while per-arm user counts stay below ~55k with full
+    conversion imbalance ((c*n)^2*N < 2^63); DECIMAL(38) beyond — the
+    TVD precedent.
+
+    Scale shape: one distinct-users pass for the two exposure scalars
+    (bounded literal-lookup), one (event_type, arm) distinct-user agg
+    (map-combinable), one per-type pivot via conditional sums. No
+    window, no join against the event stream."""
+    e = read_events(spark, sf_dir)
+    arm = (F.col("user_id") % 2 == 0).cast("int")
+    exp_row = (
+        e.select("user_id").distinct()
+        .agg(
+            F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("_na"),
+            F.sum((F.col("user_id") % 2 != 0).cast("long")).alias("_nb"),
+        )
+        .collect()[0]
+    )  # bounded: one 2-int row (the chunk-offset pattern)
+    n_a, n_b = int(exp_row["_na"] or 0), int(exp_row["_nb"] or 0)
+    conv = (
+        e.select("event_type", "user_id", arm.alias("arm"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("arm") == 1).cast("long")).alias("conv_a"),
+            F.sum((F.col("arm") == 0).cast("long")).alias("conv_b"),
+        )
+    )
+    ca, cb = F.col("conv_a"), F.col("conv_b")
+    la, lb = F.lit(n_a), F.lit(n_b)
+    d = ca * lb - cb * la
+    c_all = ca + cb
+    n_all = F.lit(n_a + n_b)
+    sig = (d * d * n_all) > (
+        F.lit(4) * la * lb * c_all * (n_all - c_all)
+    )
+    return conv.select(
+        "event_type",
+        "conv_a",
+        "conv_b",
+        la.cast("long").alias("n_a"),
+        lb.cast("long").alias("n_b"),
+        sig.alias("significant"),
+    )
+
+
+ORACLE_SQL_LLM["events_ab_test"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    exps AS (
+      SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b
+      FROM u),
+    conv AS (
+      SELECT event_type,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS conv_a,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS conv_b
+      FROM (SELECT DISTINCT event_type, user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm
+            FROM events)
+      GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(c.conv_a AS BIGINT) AS conv_a,
+           CAST(c.conv_b AS BIGINT) AS conv_b,
+           CAST(x.n_a AS BIGINT) AS n_a,
+           CAST(x.n_b AS BIGINT) AS n_b,
+           (c.conv_a * x.n_b - c.conv_b * x.n_a)
+             * (c.conv_a * x.n_b - c.conv_b * x.n_a)
+             * (x.n_a + x.n_b)
+             > 4 * x.n_a * x.n_b * (c.conv_a + c.conv_b)
+               * (x.n_a + x.n_b - c.conv_a - c.conv_b) AS significant
+    FROM conv c, exps x
+"""
+QUERIES_LLM["events_ab_test"] = q_events_ab_test

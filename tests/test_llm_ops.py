@@ -5056,3 +5056,54 @@ def test_sim_pc1_explained_rayleigh_bounds(spark):
     # single-axis corpus: the bound is TIGHT (v has one nonzero comp)
     for r in out.values():
         assert r.sum_proj2 == r.v_norm2 * r.sum_norm2
+
+
+def test_sim_ivf_occupancy_accounting(spark):
+    """Occupancies sum to the corpus total; n_lists is the artifact
+    size; n_lists_used counts only non-empty lists."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_sim_ivf_occupancy,
+    )
+
+    rows = q_sim_ivf_occupancy(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    tot = rows[0].n_total
+    assert sum(r.n_vecs for r in rows) == tot
+    assert all(r.n_lists == rows[0].n_lists for r in rows)
+    assert len(rows) == rows[0].n_lists_used <= rows[0].n_lists
+    assert all(r.n_vecs >= 1 for r in rows)
+
+
+def test_events_ab_test_exact_significance(spark):
+    """The exact cross-multiplication agrees with the algebraic
+    two-proportion z^2 > 4 rule on a hand-computed fixture, and the
+    degenerate all-convert metric is not significant."""
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_events_ab_test,
+    )
+
+    # arm A = even users (2,4,6,8), arm B = odd (1,3,5,7)
+    # metric 'buy': A converts 4/4, B converts 0/4 -> z^2 = 8 -> sig
+    # metric 'see': everyone converts -> z^2 = 0 -> not sig
+    import datetime as _dt
+
+    t0 = _dt.datetime(2026, 1, 1)
+    ev = []
+    eid = 0
+    for u in range(1, 9):
+        eid += 1
+        ev.append((eid, t0, u, "see", 1.0, "{}"))
+        if u % 2 == 0:
+            eid += 1
+            ev.append((eid, t0, u, "buy", 1.0, "{}"))
+    tmp = _write_sf(
+        spark, "abtest_",
+        events=(ev, "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string"),
+    )
+    got = {r.event_type: r for r in q_events_ab_test(spark, tmp).collect()}
+    buy, see = got["buy"], got["see"]
+    assert (buy.conv_a, buy.conv_b, buy.n_a, buy.n_b) == (4, 0, 4, 4)
+    assert buy.significant
+    assert (see.conv_a, see.conv_b) == (4, 4)
+    assert not see.significant

@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     # usual 2^16-2^20 lists in a 100 TB deployment), never the corpus
     "sim_knn_density",
     "dedup_semantic_pairs",
+    "sim_ivf_occupancy",
 }
 
 SKIP = tuple(
