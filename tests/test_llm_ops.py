@@ -2474,6 +2474,7 @@ def test_trained_registry_and_overrides():
     assert sorted(ov) == [
         "dedup_semantic_pairs",
         "docs_bpe_fertility", "docs_bpe_tokens",
+        "sim_ivf_occupancy",
         "sim_ivf_probe_partitioned", "sim_ivf_trained",
         "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk",
         "sim_knn_density", "sim_pq_topk",
