@@ -596,13 +596,16 @@ def main() -> int:
         finally:
             if timer is not None:
                 timer.cancel()
-            if fired["t"]:
-                # a timed-out query may leak its persist(); drop it so
-                # the remaining sweep is not memory-pressured
-                try:
-                    spark.catalog.clearCache()
-                except Exception:  # noqa: BLE001
-                    pass
+            # bench.py's per-query hygiene, applied to the sweep too:
+            # operators own persist() lifetimes only within one query
+            # (minhash keyed tables, band-tuning candidate streams,
+            # graph adjacencies) — at sf1 letting 150+ queries stack
+            # those caches pressures execution memory until the JVM
+            # dies mid-sweep (observed: INTERNAL_ERROR at query ~86)
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
 
     extra = f" ({n_digest} via exact digest)" if n_digest else ""
     skipped = f", {len(timeouts)} TIMEOUT: {timeouts}" if timeouts else ""
