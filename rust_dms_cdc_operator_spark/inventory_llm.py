@@ -3177,19 +3177,21 @@ ORACLE_SQL_LLM["dedup_containment_prefix"] = f"""
             FROM sh),
     sized AS (SELECT doc_id, h, len(h) AS sz FROM hsh WHERE len(h) > 0),
     tok AS (SELECT doc_id, sz, unnest(h) AS tok FROM sized),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM tok a JOIN tok b ON a.tok = b.tok
-             WHERE (a.sz < b.sz)
-                OR (a.sz = b.sz AND a.doc_id < b.doc_id))
-    SELECT c.id_a, c.id_b,
-           len(list_intersect(a.h, b.h)) AS inter_size,
-           len(a.h) AS size_a,
-           len(b.h) AS size_b
-    FROM cand c
-    JOIN sized a ON a.doc_id = c.id_a
-    JOIN sized b ON b.doc_id = c.id_b
-    WHERE len(list_intersect(a.h, b.h)) * 10
-          >= least(len(a.h), len(b.h)) * 9
+    -- evaluation shape only (r9): per-doc token lists are DISTINCT,
+    -- so the equi-join's row count per pair IS |A inter B| — one hash
+    -- agg replaces DISTINCT-candidates + a per-pair list_intersect
+    -- re-scan (the sf1 oracle fell out of the 1200s budget on the
+    -- 200M-candidate fixture in the old shape; identical rows)
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sz AS size_a, b.sz AS size_b,
+                      count(*) AS inter_size
+               FROM tok a JOIN tok b ON a.tok = b.tok
+               WHERE (a.sz < b.sz)
+                  OR (a.sz = b.sz AND a.doc_id < b.doc_id)
+               GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, inter_size, size_a, size_b
+    FROM shared
+    WHERE inter_size * 10 >= least(size_a, size_b) * 9
 """
 
 ORACLE_SQL_LLM["dedup_jaccard_prefix"] = f"""
@@ -3200,19 +3202,19 @@ ORACLE_SQL_LLM["dedup_jaccard_prefix"] = f"""
             FROM sh),
     sized AS (SELECT doc_id, h, len(h) AS sz FROM hsh WHERE len(h) > 0),
     tok AS (SELECT doc_id, sz, unnest(h) AS tok FROM sized),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM tok a JOIN tok b ON a.tok = b.tok
-             WHERE a.doc_id < b.doc_id
-               AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4)
-    SELECT c.id_a, c.id_b,
-           len(list_intersect(a.h, b.h)) AS inter_size,
-           len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))
-             AS union_size
-    FROM cand c
-    JOIN sized a ON a.doc_id = c.id_a
-    JOIN sized b ON b.doc_id = c.id_b
-    WHERE len(list_intersect(a.h, b.h)) * 5
-          >= (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) * 4
+    -- evaluation shape only (r9): see dedup_containment_prefix — the
+    -- join's per-pair row count IS the intersection size
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sz AS size_a, b.sz AS size_b,
+                      count(*) AS inter_size
+               FROM tok a JOIN tok b ON a.tok = b.tok
+               WHERE a.doc_id < b.doc_id
+                 AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4
+               GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, inter_size,
+           size_a + size_b - inter_size AS union_size
+    FROM shared
+    WHERE inter_size * 5 >= (size_a + size_b - inter_size) * 4
 """
 
 ORACLE_SQL_LLM["docs_top_per_source"] = """
