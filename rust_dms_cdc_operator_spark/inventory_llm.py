@@ -10277,13 +10277,26 @@ ORACLE_SQL_LLM["dedup_group_cohesion"] = f"""
                    list_distinct(list_transform(s,
                      x -> {_sql_hex_to_long("md5(x)", 8)})) AS h
             FROM sh),
+    -- evaluation shape only (r9): dragging two full shingle arrays
+    -- through every LSH pair row spilled ~80 GB at native sf1; the
+    -- shared-token equi-join's per-pair row count IS |A inter B|
+    -- (shingle lists are distinct), so a narrow hash agg + LEFT JOIN
+    -- (absent pair -> inter 0) computes identical rows
+    tokh AS (SELECT doc_id, unnest(h) AS tok FROM hsh),
+    st AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  count(*) AS inter
+           FROM tokh a JOIN tokh b
+             ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    szs AS (SELECT doc_id, len(h) AS sz FROM hsh),
     scored AS (
       SELECT p.id_a, p.id_b,
-             len(list_intersect(x.h, y.h)) AS inter,
-             len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)) AS uni
+             coalesce(st.inter, 0) AS inter,
+             za.sz + zb.sz - coalesce(st.inter, 0) AS uni
       FROM pairs p
-      JOIN hsh x ON x.doc_id = p.id_a
-      JOIN hsh y ON y.doc_id = p.id_b),
+      LEFT JOIN st ON st.id_a = p.id_a AND st.id_b = p.id_b
+      JOIN szs za ON za.doc_id = p.id_a
+      JOIN szs zb ON zb.doc_id = p.id_b),
     edges AS (
       SELECT ga.group_id,
              CAST(inter AS DOUBLE) / uni AS jac
