@@ -10187,17 +10187,12 @@ ORACLE_SQL_LLM["docs_collocations"] = """
 QUERIES_LLM["docs_collocations"] = q_docs_collocations
 
 
-def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup over-merge audit: connected components CHAIN — A~B and
-    B~C group A with C even when sim(A,C) is tiny. Per near-dup
-    group: size, edge count, and the min/max EXACT Jaccard over its
-    LSH edges — a group whose min edge similarity is far below the
-    intended threshold was built by chaining and deserves review
-    before a canonical doc replaces the rest. Reuses the banded LSH
-    pair stream + exact hashed-shingle verify (the lsh_verified
-    machinery) and the CC labels; one group agg over the edge list.
-    Jaccard stays an exact integer PAIR (inter, union) plus one IEEE
-    division."""
+def _group_cohesion_body(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared body of dedup_group_cohesion / *_capped: CC labels over
+    the given pair stream, exact hashed-shingle Jaccard per LSH edge,
+    one group agg (size, n_edges, min/max jaccard). The pair stream
+    must already be persisted by the caller — it feeds BOTH the CC
+    iteration and the exact-verify joins."""
     from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
         hashed_shingle_set,
     )
@@ -10205,15 +10200,6 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_groups,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    # the pair stream feeds the CC iteration AND the exact-verify
-    # joins — persist it once or every consumer re-runs the banded
-    # LSH self-join; shingles ride as 32-bit hashes (the lsh_verified
-    # trick: long equality beats string equality in array_intersect
-    # and the attach shuffle shrinks ~3x)
-    pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
-    ).persist()
     groups = dedup_groups(pairs)
     sh = d.select(
         "doc_id", hashed_shingle_set(F.col("text"), 3).alias("s")
@@ -10259,8 +10245,41 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SQL_LLM["dedup_group_cohesion"] = f"""
-    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql()}),
+def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup over-merge audit: connected components CHAIN — A~B and
+    B~C group A with C even when sim(A,C) is tiny. Per near-dup
+    group: size, edge count, and the min/max EXACT Jaccard over its
+    LSH edges — a group whose min edge similarity is far below the
+    intended threshold was built by chaining and deserves review
+    before a canonical doc replaces the rest. Reuses the banded LSH
+    pair stream + exact hashed-shingle verify (the lsh_verified
+    machinery) and the CC labels; one group agg over the edge list.
+    Jaccard stays an exact integer PAIR (inter, union) plus one IEEE
+    division.
+
+    EXACT MODE: rides the UNCAPPED pair stream, whose volume on the
+    adversarial fixture grows with quadratic bucket occupancy (97x
+    pairs across the 10x step). The deployment path is
+    dedup_group_cohesion_capped (same operator over the hot-bucket-
+    capped stream + truncation census). This form stays on the
+    record as the exactness baseline, like its graph-family siblings."""
+    d = _t(spark, sf_dir, "documents")
+    # the pair stream feeds the CC iteration AND the exact-verify
+    # joins — persist it once or every consumer re-runs the banded
+    # LSH self-join; shingles ride as 32-bit hashes (the lsh_verified
+    # trick: long equality beats string equality in array_intersect
+    # and the attach shuffle shrinks ~3x)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+    ).persist()
+    return _group_cohesion_body(d, pairs)
+
+
+def _cohesion_oracle_sql(pairs_block: str) -> str:
+    """DuckDB mirror of _group_cohesion_body over the given pairs
+    CTE body (uncapped or hot-bucket-capped _minhash_sql)."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_block}),
     sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
     lbl(node, comp) AS (
@@ -10311,6 +10330,9 @@ ORACLE_SQL_LLM["dedup_group_cohesion"] = f"""
     FROM edges e JOIN members m USING (group_id)
     GROUP BY e.group_id, m.group_size
 """
+
+
+ORACLE_SQL_LLM["dedup_group_cohesion"] = _cohesion_oracle_sql(_minhash_sql())
 QUERIES_LLM["dedup_group_cohesion"] = q_dedup_group_cohesion
 
 
@@ -11661,6 +11683,38 @@ ORACLE_SQL_LLM["dedup_kcore_capped"] = _kcore_oracle_sql(
     2, 4, _LSH_MAX_BUCKET
 )
 QUERIES_LLM["dedup_kcore_capped"] = q_dedup_kcore_capped
+
+
+def q_dedup_group_cohesion_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-cohesion audit over the HOT-BUCKET-CAPPED near-dup graph
+    — the deployment twin of dedup_group_cohesion (round 10; the last
+    graph-family member without a cap-bounded path: the exact form is
+    pair-volume-bound at 97x edges per 10x docs on this fixture, 10.1x
+    wall at sf1). Under the enumeration cap (max_bucket=256, dropped
+    buckets reported exactly by the `dedup_lsh_hot_buckets` truncation
+    census) the pair stream is LINEAR in the corpus, so the CC
+    iteration, the two shingle-attach joins, and the single group agg
+    all hold their shape at any scale. Same operator body, same exact
+    integer (inter, union) Jaccard, same oracle — only the pair block
+    carries the cap; the cap also makes emission salting unnecessary
+    (per-bucket pair volume is bounded by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    # persist: the capped pair stream feeds the CC iteration AND the
+    # exact-verify joins (caller-owned cache, same convention as the
+    # exact form — the returned plan is lazy over it)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2,
+        max_bucket=_LSH_MAX_BUCKET,
+    ).persist()
+    return _group_cohesion_body(d, pairs)
+
+
+ORACLE_SQL_LLM["dedup_group_cohesion_capped"] = _cohesion_oracle_sql(
+    _minhash_sql(16, 2, _LSH_MAX_BUCKET)
+)
+QUERIES_LLM["dedup_group_cohesion_capped"] = q_dedup_group_cohesion_capped
 
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
