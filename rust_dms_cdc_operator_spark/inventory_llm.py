@@ -6,6 +6,22 @@ whose SQL reproduces the Spark semantics bit-for-bit. Hash-bearing
 queries share the md5 construction between engines; ratio-bearing
 queries emit exact integer numerators/denominators where a rounded
 float could round differently across engines.
+
+CALLER-OWNED CACHE CONTRACT (round 10, per ADVICE): a handful of
+queries (``dedup_group_cohesion``/``_capped``, ``dedup_band_tuning``,
+``dedup_semantic_pairs``, ``docs_rareterm_neighbors``, q11 in
+inventory_tpch2) ``persist()`` an intermediate that BOTH an in-query
+bounded collect AND the returned lazy plan consume — unpersisting
+before return would force the pair stream to recompute, so the cache
+deliberately outlives the call. Every such cache is bounded
+(capped-stream- or dimension-sized) and StorageLevel MEMORY_AND_DISK
+(LRU-evictable), so a long-lived session degrades, never breaks.
+Callers that invoke many queries in one session (the sweep, bench.py)
+MUST call ``spark.catalog.clearCache()`` between queries — both
+in-repo harnesses do. Every persist site in the package is
+machine-registered: tests/test_plan_lint.py::test_persist_sites_registered
+fails on any new unreleased persist/cache/localCheckpoint until it is
+deliberately added to the registry with a justification.
 """
 
 from __future__ import annotations
@@ -10866,6 +10882,20 @@ ORACLE_SQL_LLM["docs_weighted_sample"] = """
 QUERIES_LLM["docs_weighted_sample"] = q_docs_weighted_sample
 
 
+def _wide_dev_expr(a, b, early_n, late_n):
+    """``|a*late_n - b*early_n|`` with the cross products in
+    DECIMAL(38,0) — the wide-integer twin of DuckDB's HUGEINT: exact
+    to ~1e38 where bare int64 products wrap/raise at 9.2e18. Operands
+    enter at DECIMAL(19,0) so each product lands exactly on Spark's
+    (19+19+1 -> cap 38, scale 0) result type with no precision-loss
+    rescale. Shared by q_events_histogram_drift and the synthetic
+    past-2^63 agreement test."""
+    return F.abs(
+        a.cast("decimal(19,0)") * late_n.cast("decimal(19,0)")
+        - b.cast("decimal(19,0)") * early_n.cast("decimal(19,0)")
+    )
+
+
 def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift census (PSI-family): per event_type, the
     total-variation distance between the ``value`` histograms of the
@@ -10875,12 +10905,14 @@ def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drift stat is emitted as the EXACT integer
     ``tvd_scaled = sum_bins |a_i*B - b_i*A|`` (TVD = that / (2AB)) so
     both engines agree bit-for-bit — no float ratios cross the
-    comparison. Magnitude bound: the cross products scale as n^2 per
-    event_type, so int64 holds while every single event_type stays
-    below ~3e9 rows (sqrt(2^63)); past that, switch the dev/sum
-    intermediates to DECIMAL(38,0) on BOTH engines (documented in
-    SCALE.md — Spark ANSI-off would wrap silently while DuckDB
-    raises, so the bound is a contract, not a latent divergence).
+    comparison. The cross products scale as n^2 per event_type, so
+    they are computed WIDE (round 10, per the r9 verdict): Spark in
+    DECIMAL(38,0) via :func:`_wide_dev_expr`, DuckDB in HUGEINT
+    (int128) — both exact to ~1e38, i.e. ~1e19 rows per event_type,
+    and both RAISE (ANSI cast / HUGEINT overflow) rather than wrap
+    beyond. No silent engine divergence remains at any magnitude
+    (agreement past 2^63 is pinned by
+    tests/test_llm_ops.py::test_wide_dev_expr_past_int64).
     ``top_bin``/``top_dev`` name the worst bin
     (deterministic tie-break: larger bin wins, via the exact combo
     ``dev*16 + bin``).
@@ -10947,8 +10979,8 @@ def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_bin.groupBy("event_type").agg(
         F.sum("a").alias("early_n"), F.sum("b").alias("late_n")
     )
-    dev = F.abs(
-        F.col("a") * F.col("late_n") - F.col("b") * F.col("early_n")
+    dev = _wide_dev_expr(
+        F.col("a"), F.col("b"), F.col("early_n"), F.col("late_n")
     )
     return (
         per_bin.join(F.broadcast(tot), "event_type")
@@ -10956,6 +10988,9 @@ def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("early_n").alias("early_n"),
             F.max("late_n").alias("late_n"),
+            # final long casts are LOUD (ANSI raise) past 9.2e18, the
+            # same failure DuckDB's CAST(HUGEINT AS BIGINT) reports —
+            # the intermediates above them are exact to ~1e38
             F.sum(dev).cast("long").alias("tvd_scaled"),
             F.max(dev * 16 + F.col("bin")).alias("_combo"),
         )
@@ -10968,6 +11003,7 @@ def q_events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer `div`, not double `/`: dev scales as n^2 per
             # event_type, and double division is only exact below
             # 2^53 — `div` matches the DuckDB `//` at any magnitude
+            # (decimal div returns LONG; loud past int64 like the cast)
             F.expr("_combo div 16").cast("long").alias("top_dev"),
         )
     )
@@ -10998,11 +11034,18 @@ ORACLE_SQL_LLM["events_histogram_drift"] = """
     SELECT p.event_type,
            max(t.early_n) AS early_n,
            max(t.late_n) AS late_n,
-           CAST(sum(abs(p.a * t.late_n - p.b * t.early_n)) AS BIGINT)
+           -- HUGEINT (int128) products: the DuckDB twin of Spark's
+           -- DECIMAL(38,0) _wide_dev_expr — exact to ~1.7e38, loud
+           -- (overflow error) beyond; the final BIGINT casts raise
+           -- past 9.2e18 exactly where Spark's ANSI casts do
+           CAST(sum(abs(CAST(p.a AS HUGEINT) * t.late_n
+                        - CAST(p.b AS HUGEINT) * t.early_n)) AS BIGINT)
              AS tvd_scaled,
-           CAST(max(abs(p.a * t.late_n - p.b * t.early_n) * 16 + p.bin)
+           CAST(max(abs(CAST(p.a AS HUGEINT) * t.late_n
+                        - CAST(p.b AS HUGEINT) * t.early_n) * 16 + p.bin)
                 % 16 AS INTEGER) AS top_bin,
-           CAST(max(abs(p.a * t.late_n - p.b * t.early_n) * 16 + p.bin)
+           CAST(max(abs(CAST(p.a AS HUGEINT) * t.late_n
+                        - CAST(p.b AS HUGEINT) * t.early_n) * 16 + p.bin)
                 // 16 AS BIGINT) AS top_dev
     FROM per_bin p JOIN tot t USING (event_type)
     GROUP BY 1
@@ -11909,6 +11952,25 @@ ORACLE_SQL_LLM["text_langid_trained"] = f"""
 QUERIES_LLM["text_langid_trained"] = q_text_langid_trained
 
 
+def _wide_vote_expr(c_h, c_o, nh: int, no: int, v: int):
+    """Naive-Bayes token vote by the SIGN of the exact smoothed-odds
+    cross-multiplication ``(c_h+1)*(N_o+V)`` vs ``(c_o+1)*(N_h+V)``,
+    both products in DECIMAL(38,0) — the Spark twin of DuckDB's
+    HUGEINT: exact to ~1e38, loud (ANSI raise) beyond, never a silent
+    int64 wrap. Returns +1 / -1 / 0 (abstain) as LONG. Shared by
+    q_docs_nb_source_classifier and the synthetic past-2^63
+    agreement test."""
+    dec = "decimal(38,0)"
+    lhs = (c_h + 1).cast(dec) * F.lit(no + v).cast(dec)
+    rhs = (c_o + 1).cast(dec) * F.lit(nh + v).cast(dec)
+    return (
+        F.when(lhs > rhs, F.lit(1))
+        .when(lhs < rhs, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def q_docs_nb_source_classifier(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11930,9 +11992,12 @@ def q_docs_nb_source_classifier(
     source is a low-cardinality dimension, the scalars are one agg
     row); token votes are one vocabulary-sized agg joined broadcast
     to the token stream; the doc margin is one map-combinable sum.
-    Int64 bound: the vote cross-products stay exact while per-class
-    token totals remain below ~3e9 (products < 2^63) — the TVD
-    precedent; DECIMAL(38) intermediates beyond."""
+    The vote cross-products (c+1)*(N+V) are computed WIDE (round 10,
+    per ADVICE): Spark in DECIMAL(38,0) via :func:`_wide_vote_expr`,
+    DuckDB in HUGEINT — exact to ~1e38 (per-class token totals to
+    ~1e19), loud (ANSI/overflow raise) beyond, never a silent int64
+    wrap (pinned past 2^63 by
+    tests/test_llm_ops.py::test_wide_vote_expr_past_int64)."""
     d = _t(spark, sf_dir, "documents")
     # bounded collect #1: the positive class — source is a dimension
     src_counts = sorted(
@@ -11962,14 +12027,9 @@ def q_docs_nb_source_classifier(
         F.count(F.lit(1)).alias("_v"),
     ).collect()[0]
     nh, no, v = int(t["_nh"]), int(t["_no"]), int(t["_v"])
-    lhs = (F.col("c_h") + 1) * F.lit(no + v)
-    rhs = (F.col("c_o") + 1) * F.lit(nh + v)
     votes = per_tok.select(
         "tok",
-        F.when(lhs > rhs, F.lit(1))
-        .when(lhs < rhs, F.lit(-1))
-        .otherwise(F.lit(0))
-        .cast("long")
+        _wide_vote_expr(F.col("c_h"), F.col("c_o"), nh, no, v)
         .alias("vote"),
     )
     margins = (
@@ -12003,6 +12063,9 @@ ORACLE_SQL_LLM["docs_nb_source_classifier"] = """
       SELECT sum(c_h) AS nh, sum(c_o) AS no_, count(*) AS v
       FROM per_tok),
     votes AS (
+      -- c_h/c_o/nh/no_/v are DuckDB sums = HUGEINT (int128): the
+      -- cross products are exact to ~1.7e38 and raise on overflow —
+      -- the twin of Spark's DECIMAL(38,0) _wide_vote_expr
       SELECT tok,
              CASE WHEN (c_h + 1) * (t.no_ + t.v)
                        > (c_o + 1) * (t.nh + t.v) THEN 1
@@ -13051,6 +13114,25 @@ ORACLE_SQL_LLM["sim_ivf_occupancy"] = _ivf_occupancy_oracle_sql()
 QUERIES_LLM["sim_ivf_occupancy"] = q_sim_ivf_occupancy
 
 
+def _wide_sig_expr(conv_a, conv_b, n_a: int, n_b: int):
+    """Pooled two-proportion |z| > 2 membership as one exact integer
+    inequality ``(c_a*n_b - c_b*n_a)^2 * N > 4*n_a*n_b*C*(N-C)``,
+    every product in DECIMAL(38,0) — the Spark twin of DuckDB's
+    HUGEINT sums: exact to ~1e38, loud (ANSI raise) beyond, never a
+    silent int64 wrap. Shared by q_events_ab_test and the synthetic
+    past-2^63 agreement test."""
+    dec = "decimal(38,0)"
+    ca, cb = conv_a.cast(dec), conv_b.cast(dec)
+    la = F.lit(n_a).cast(dec)
+    lb = F.lit(n_b).cast(dec)
+    d = ca * lb - cb * la
+    c_all = ca + cb
+    n_all = F.lit(n_a + n_b).cast(dec)
+    return (d * d * n_all) > (
+        F.lit(4).cast(dec) * la * lb * c_all * (n_all - c_all)
+    )
+
+
 def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout with EXACT-INTEGER significance — the
     analytics table an experimentation pipeline emits per metric: arms
@@ -13064,9 +13146,15 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_anomaly_hours pattern) — membership can never flip on
     float rounding, and the zero-conversion / full-conversion
     degenerate cases fall out as not-significant with no division.
-    Int64-exact while per-arm user counts stay below ~55k with full
-    conversion imbalance ((c*n)^2*N < 2^63); DECIMAL(38) beyond — the
-    TVD precedent.
+    Both sides of the inequality are computed WIDE (round 10, per
+    ADVICE): Spark in DECIMAL(38,0) via :func:`_wide_sig_expr`,
+    DuckDB in HUGEINT (its sums are already int128) — exact to ~1e38,
+    i.e. ~3e7 users per arm even at the d ~ n^2 full-conversion-
+    imbalance worst case (realistic near-boundary d keeps the bound
+    orders higher; the old bare-int64 bound was 55k), and LOUD
+    (ANSI/overflow raise) beyond on BOTH engines; no silent
+    divergence at any magnitude (pinned past 2^63 by
+    tests/test_llm_ops.py::test_wide_sig_expr_past_int64).
 
     Scale shape: one distinct-users pass for the two exposure scalars
     (bounded literal-lookup), one (event_type, arm) distinct-user agg
@@ -13092,20 +13180,15 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("arm") == 0).cast("long")).alias("conv_b"),
         )
     )
-    ca, cb = F.col("conv_a"), F.col("conv_b")
-    la, lb = F.lit(n_a), F.lit(n_b)
-    d = ca * lb - cb * la
-    c_all = ca + cb
-    n_all = F.lit(n_a + n_b)
-    sig = (d * d * n_all) > (
-        F.lit(4) * la * lb * c_all * (n_all - c_all)
+    sig = _wide_sig_expr(
+        F.col("conv_a"), F.col("conv_b"), n_a, n_b
     )
     return conv.select(
         "event_type",
         "conv_a",
         "conv_b",
-        la.cast("long").alias("n_a"),
-        lb.cast("long").alias("n_b"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
         sig.alias("significant"),
     )
 
@@ -13129,6 +13212,9 @@ ORACLE_SQL_LLM["events_ab_test"] = """
            CAST(c.conv_b AS BIGINT) AS conv_b,
            CAST(x.n_a AS BIGINT) AS n_a,
            CAST(x.n_b AS BIGINT) AS n_b,
+           -- conv_*/n_* are DuckDB sums = HUGEINT (int128): products
+           -- exact to ~1.7e38, raise on overflow — the twin of
+           -- Spark's DECIMAL(38,0) _wide_sig_expr
            (c.conv_a * x.n_b - c.conv_b * x.n_a)
              * (c.conv_a * x.n_b - c.conv_b * x.n_a)
              * (x.n_a + x.n_b)

@@ -5108,3 +5108,103 @@ def test_events_ab_test_exact_significance(spark):
     assert buy.significant
     assert (see.conv_a, see.conv_b) == (4, 4)
     assert not see.significant
+
+
+def test_wide_dev_expr_past_int64(spark):
+    """Synthetic-magnitude proof (r10, verdict item 3): the TVD cross
+    products a*late_n / b*early_n each exceed 2^63 — bare int64 math
+    would wrap or raise — yet Spark's DECIMAL(38,0) _wide_dev_expr and
+    DuckDB's HUGEINT formula agree exactly on the (int64-sized)
+    result."""
+    import duckdb
+
+    from rust_dms_cdc_operator_spark.inventory_llm import _wide_dev_expr
+
+    # products ~1.6e19 > 2^63 (9.22e18); |dev| stays int64-sized
+    a, b, en, ln = 4_000_000_001, 4_000_000_000, 4_000_000_000, 4_000_000_000
+    df = spark.createDataFrame([(a, b, en, ln)], "a long, b long, en long, ln long")
+    got = df.select(
+        _wide_dev_expr(F.col("a"), F.col("b"), F.col("en"), F.col("ln"))
+        .cast("long").alias("dev")
+    ).collect()[0]["dev"]
+    want = duckdb.sql(
+        f"SELECT CAST(abs(CAST({a} AS HUGEINT) * {ln}"
+        f" - CAST({b} AS HUGEINT) * {en}) AS BIGINT)"
+    ).fetchone()[0]
+    assert got == want == abs(a * ln - b * en)
+    assert a * ln > 2**63  # the intermediate really is past int64
+
+
+def test_wide_sig_expr_past_int64(spark):
+    """Synthetic-magnitude proof for the A/B significance inequality:
+    per-arm counts of ~4e9 users put d^2*N near 1e29 — far past 2^63 —
+    and Spark DECIMAL(38,0) and DuckDB HUGEINT still return the same
+    verdict on both sides of the boundary."""
+    import duckdb
+
+    from rust_dms_cdc_operator_spark.inventory_llm import _wide_sig_expr
+
+    # full-imbalance worst case at 3e7 users/arm: d = c_a*n_b = 9e14,
+    # d^2 = 8.1e29 — past 2^63 by 11 orders — while d^2*N = 4.9e37
+    # still fits DECIMAL(38)/HUGEINT (the documented loud bound)
+    n_a = n_b = 30_000_000
+    cases = [
+        (30_000_000, 0),                 # full imbalance -> significant
+        (15_000_001, 15_000_000),        # 1-user imbalance -> not
+    ]
+    df = spark.createDataFrame(cases, "conv_a long, conv_b long")
+    got = [
+        r["sig"]
+        for r in df.select(
+            _wide_sig_expr(F.col("conv_a"), F.col("conv_b"), n_a, n_b)
+            .alias("sig")
+        ).collect()
+    ]
+    want = []
+    for ca, cb in cases:
+        want.append(duckdb.sql(
+            f"SELECT (CAST({ca} AS HUGEINT)*{n_b} - CAST({cb} AS HUGEINT)*{n_a})"
+            f" * (CAST({ca} AS HUGEINT)*{n_b} - CAST({cb} AS HUGEINT)*{n_a})"
+            f" * ({n_a} + {n_b})"
+            f" > 4 * CAST({n_a} AS HUGEINT) * {n_b} * ({ca} + {cb})"
+            f" * ({n_a} + {n_b} - {ca} - {cb})"
+        ).fetchone()[0])
+    assert got == want == [True, False]
+    d = cases[0][0] * n_b - cases[0][1] * n_a
+    assert d * d > 2**63  # the d^2 intermediate really is past int64
+
+
+def test_wide_vote_expr_past_int64(spark):
+    """Synthetic-magnitude proof for the NB vote cross-multiplication:
+    per-class token totals of ~4e9 put (c+1)*(N+V) past 2^63; Spark
+    DECIMAL(38,0) and DuckDB HUGEINT agree on the vote sign, including
+    the exact-tie abstain."""
+    import duckdb
+
+    from rust_dms_cdc_operator_spark.inventory_llm import _wide_vote_expr
+
+    nh, no, v = 4_000_000_000, 4_000_000_000, 4096
+    cases = [
+        (3_000_000_000, 2_999_999_999),  # lean H by one count
+        (2_999_999_999, 3_000_000_000),  # lean other
+        (3_000_000_000, 3_000_000_000),  # exact tie -> abstain
+    ]
+    df = spark.createDataFrame(cases, "c_h long, c_o long")
+    got = [
+        r["vote"]
+        for r in df.select(
+            _wide_vote_expr(F.col("c_h"), F.col("c_o"), nh, no, v)
+            .alias("vote")
+        ).collect()
+    ]
+    want = []
+    for ch, co in cases:
+        want.append(duckdb.sql(
+            f"SELECT CASE WHEN (CAST({ch} AS HUGEINT)+1)*({no}+{v})"
+            f" > (CAST({co} AS HUGEINT)+1)*({nh}+{v}) THEN 1"
+            f" WHEN (CAST({ch} AS HUGEINT)+1)*({no}+{v})"
+            f" < (CAST({co} AS HUGEINT)+1)*({nh}+{v}) THEN -1"
+            f" ELSE 0 END"
+        ).fetchone()[0])
+    assert got == want == [1, -1, 0]
+    assert (cases[0][0] + 1) * (no + v) > 2**63

@@ -178,3 +178,147 @@ def test_unpartitioned_window_allowlist_not_stale(plans):
             f"{name} no longer plans a global window — remove it "
             "from the allowlist"
         )
+
+
+# ------------------------------------------------------- persist-site lint
+# Round 10 (r9 verdict item 4): caller-owned persists were a
+# convention, not a gate — the exact class the round-8 kcore leak
+# belonged to. This registry makes the convention machine-checked:
+# every .persist()/.cache()/.localCheckpoint() call site in the
+# package must either be RELEASED inside its own function (an
+# unpersist on the happy path — kcore/CC/heavy_hitters/merge_batch)
+# or be deliberately registered here as a caller-owned cache with its
+# expected site count. A new unreleased persist anywhere in the
+# package fails test_persist_sites_registered until it is added here
+# with a justification; an entry whose function gains an in-function
+# release fails the staleness check until pruned.
+#
+# Two legitimate classes (both bounded + MEMORY_AND_DISK/LRU):
+#  * inventory queries whose cache feeds BOTH an in-query bounded
+#    collect AND the returned lazy plan (module-level clearCache
+#    contract in inventory_llm.py's docstring);
+#  * operator-library caches the RETURNED DataFrame stays lazy over
+#    (minhash_lsh_pairs' signature table, pagerank's adjacency) —
+#    releasing them in-function would recompute the input per
+#    consumer; ownership transfers to the caller with the plan.
+PERSIST_CALLER_OWNED = {
+    # inventory: collect + lazy-return double consumers
+    "inventory_tpch2.py:q_q11_important_stock": 1,   # per-part agg
+    "inventory_llm.py:q_dedup_group_cohesion": 1,    # uncapped pairs
+    "inventory_llm.py:q_dedup_group_cohesion_capped": 1,  # capped pairs
+    "inventory_llm.py:q_dedup_band_tuning": 2,       # tagged + verified
+    "inventory_llm.py:q_dedup_semantic_pairs": 1,    # centroid-scored docs
+    "inventory_llm.py:q_docs_rareterm_neighbors": 1, # rare-term postings
+    "inventory_llm.py:_bm25_scored": 1,              # doc-length table
+    # operator library: returned plan is lazy over the cache
+    "operators/dedup.py:minhash_lsh_pairs": 1,       # signature table
+    "operators/dedup.py:minhash_knn_topk": 1,        # signature table
+    "operators/dedup.py:ngram_jaccard_pairs": 1,     # shingle table
+    "operators/dedup.py:candidate_budget_sample": 1, # sampled pairs
+    "operators/dedup.py:jaccard_verify_pairs": 1,    # token table
+    "operators/dedup.py:containment_verify_pairs": 1,  # token table
+    "operators/dedup.py:_ranked_shingles": 2,        # ranked + sizes
+    "operators/dedup.py:sorted_neighborhood_pairs": 1,  # sorted keys
+    "operators/dedup.py:hamming_pairs_from_signatures": 1,  # sig table
+    "operators/graph.py:_make_ckpt": 1,  # factory; freed by
+    # _free_local_checkpoint at the consumer (kcore peel)
+    "operators/graph.py:triangle_stats": 2,          # edges + adjacency
+    "operators/graph.py:pagerank_undirected": 1,     # adjacency
+    "operators/graph.py:label_propagation": 1,       # adjacency
+    "operators/similarity.py:ivf_knn_density": 1,    # assigned lists
+    "operators/perplexity.py:unigram_logppl": 1,     # token table
+    "operators/perplexity.py:source_token_drift": 1, # joint counts
+    "streaming/cdc_stream.py:merge_batch": 1,        # bucketed state —
+    # released on replaced buckets (:316); the LIVE state cache
+    # intentionally survives the call (it IS the stream's state)
+}
+
+_PERSIST_ATTRS = ("persist", "cache", "localCheckpoint")
+
+
+def _persist_sites():
+    """AST sweep of the package: {module:function -> (n_persist_sites,
+    has_unpersist)} for every function containing a persist-family
+    call."""
+    import ast
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "rust_dms_cdc_operator_spark")
+    pkg = os.path.abspath(pkg)
+    out = {}
+
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg)
+            tree = ast.parse(open(path).read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Lambda(self, node):
+                    # lambdas belong to their enclosing def
+                    self.generic_visit(node)
+
+                def visit_Call(self, node):
+                    f = node.func
+                    if isinstance(f, ast.Attribute):
+                        fun = self.stack[0] if self.stack else "<module>"
+                        key = f"{rel}:{fun}"
+                        if f.attr in _PERSIST_ATTRS:
+                            n, rel_ = out.get(key, (0, False))
+                            out[key] = (n + 1, rel_)
+                        elif f.attr == "unpersist":
+                            n, _rel_ = out.get(key, (0, False))
+                            out[key] = (n, True)
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    return out
+
+
+def test_persist_sites_registered():
+    """Every unreleased persist/cache/localCheckpoint site in the
+    package is either released in-function or deliberately registered
+    in PERSIST_CALLER_OWNED with the exact site count — a new cache
+    cannot be introduced silently (the round-8 kcore-leak class)."""
+    sites = _persist_sites()
+    offenders = []
+    for key, (n, released) in sorted(sites.items()):
+        if n == 0 or released:
+            continue  # released in-function (or unpersist-only)
+        want = PERSIST_CALLER_OWNED.get(key)
+        if want != n:
+            offenders.append(f"{key}: {n} unreleased persist site(s), "
+                             f"registered {want}")
+    assert offenders == [], offenders
+
+
+def test_persist_registry_not_stale():
+    """Every registry entry still names a live function whose persist
+    count matches — prune entries when a function is released or
+    removed (the BNLJ/window staleness contract, mirrored). merge_batch
+    is the one registered function with BOTH a registered live cache
+    and an in-function release of replaced state."""
+    sites = _persist_sites()
+    for key, want in PERSIST_CALLER_OWNED.items():
+        assert key in sites, f"{key} vanished — prune the registry"
+        n, released = sites[key]
+        if key == "streaming/cdc_stream.py:merge_batch":
+            assert released and n == want, key
+            continue
+        assert not released, (
+            f"{key} now releases in-function — prune the registry"
+        )
+        assert n == want, f"{key}: registry says {want}, found {n}"
