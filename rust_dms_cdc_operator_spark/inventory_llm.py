@@ -1545,7 +1545,7 @@ def q_dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hub cap 32: the adversarial fixture vocabulary makes ~16% of ALL
     # pairs collide, so uncapped wedge enumeration is quadratic in the
     # hub degrees (137 s at sf0.1); the cap keeps the census linear
-    return triangle_stats(pairs, max_degree=32)
+    return triangle_stats(pairs, max_degree=32, assume_distinct=True)
 
 
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1782,7 +1782,7 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    return pagerank_undirected(pairs, iters=5)
+    return pagerank_undirected(pairs, iters=5, assume_distinct=True)
 
 
 def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4605,7 +4605,7 @@ def q_dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    return label_propagation(pairs, iters=3)
+    return label_propagation(pairs, iters=3, assume_distinct=True)
 
 
 def q_docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8205,7 +8205,7 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    return kcore_membership(pairs, k=2, rounds=4)
+    return kcore_membership(pairs, k=2, rounds=4, assume_distinct=True)
 
 
 def _kcore_oracle_sql(
@@ -11667,7 +11667,7 @@ def q_dedup_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    return pagerank_undirected(pairs, iters=5)
+    return pagerank_undirected(pairs, iters=5, assume_distinct=True)
 
 
 ORACLE_SQL_LLM["dedup_pagerank_capped"] = _pagerank_oracle_sql(
@@ -11693,7 +11693,7 @@ def q_dedup_label_propagation_capped(
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    return label_propagation(pairs, iters=3)
+    return label_propagation(pairs, iters=3, assume_distinct=True)
 
 
 ORACLE_SQL_LLM["dedup_label_propagation_capped"] = _lpa_oracle_sql(3).format(
@@ -11719,7 +11719,7 @@ def q_dedup_kcore_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    return kcore_membership(pairs, k=2, rounds=4)
+    return kcore_membership(pairs, k=2, rounds=4, assume_distinct=True)
 
 
 ORACLE_SQL_LLM["dedup_kcore_capped"] = _kcore_oracle_sql(

@@ -223,7 +223,8 @@ PERSIST_CALLER_OWNED = {
     "operators/graph.py:_make_ckpt": 1,  # factory; freed by
     # _free_local_checkpoint at the consumer (kcore peel)
     "operators/graph.py:triangle_stats": 2,          # edges + adjacency
-    "operators/graph.py:pagerank_undirected": 1,     # adjacency
+    "operators/graph.py:pagerank_undirected": 2,     # adjacency + deg
+    # (r10 build rework: deg is node-sized, joined per round)
     "operators/graph.py:label_propagation": 1,       # adjacency
     "operators/similarity.py:ivf_knn_density": 1,    # assigned lists
     "operators/perplexity.py:unigram_logppl": 1,     # token table
