@@ -276,6 +276,12 @@ SCALE_QUERIES = [
     # round-10 (verdict item 1): the cohesion audit's cap-bounded
     # deployment twin — the last graph-family member to get one
     "dedup_group_cohesion_capped",
+    # round-10: index-health recall census (sample x corpus brute
+    # force + quantizer-broadcast IVF rank — sample is a census
+    # parameter) and the exact cohort retention matrix (keyed partial
+    # aggs, calendar-bounded output) — both must stay ~linear at 10x
+    "sim_ivf_recall",
+    "events_retention_cohorts",
     # round-9: keep-best representative selection rides the capped
     # pair stream + CC + one map-combined integer-combo argmax — must
     # track the capped twins' linear shape

@@ -6403,6 +6403,7 @@ def oracle_sql_overrides(sf_dir: str) -> dict[str, str]:
         out["sim_ivf_trained"] = ivf
         out["sim_ivf_probe_partitioned"] = ivf
         out["sim_ivf_occupancy"] = _ivf_occupancy_oracle_sql(cents)
+        out["sim_ivf_recall"] = _ivf_recall_oracle_sql(cents)
         from rust_dms_cdc_operator_spark.trained import (  # noqa: PLC0415
             load_ivf_density,
         )
@@ -13223,3 +13224,200 @@ ORACLE_SQL_LLM["events_ab_test"] = """
     FROM conv c, exps x
 """
 QUERIES_LLM["events_ab_test"] = q_events_ab_test
+
+
+# ------------------------------------------------------------ round 10
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall census — the index-health audit an ANN deployment
+    runs BEFORE trusting probe results at corpus scale (the
+    sim_ivf_occupancy companion: occupancy says the lists are
+    balanced, this says the probes actually find the true
+    neighbors). Over a deterministic bounded query sample
+    (vec_id % 50 == 1), computes the EXACT cosine top-10 (brute
+    force, the ground truth) and the nprobe=3 IVF top-10 from the
+    shared seed-42 trained quantizer, then reports the per-query
+    overlap as an exact integer histogram (hits@10 -> n_queries) —
+    recall@10 reads off as sum(hits*n)/(10*sum(n)). Every ranking is
+    round(cos, 6) DESC with vec_id tie-break on both engines, so the
+    top-k SETS are engine-identical and the census hash-matches.
+
+    Scale shape: ground truth is batch_cosine_topk (queries
+    BROADCAST, corpus scanned once, two-stage shard rank — the
+    sample is a census parameter, not corpus-sized); the IVF side is
+    the broadcast-quantizer assign/probe joins (build side = the
+    trained artifact, KB-MB at any corpus size) + one per-query
+    window over list-bounded candidates; the final overlap join and
+    histogram are sample-sized. Self is always a candidate (its own
+    list is its top probe), so hits >= 1 and no query row vanishes."""
+    from rust_dms_cdc_operator_spark.operators.similarity import (  # noqa: PLC0415
+        batch_cosine_topk,
+        cosine,
+        ivf_assign_join,
+        ivf_probe_lists_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    cents = _trained_ivf_cents(spark, sf_dir)
+    k, nprobe = 10, 3
+    q = e.filter(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = batch_cosine_topk(
+        e, q, "vec_id", "embedding", k=k
+    ).select("query_id", "vec_id")
+    assigned = ivf_assign_join(
+        e, cents, "vec_id", vec_col="embedding", out_col="lst"
+    )
+    probes = ivf_probe_lists_join(
+        q, cents, "query_id", nprobe, vec_col="query_vec", out_col="lst"
+    )
+    cand = (
+        e.join(assigned, "vec_id")
+        .join(probes, "lst")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.col("query_vec")), 6
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("vec_id")
+    )
+    ivf_top = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = ivf_top.join(exact, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    return hits.groupBy("hits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    ).select(F.col("hits").cast("long").alias("hits"), "n_queries")
+
+
+def _ivf_recall_oracle_sql(cents: list | None = None) -> str:
+    """sim_ivf_recall oracle: exact top-10 vs IVF(nprobe=3) top-10
+    overlap histogram with the trained centroids as literals — same
+    per-sf re-rendering contract as _ivf_trained_oracle_sql."""
+    if cents is None:
+        from rust_dms_cdc_operator_spark.ivf_constants import (  # noqa: PLC0415
+            _IVF_TRAINED_CENTROIDS_SF001 as cents,
+        )
+    rows = ",\n          ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents AS (
+          SELECT * FROM (VALUES
+          {rows}
+          ) AS t(cid, cemb)
+        ),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id > 0 AND vec_id % 50 = 1),
+        exact AS (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id
+                 ) AS rn
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id > 0),
+        assign AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.cemb), 6) DESC, c.cid
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cents c WHERE e.vec_id > 0),
+        probes AS (
+          SELECT q.query_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       c.cemb, q.qv), 6) DESC, c.cid
+                 ) AS rn
+          FROM cents c CROSS JOIN q),
+        ivf AS (
+          SELECT p.query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv), 6) DESC, e.vec_id
+                 ) AS rn
+          FROM embeddings e
+          JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+          JOIN probes p ON p.cid = a.cid AND p.rn <= 3
+          JOIN q ON q.query_id = p.query_id
+          WHERE e.vec_id > 0),
+        hits AS (
+          SELECT i.query_id, count(*) AS h
+          FROM ivf i
+          JOIN exact x ON x.query_id = i.query_id
+                      AND x.vec_id = i.vec_id AND x.rn <= 10
+          WHERE i.rn <= 10 GROUP BY 1)
+        SELECT CAST(h AS BIGINT) AS hits,
+               CAST(count(*) AS BIGINT) AS n_queries
+        FROM hits GROUP BY 1
+    """
+
+
+ORACLE_SQL_LLM["sim_ivf_recall"] = _ivf_recall_oracle_sql()
+QUERIES_LLM["sim_ivf_recall"] = q_sim_ivf_recall
+
+
+def q_events_retention_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly cohort retention matrix — the EXACT form of the
+    retention readout events_hll_retention sketches: cohort = the
+    ISO week of a user's FIRST event, age = weeks since cohort;
+    each (cohort_week, age_weeks) cell counts DISTINCT returning
+    users. All integers (epoch-day // 7 week indexing on both
+    engines — no timezone or ISO-week edge can diverge), so the
+    matrix hash-matches exactly.
+
+    Scale shape: one distinct (user, week) projection (map-side
+    combinable), one per-user min-week aggregation joined back on
+    the user key, one (cohort, age) count-distinct — every
+    aggregation keyed and partial, no windows, no driver
+    materialization; the matrix itself is calendar-bounded
+    (weeks^2 / 2 cells)."""
+    e = read_events(spark, sf_dir)
+    wk = F.floor(
+        F.unix_date(F.col("ts").cast("date")) / F.lit(7)
+    ).cast("long")
+    uw = e.select(
+        F.col("user_id"), wk.alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+ORACLE_SQL_LLM["events_retention_cohorts"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week
+      FROM events),
+    first AS (
+      SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+    SELECT f.cohort_week,
+           uw.week - f.cohort_week AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM uw JOIN first f USING (user_id)
+    GROUP BY 1, 2
+"""
+QUERIES_LLM["events_retention_cohorts"] = q_events_retention_cohorts

@@ -45,6 +45,10 @@ BNLJ_ALLOWED = {
     "sim_knn_density",
     "dedup_semantic_pairs",
     "sim_ivf_occupancy",
+    # round 10: recall census — build sides are the bounded query
+    # sample (vec_id % 50 == 1, broadcast by batch_cosine_topk) and
+    # the trained quantizer (KB-MB), never the corpus
+    "sim_ivf_recall",
 }
 
 SKIP = tuple(
