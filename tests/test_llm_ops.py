@@ -2475,7 +2475,8 @@ def test_trained_registry_and_overrides():
         "dedup_semantic_pairs",
         "docs_bpe_fertility", "docs_bpe_tokens",
         "sim_ivf_occupancy",
-        "sim_ivf_probe_partitioned", "sim_ivf_trained",
+        "sim_ivf_probe_partitioned", "sim_ivf_recall",
+        "sim_ivf_trained",
         "sim_ivfpq_probe_partitioned", "sim_ivfpq_topk",
         "sim_knn_density", "sim_pq_topk",
     ]
