@@ -13232,14 +13232,18 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs BEFORE trusting probe results at corpus scale (the
     sim_ivf_occupancy companion: occupancy says the lists are
     balanced, this says the probes actually find the true
-    neighbors). Over a deterministic bounded query sample
-    (vec_id % 50 == 1), computes the EXACT cosine top-10 (brute
-    force, the ground truth) and the nprobe=3 IVF top-10 from the
-    shared seed-42 trained quantizer, then reports the per-query
-    overlap as an exact integer histogram (hits@10 -> n_queries) —
-    recall@10 reads off as sum(hits*n)/(10*sum(n)). Every ranking is
-    round(cos, 6) DESC with vec_id tie-break on both engines, so the
-    top-k SETS are engine-identical and the census hash-matches.
+    neighbors). Over a FIXED deterministic eval panel (every 50th
+    vec_id below 5000 — a deployment pins its eval set; scaling the
+    corpus must NOT scale the audit, or the brute-force ground truth
+    goes quadratic: the unbounded %50 sample measured 19.3x at the
+    10x step, the bounded panel ~2x), computes the EXACT cosine
+    top-10 (brute force, the ground truth) and the nprobe=3 IVF
+    top-10 from the shared seed-42 trained quantizer, then reports
+    the per-query overlap as an exact integer histogram
+    (hits@10 -> n_queries) — recall@10 reads off as
+    sum(hits*n)/(10*sum(n)). Every ranking is round(cos, 6) DESC
+    with vec_id tie-break on both engines, so the top-k SETS are
+    engine-identical and the census hash-matches.
 
     Scale shape: ground truth is batch_cosine_topk (queries
     BROADCAST, corpus scanned once, two-stage shard rank — the
@@ -13259,7 +13263,9 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
     cents = _trained_ivf_cents(spark, sf_dir)
     k, nprobe = 10, 3
-    q = e.filter(F.col("vec_id") % 50 == 1).select(
+    q = e.filter(
+        (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 5000)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
@@ -13318,7 +13324,8 @@ def _ivf_recall_oracle_sql(cents: list | None = None) -> str:
           ) AS t(cid, cemb)
         ),
         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-              FROM embeddings WHERE vec_id > 0 AND vec_id % 50 = 1),
+              FROM embeddings
+              WHERE vec_id > 0 AND vec_id % 50 = 1 AND vec_id < 5000),
         exact AS (
           SELECT q.query_id, e.vec_id,
                  row_number() OVER (
