@@ -282,6 +282,11 @@ SCALE_QUERIES = [
     # aggs, calendar-bounded output) — both must stay ~linear at 10x
     "sim_ivf_recall",
     "events_retention_cohorts",
+    # round-10 (cont.): KS drift rides a clip-bounded length grid
+    # after one corpus agg; the Markov census is one user-keyed lag +
+    # a vocab^2-bounded count — both must stay ~linear at 10x
+    "docs_length_ks",
+    "events_markov_transitions",
     # round-9: keep-best representative selection rides the capped
     # pair stream + CC + one map-combined integer-combo argmax — must
     # track the capped twins' linear shape

@@ -13428,3 +13428,186 @@ ORACLE_SQL_LLM["events_retention_cohorts"] = """
     GROUP BY 1, 2
 """
 QUERIES_LLM["events_retention_cohorts"] = q_events_retention_cohorts
+
+
+def q_docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift gate between the token-
+    length distributions of the TWO LARGEST sources (ties -> source
+    asc) — the distribution-shift check a training mix runs before
+    blending a new source (the events_histogram_drift companion, on
+    the documents table and with the exact SUP-statistic instead of
+    binned TVD). The D statistic is emitted as the EXACT integer
+    numerator ``d_num = max_x |cumA(x)*nB - cumB(x)*nA|``
+    (D = d_num/(nA*nB)), its location ``at_len`` (smallest length
+    achieving the max), and the exact parts-per-million
+    ``d_ppm = (d_num * 1e6) div (nA*nB)`` — the cross products ride
+    :func:`_wide_dev_expr` (DECIMAL(38,0) / HUGEINT), so no float
+    and no silent wrap at any magnitude; the final long casts are
+    loud. Lengths clip at 4096 tokens, making the cumulative spine a
+    FIXED grid (<= 4097 rows — docs longer than the clip compare
+    equal there; length drift lives in the body of the
+    distribution).
+
+    Scale shape: one doc scan into a (length x 2)-count aggregate
+    bounded by the clip, one single-partition running sum over that
+    fixed grid (allowlisted: grid-bounded by construction), two
+    scalar lookups, one 4097-row argmax. Nothing corpus-sized past
+    the first aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    srcs = sorted(
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: (-r["c"], r["source"]),
+    )  # bounded collect: source is a dimension
+    empty = spark.createDataFrame(
+        [],
+        "source_a string, source_b string, n_a long, n_b long, "
+        "d_num long, at_len long, d_ppm long",
+    )
+    if len(srcs) < 2:
+        return empty
+    sa, sb = srcs[0]["source"], srcs[1]["source"]
+    toks = F.least(
+        F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(4096)
+    )
+    per_len = (
+        d.filter(F.col("source").isin([sa, sb]))
+        .select(F.col("source"), toks.alias("len"))
+        .groupBy("len")
+        .agg(
+            F.sum((F.col("source") == sa).cast("long")).alias("ca"),
+            F.sum((F.col("source") == sb).cast("long")).alias("cb"),
+        )
+    )
+    trow = per_len.agg(F.sum("ca"), F.sum("cb")).collect()[0]
+    n_a, n_b = int(trow[0] or 0), int(trow[1] or 0)
+    if n_a == 0 or n_b == 0:
+        return empty
+    w = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_len.select(
+        "len",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    dev = _wide_dev_expr(
+        F.col("cuma"), F.col("cumb"), F.lit(n_a), F.lit(n_b)
+    )
+    scored = cum.select("len", dev.alias("dev"))
+    dmax = scored.agg(F.max("dev").alias("m"))
+    hit = (
+        scored.join(F.broadcast(dmax), scored["dev"] == dmax["m"])
+        .agg(F.min("len").alias("at_len"), F.max("dev").alias("d"))
+    )
+    prod = F.lit(n_a).cast("decimal(19,0)") * F.lit(n_b).cast(
+        "decimal(19,0)"
+    )
+    return hit.select(
+        F.lit(sa).alias("source_a"),
+        F.lit(sb).alias("source_b"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("d").cast("long").alias("d_num"),
+        F.col("at_len").cast("long").alias("at_len"),
+        # exact ppm: integral `div` of DECIMAL(38,0) intermediates —
+        # d*1e6 <= nA*nB*1e6, inside DECIMAL(38) while nA*nB < 1e32
+        ((F.col("d") * F.lit(1000000)).cast("decimal(38,0)"))
+        .alias("_dn"),
+    ).select(
+        "source_a", "source_b", "n_a", "n_b", "d_num", "at_len",
+        F.expr("_dn div " + str(n_a * n_b)).cast("long").alias("d_ppm"),
+    )
+
+
+ORACLE_SQL_LLM["docs_length_ks"] = """
+    WITH counts AS (
+      SELECT source, count(*) AS c FROM documents GROUP BY 1),
+    top2 AS (
+      SELECT source, row_number() OVER (ORDER BY c DESC, source) AS rn
+      FROM counts),
+    sa AS (SELECT source FROM top2 WHERE rn = 1),
+    sb AS (SELECT source FROM top2 WHERE rn = 2),
+    lens AS (
+      SELECT d.source,
+             least(CAST(len(string_split(d.text, ' ')) AS BIGINT), 4096)
+               AS l
+      FROM documents d
+      WHERE d.source IN (SELECT source FROM sa)
+         OR d.source IN (SELECT source FROM sb)),
+    per_len AS (
+      SELECT l,
+             sum(CASE WHEN source = (SELECT source FROM sa)
+                      THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = (SELECT source FROM sb)
+                      THEN 1 ELSE 0 END) AS cb
+      FROM lens GROUP BY 1),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_len),
+    cum AS (
+      SELECT l,
+             sum(ca) OVER (ORDER BY l) AS cuma,
+             sum(cb) OVER (ORDER BY l) AS cumb
+      FROM per_len),
+    -- HUGEINT cross products: the twin of Spark's DECIMAL(38,0)
+    -- _wide_dev_expr
+    scored AS (
+      SELECT l,
+             abs(CAST(cuma AS HUGEINT) * t.nb
+                 - CAST(cumb AS HUGEINT) * t.na) AS dev
+      FROM cum, tot t),
+    hit AS (
+      SELECT min(l) AS at_len, max(dev) AS d
+      FROM scored WHERE dev = (SELECT max(dev) FROM scored))
+    SELECT (SELECT source FROM sa) AS source_a,
+           (SELECT source FROM sb) AS source_b,
+           CAST(t.na AS BIGINT) AS n_a,
+           CAST(t.nb AS BIGINT) AS n_b,
+           CAST(h.d AS BIGINT) AS d_num,
+           CAST(h.at_len AS BIGINT) AS at_len,
+           CAST((h.d * 1000000) // (CAST(t.na AS HUGEINT) * t.nb)
+                AS BIGINT) AS d_ppm
+    FROM hit h, tot t
+"""
+QUERIES_LLM["docs_length_ks"] = q_docs_length_ks
+
+
+def q_events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition census over per-user event
+    sequences: for every (prev_type -> next_type) adjacent pair under
+    the (ts, event_id) total order, the transition count — the
+    behavioral fingerprint table bot-detection and funnel design both
+    start from. Top-20 by count (ties -> pair asc) through a
+    TakeOrderedAndProject cut.
+
+    Scale shape: one per-user window lag (user-keyed, never global),
+    one (prev, next)-keyed count (map-combinable, bounded by
+    event-type-vocabulary squared), one top-k cut. Exact integers
+    throughout."""
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(20)
+    )
+
+
+ORACLE_SQL_LLM["events_markov_transitions"] = """
+    WITH seq AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events)
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 20
+"""
+QUERIES_LLM["events_markov_transitions"] = q_events_markov_transitions

@@ -64,6 +64,7 @@ SKIP = tuple(
 # planning a global window is a 100 TB bug: the whole input serializes
 # through one task.
 UNPARTITIONED_WINDOW_ALLOWED = {
+    "docs_length_ks",           # clip-4096 length grid running sum
     "docs_rrf_hybrid",          # two .limit(50) ranked heads (2 nodes)
     "docs_vocab_growth",        # 10-row decile spine running sum
     "docs_zipf_fit",            # .limit(100) rank head
