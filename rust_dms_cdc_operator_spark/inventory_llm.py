@@ -13570,44 +13570,3 @@ ORACLE_SQL_LLM["docs_length_ks"] = """
 QUERIES_LLM["docs_length_ks"] = q_docs_length_ks
 
 
-def q_events_markov_transitions(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """First-order Markov transition census over per-user event
-    sequences: for every (prev_type -> next_type) adjacent pair under
-    the (ts, event_id) total order, the transition count — the
-    behavioral fingerprint table bot-detection and funnel design both
-    start from. Top-20 by count (ties -> pair asc) through a
-    TakeOrderedAndProject cut.
-
-    Scale shape: one per-user window lag (user-keyed, never global),
-    one (prev, next)-keyed count (map-combinable, bounded by
-    event-type-vocabulary squared), one top-k cut. Exact integers
-    throughout."""
-    e = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = e.select(
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.col("event_type").alias("next_type"),
-    ).filter(F.col("prev_type").isNotNull())
-    return (
-        pairs.groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.desc("n"), "prev_type", "next_type")
-        .limit(20)
-    )
-
-
-ORACLE_SQL_LLM["events_markov_transitions"] = """
-    WITH seq AS (
-      SELECT lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type,
-             event_type AS next_type
-      FROM events)
-    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
-    FROM seq WHERE prev_type IS NOT NULL
-    GROUP BY 1, 2
-    ORDER BY n DESC, prev_type, next_type
-    LIMIT 20
-"""
-QUERIES_LLM["events_markov_transitions"] = q_events_markov_transitions
