@@ -2107,20 +2107,6 @@ def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sample (operators/split.weighted_bottom_k):
-    200 documents drawn with probability rising in document length —
-    the curation shape for 'sample long documents more' without a
-    nondeterministic RNG. priority = md5-hash/weight (one IEEE
-    division on exact integers), global cut = TakeOrderedAndProject."""
-    from rust_dms_cdc_operator_spark.operators.split import (  # noqa: PLC0415
-        weighted_bottom_k,
-    )
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    return weighted_bottom_k(d, "doc_id", "n_chars", k=200)
-
-
 def q_docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation for the corpus's top-30
     words (operators/sketch.cms_build/cms_estimate): the 4x1024
@@ -3727,15 +3713,6 @@ ORACLE_SQL_LLM["events_zorder_stats"] = f"""
            min(h) AS h_min, max(h) AS h_max
     FROM z GROUP BY zbucket
 """
-ORACLE_SQL_LLM["docs_weighted_sample"] = f"""
-    SELECT doc_id, source, n_chars
-    FROM documents
-    ORDER BY CAST({_sql_hex_to_long(
-        "md5(doc_id::VARCHAR || 'wsample')", 15)} AS DOUBLE)
-               / CAST(n_chars AS DOUBLE),
-             doc_id
-    LIMIT 200
-"""
 ORACLE_SQL_LLM["docs_cms_heavy_hitters"] = f"""
     WITH w AS (
       SELECT word FROM (
@@ -3883,7 +3860,6 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill_locf": q_events_gapfill_locf,
     "docs_kmv_cardinality": q_docs_kmv_cardinality,
     "docs_cms_heavy_hitters": q_docs_cms_heavy_hitters,
-    "docs_weighted_sample": q_docs_weighted_sample,
     "events_zorder_stats": q_events_zorder_stats,
     "sim_pq_topk": q_sim_pq_topk,
     "docs_bigram_logppl": q_docs_bigram_logppl,

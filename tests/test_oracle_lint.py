@@ -84,3 +84,63 @@ def test_canon_cell_normalizes_decimal_scale():
     # no scientific notation leakage for large/small values
     assert canon_cell(Decimal("1230000000")).endswith("1230000000")
     assert canon_cell(Decimal("1.23E+9")).endswith("1230000000")
+
+
+def test_no_duplicate_query_registrations():
+    """Round-10 regression guard: module-level registration is
+    latest-wins (``QUERIES_LLM[k] = ...`` and ``def q_x`` both shadow
+    silently), so a same-key re-definition REPLACES an existing
+    query's semantics instead of failing — exactly what happened when
+    a duplicate events_markov_transitions was appended this round
+    (caught only by the sweep count). Gate: every query/oracle key
+    and every top-level ``def`` in the inventory modules is defined
+    exactly once."""
+    import ast
+    import os
+    from collections import Counter
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "rust_dms_cdc_operator_spark")
+    for mod in ("inventory.py", "inventory_tpch2.py", "inventory_llm.py"):
+        tree = ast.parse(open(os.path.join(pkg, mod)).read())
+        keys: Counter = Counter()
+        defs: Counter = Counter()
+        registries = ("QUERIES_LLM", "ORACLE_SQL_LLM",
+                      "QUERIES", "ORACLE_SQL")
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if (isinstance(t, ast.Subscript)
+                            and isinstance(t.value, ast.Name)
+                            and t.value.id in registries
+                            and isinstance(t.slice, ast.Constant)):
+                        keys[(t.value.id, t.slice.value)] += 1
+                    # a dict literal initializing a registry counts
+                    # toward the same namespace as later subscript
+                    # assignments — `REG = {"k": f}` + `REG["k"] = g`
+                    # is the same latest-wins shadow (the
+                    # docs_weighted_sample case, found by this lint)
+                    if (isinstance(t, ast.Name) and t.id in registries
+                            and isinstance(node.value, ast.Dict)):
+                        for k in node.value.keys:
+                            if isinstance(k, ast.Constant) and isinstance(
+                                    k.value, str):
+                                keys[(t.id, k.value)] += 1
+            elif isinstance(node, ast.Dict):
+                # duplicate keys INSIDE one dict literal are the
+                # silent latest-wins case; the same key across two
+                # different dicts (QUERIES vs ORACLE_SQL) is normal
+                inner = Counter(
+                    k.value for k in node.keys
+                    if isinstance(k, ast.Constant)
+                    and isinstance(k.value, str)
+                )
+                dup_inner = {k: n for k, n in inner.items() if n > 1}
+                assert not dup_inner, (mod, "dict literal", dup_inner)
+        for node in tree.body:  # top-level defs only
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                defs[node.name] += 1
+        dup_keys = {k: n for k, n in keys.items() if n > 1}
+        dup_defs = {k: n for k, n in defs.items() if n > 1}
+        assert not dup_keys, (mod, dup_keys)
+        assert not dup_defs, (mod, dup_defs)
