@@ -11737,6 +11737,40 @@ ORACLE_SQL_LLM["dedup_group_cohesion_capped"] = _cohesion_oracle_sql(
 QUERIES_LLM["dedup_group_cohesion_capped"] = q_dedup_group_cohesion_capped
 
 
+#: Combo base for the keep-best argmax: 2^63. With the combo carried
+#: in DECIMAL(38,0) (HUGEINT on the DuckDB side), any int64 n_chars
+#: and doc_id encode exactly: n_chars * 2^63 + (2^63-1 - doc_id)
+#: tops out at ~8.5e37 < 1e38 for the full int64 range of both
+#: operands — no documented bound left to violate.
+_KEEPBEST_BASE = "9223372036854775808"
+
+
+def _keepbest_combo_expr(nc, doc_id):
+    """``n_chars * 2^63 + (2^63-1 - doc_id)`` in DECIMAL(38,0) — the
+    map-side-combinable argmax combo of q_dedup_keep_best, widened
+    past int64 (round 11, verdict item 2; the _wide_dev_expr pattern):
+    exact for ANY int64 n_chars/doc_id because the product lands on
+    Spark's (19+19+1 -> cap 38, scale 0) type with no rescale. DuckDB
+    twin: HUGEINT. Agreement past the old 2^32 bound is pinned by
+    tests/test_llm_ops.py::test_keepbest_combo_past_int32."""
+    base = F.lit(_KEEPBEST_BASE).cast("decimal(19,0)")
+    return nc.cast("decimal(19,0)") * base + (
+        base - F.lit(1) - doc_id.cast("decimal(19,0)")
+    )
+
+
+def _keepbest_decode_exprs(m):
+    """Decode (keep_doc_id, keep_n_chars) from the DECIMAL(38,0)
+    combo: integer `div`/`%` by 2^63 — both int64-sized by
+    construction, so the final casts are exact."""
+    base = F.lit(_KEEPBEST_BASE).cast("decimal(19,0)")
+    doc_id = (base - F.lit(1) - (m % base)).cast("long")
+    nc = F.expr(
+        f"_m div CAST('{_KEEPBEST_BASE}' AS DECIMAL(19,0))"
+    ).cast("long")
+    return doc_id, nc
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection per duplicate group — the step a real
     curation pipeline runs AFTER grouping: hot-bucket-capped LSH pairs
@@ -11746,11 +11780,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     group_size); every other member of the group is the drop list.
 
     The argmax travels as ONE exact integer combo
-    ``n_chars * 2^32 + (2^32-1 - doc_id)`` through a map-side-
-    combinable max (no window), decoded with integer `div` — valid
-    while doc_id and n_chars each stay below 2^32 (the committed
-    corpora are ~10^5; at larger ids widen the combo base). Capped
-    pair stream -> linear edge volume (the round-9 graph-twin
+    ``n_chars * 2^63 + (2^63-1 - doc_id)`` in DECIMAL(38,0) —
+    :func:`_keepbest_combo_expr`, DuckDB twin HUGEINT — through a
+    map-side-combinable max (no window), decoded with integer `div`.
+    Exact for ANY int64 n_chars/doc_id (round 11 closed the last
+    documented-not-coded integer bound: the old 2^32 combo base).
+    Capped pair stream -> linear edge volume (the round-9 graph-twin
     contract), and the closure oracle replays the same cap."""
     from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
         dedup_groups,
@@ -11763,9 +11798,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     groups = dedup_groups(pairs.select("id_a", "id_b"))
     meta = d.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
-    combo = F.col("nc") * F.lit(4294967296) + (
-        F.lit(4294967295) - F.col("doc_id")
-    )
+    combo = _keepbest_combo_expr(F.col("nc"), F.col("doc_id"))
     best = (
         groups.join(meta, "doc_id")
         .groupBy("group_id")
@@ -11774,12 +11807,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(combo).alias("_m"),
         )
     )
+    keep_doc_id, keep_n_chars = _keepbest_decode_exprs(F.col("_m"))
     return best.select(
         "group_id",
-        (F.lit(4294967295) - F.col("_m") % F.lit(4294967296))
-        .cast("long")
-        .alias("keep_doc_id"),
-        F.expr("_m div 4294967296").cast("long").alias("keep_n_chars"),
+        keep_doc_id.alias("keep_doc_id"),
+        keep_n_chars.alias("keep_n_chars"),
         "group_size",
     )
 
@@ -11799,12 +11831,15 @@ ORACLE_SQL_LLM["dedup_keep_best"] = f"""
     grp AS (SELECT node AS doc_id, MIN(comp) AS group_id
             FROM lbl GROUP BY node)
     SELECT g.group_id,
-           CAST(4294967295 - max(d.n_chars::BIGINT * 4294967296
-                                 + (4294967295 - d.doc_id))
-                % 4294967296 AS BIGINT) AS keep_doc_id,
-           CAST(max(d.n_chars::BIGINT * 4294967296
-                    + (4294967295 - d.doc_id))
-                // 4294967296 AS BIGINT) AS keep_n_chars,
+           -- HUGEINT combo: the int128 twin of Spark's DECIMAL(38,0)
+           -- _keepbest_combo_expr (base 2^63, exact for any int64)
+           CAST(9223372036854775808::HUGEINT - 1
+                - max(d.n_chars::HUGEINT * 9223372036854775808::HUGEINT
+                      + (9223372036854775808::HUGEINT - 1 - d.doc_id))
+                  % 9223372036854775808::HUGEINT AS BIGINT) AS keep_doc_id,
+           CAST(max(d.n_chars::HUGEINT * 9223372036854775808::HUGEINT
+                    + (9223372036854775808::HUGEINT - 1 - d.doc_id))
+                // 9223372036854775808::HUGEINT AS BIGINT) AS keep_n_chars,
            CAST(count(*) AS BIGINT) AS group_size
     FROM grp g JOIN documents d USING (doc_id)
     GROUP BY g.group_id
@@ -12830,17 +12865,13 @@ def q_dedup_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("nc"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
     )
-    combo = F.col("nc") * F.lit(4294967296) + (
-        F.lit(4294967295) - F.col("doc_id")
-    )
+    combo = _keepbest_combo_expr(F.col("nc"), F.col("doc_id"))
     keep = (
         groups.join(meta, "doc_id")
         .groupBy("group_id")
         .agg(F.max(combo).alias("_m"))
         .select(
-            (F.lit(4294967295) - F.col("_m") % F.lit(4294967296))
-            .cast("long")
-            .alias("doc_id"),
+            _keepbest_decode_exprs(F.col("_m"))[0].alias("doc_id"),
             F.lit(1).alias("_keep"),
         )
     )
@@ -12880,9 +12911,11 @@ ORACLE_SQL_LLM["dedup_source_impact"] = f"""
     grp AS (SELECT node AS doc_id, MIN(comp) AS group_id
             FROM lbl GROUP BY node),
     keep AS (
-      SELECT CAST(4294967295 - max(d.n_chars::BIGINT * 4294967296
-                                   + (4294967295 - d.doc_id))
-                  % 4294967296 AS BIGINT) AS doc_id
+      -- HUGEINT twin of Spark's DECIMAL(38,0) _keepbest_combo_expr
+      SELECT CAST(9223372036854775808::HUGEINT - 1
+                  - max(d.n_chars::HUGEINT * 9223372036854775808::HUGEINT
+                        + (9223372036854775808::HUGEINT - 1 - d.doc_id))
+                    % 9223372036854775808::HUGEINT AS BIGINT) AS doc_id
       FROM grp g JOIN documents d USING (doc_id)
       GROUP BY g.group_id),
     j AS (

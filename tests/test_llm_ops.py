@@ -5209,3 +5209,54 @@ def test_wide_vote_expr_past_int64(spark):
         ).fetchone()[0])
     assert got == want == [1, -1, 0]
     assert (cases[0][0] + 1) * (no + v) > 2**63
+
+
+def test_keepbest_combo_past_int32(spark):
+    """Synthetic-magnitude proof for the keep-best argmax combo
+    (round 11, verdict item 2 — the last documented-not-coded integer
+    bound): n_chars AND doc_id both past the old 2^32 combo base, the
+    n_chars*2^63 product past 2^63 itself, yet Spark's DECIMAL(38,0)
+    _keepbest_combo_expr and DuckDB's HUGEINT formula select the same
+    representative and decode the same (doc_id, n_chars)."""
+    import duckdb
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        _keepbest_combo_expr,
+        _keepbest_decode_exprs,
+    )
+
+    # one group: the longest doc wins; the n_chars tie at 2^40+7 must
+    # break to the LOWEST doc_id — both ids past 2^32
+    rows = [
+        (2**40 + 5, 2**40 + 7),   # tie, higher id -> loses tie-break
+        (2**40 + 3, 2**40 + 7),   # tie, lowest id -> winner
+        (2**62 + 11, 2**40 + 6),  # shorter, huge id -> loses
+        (7, 2**33),               # small id, shortest -> loses
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = (
+        df.agg(
+            F.max(
+                _keepbest_combo_expr(F.col("n_chars"), F.col("doc_id"))
+            ).alias("_m")
+        )
+        .select(
+            _keepbest_decode_exprs(F.col("_m"))[0].alias("keep_doc_id"),
+            _keepbest_decode_exprs(F.col("_m"))[1].alias("keep_n_chars"),
+        )
+        .collect()[0]
+    )
+    vals = ", ".join(f"({d}, {n})" for d, n in rows)
+    want = duckdb.sql(
+        "WITH t(doc_id, n_chars) AS (VALUES " + vals + ") "
+        "SELECT CAST(9223372036854775808::HUGEINT - 1 "
+        " - max(n_chars::HUGEINT * 9223372036854775808::HUGEINT "
+        "       + (9223372036854775808::HUGEINT - 1 - doc_id)) "
+        "   % 9223372036854775808::HUGEINT AS BIGINT), "
+        "CAST(max(n_chars::HUGEINT * 9223372036854775808::HUGEINT "
+        "         + (9223372036854775808::HUGEINT - 1 - doc_id)) "
+        "     // 9223372036854775808::HUGEINT AS BIGINT) FROM t"
+    ).fetchone()
+    assert (got["keep_doc_id"], got["keep_n_chars"]) == want
+    assert want == (2**40 + 3, 2**40 + 7)
+    assert (2**40 + 7) * 2**63 > 2**63  # the combo really is past int64
