@@ -26,6 +26,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _jvm_cpu_secs(spark) -> float:
+    """Cumulative CPU seconds of the Spark JVM (utime+stime from
+    /proc/<pid>/stat) — the contention-evidence channel (round 11,
+    verdict item 3): on an otherwise-idle 32-thread box a heavy query
+    shows cpu/wall >> 1; a CONTENDED run inflates wall while cpu stays
+    flat, so `wall - cpu/32 >> clean-run wall` flags environment noise
+    from the artifact alone. Falls back to 0.0 off-Linux."""
+    try:
+        pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        # fields after comm: utime is index 11, stime 12 (0-based)
+        ticks = int(parts[11]) + int(parts[12])
+        return ticks / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +76,8 @@ def main() -> None:
     prepare_bench(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
+    load_before = _loadavg()
     # one-shot streaming queries rebuild their harness per run
     # (tempdir + source links + slice pre-writes) — a cost a real
     # deployment pays once per stream, not per trigger. The queries
@@ -58,10 +85,12 @@ def main() -> None:
     # round-over-round comparisons can subtract the scaffolding.
     stream_setup: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        c0 = _jvm_cpu_secs(spark)
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        cpu_secs[name] = round(_jvm_cpu_secs(spark) - c0, 3)
         if name in STREAM_SETUP_SECS:
             stream_setup[name] = STREAM_SETUP_SECS.pop(name)
         # queries own their persist() lifetimes only within one run
@@ -78,11 +107,28 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # contention evidence (round 11, verdict item 3): per-query
+        # JVM cpu seconds + run-boundary load averages. Interpretation
+        # rule (README): a query whose wall grew vs a prior run while
+        # its cpu stayed flat — or a loadavg far above this run's own
+        # JVM parallelism — marks a CONTENDED environment, not a code
+        # regression.
+        "queries_cpu": cpu_secs,
+        "load_before": load_before,
+        "load_after": _loadavg(),
+        "cpus": int(cpus),
     }
     if stream_setup:
         out["stream_setup"] = stream_setup
         out["stream_exec"] = {
             q: round(timings[q] - s, 3) for q, s in stream_setup.items()
+        }
+        # the per-query {setup, exec} split in ONE machine-readable
+        # object (round 11, verdict item 7) so round-over-round
+        # comparisons read execution time, not harness time
+        out["stream_split"] = {
+            q: {"setup": s, "exec": round(timings[q] - s, 3)}
+            for q, s in stream_setup.items()
         }
 
     sf1 = _sf1_section(spark, sf, sf_dir, timings)
@@ -116,6 +162,20 @@ def _compact_summary(out: dict, budget: int = 1800) -> dict:
         summary["stream_setup_total"] = round(
             sum(out["stream_setup"].values()), 3
         )
+        # per-stream-query [setup, exec] so the driver tail itself
+        # reads execution time, not harness time (verdict item 7)
+        summary["stream_split"] = {
+            q: [v["setup"], v["exec"]]
+            for q, v in out.get("stream_split", {}).items()
+        }
+    # contention evidence in the tail: loadavg at the run boundaries
+    # plus total JVM cpu — wall >> cpu/cpus vs a prior run = contended
+    if out.get("load_before") or out.get("load_after"):
+        summary["load"] = {
+            "before": out.get("load_before"),
+            "after": out.get("load_after"),
+            "cpu_total": round(sum(out.get("queries_cpu", {}).values()), 1),
+        }
     sf1 = out.get("sf1")
     if sf1:
         ratios = sorted(sf1.get("scale_vs_sf0.1", {}).values())
@@ -130,6 +190,9 @@ def _compact_summary(out: dict, budget: int = 1800) -> dict:
                 # (verdict item 8) — the former is the scale grade
                 "max_ratio_deployment": sf1.get("max_ratio_deployment"),
                 "max_ratio_exact": sf1.get("max_ratio_exact"),
+                "max_ratio_exact_required": sf1.get(
+                    "max_ratio_exact_required"
+                ),
             }
     summary["queries"] = {}
     for name, secs in sorted(
@@ -336,6 +399,21 @@ EXACT_MODES = {
     "dedup_containment",
 }
 
+# EXACT-REQUIRED (round 11, verdict item 1): rides the same uncapped
+# pair stream as the EXACT_MODES — same pair-volume-bound shape — but
+# unlike the audits it CANNOT be capped without changing meaning: a
+# capped pair stream would let near-duplicates straddle train/val/test
+# boundaries, the very leak the query exists to prevent. The 100 TB
+# deployment answer is not a cap but INCREMENTALITY: group ids are a
+# persisted corpus artifact maintained per ingest by
+# docs_group_split_incr (new docs CC'd against the frozen prior
+# assignment — the incremental_dedup digest-state pattern applied to
+# connected components), so the full-corpus CC runs once, not per
+# epoch. See SCALE.md.
+EXACT_REQUIRED = {
+    "docs_group_split",
+}
+
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
 
 
@@ -374,8 +452,12 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
         for q in SCALE_QUERIES
         if sf01_timings.get(q)
     }
-    dep = [r for q, r in ratios.items() if q not in EXACT_MODES]
+    dep = [
+        r for q, r in ratios.items()
+        if q not in EXACT_MODES and q not in EXACT_REQUIRED
+    ]
     exa = [r for q, r in ratios.items() if q in EXACT_MODES]
+    req = [r for q, r in ratios.items() if q in EXACT_REQUIRED]
     return {
         "note": "native sf1 generation (tools/gen_native_sf.py, fresh "
                 "rows from sf0.1 distributions); timing-only",
@@ -384,10 +466,15 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
         "scale_vs_sf0.1": ratios,
         # verdict item 8 (r10): the exact-mode rows are on the record
         # deliberately (pair-volume-bound by fixture construction);
-        # the deployment-path maximum is the headline scale grade
+        # the deployment-path maximum is the headline scale grade.
+        # exact_required (r11): exactness is semantically mandatory
+        # (capping would leak) — scale answer is incrementality, not
+        # a cap (docs_group_split_incr; SCALE.md)
         "exact_modes": sorted(EXACT_MODES),
+        "exact_required": sorted(EXACT_REQUIRED),
         "max_ratio_deployment": max(dep) if dep else None,
         "max_ratio_exact": max(exa) if exa else None,
+        "max_ratio_exact_required": max(req) if req else None,
     }
 
 

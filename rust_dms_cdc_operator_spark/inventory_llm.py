@@ -9517,7 +9517,16 @@ def q_docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split bucket hashes the group id, so correlated documents can
     never straddle a boundary. Returns every doc with its group and
     split; zero leakage by construction (asserted in the unit test
-    against the leakage census's own pair stream)."""
+    against the leakage census's own pair stream).
+
+    EXACT-REQUIRED (round 11, bench.EXACT_REQUIRED): rides the
+    UNCAPPED pair stream into exact CC because a capped stream would
+    leak near-dups across split boundaries — the very defect this
+    query exists to prevent. Unlike the exact-mode audits it has no
+    capped twin; its 100 TB path is INCREMENTALITY:
+    docs_group_split_incr maintains the group assignment as a
+    persisted artifact per ingest (CC over batch edges only), and the
+    full rebuild here runs once / at compaction cadence."""
     from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
         dedup_groups,
     )
@@ -9569,6 +9578,138 @@ ORACLE_SQL_LLM["docs_group_split"] = f"""
     FROM allg
 """
 QUERIES_LLM["docs_group_split"] = q_docs_group_split
+
+
+def q_docs_group_split_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL group-aware splitting — the 100 TB deployment path
+    of docs_group_split (round 11, verdict item 1). docs_group_split
+    is EXACT-REQUIRED: its pair stream cannot be capped without
+    letting near-dups straddle split boundaries, so its scale answer
+    is incrementality, not a cap. Here the corpus is an already-
+    ingested epoch (doc_id % 4 != 0 — the incremental_dedup batch
+    convention) whose group assignment is a FROZEN persisted
+    artifact, and the ingest batch (doc_id % 4 == 0) is grouped
+    against it by operators/graph.incremental_groups: CC over
+    batch-internal pairs only, one id-keyed join against the prior
+    assignment for anchor adoption (min prior group per batch
+    component), frozen prior rows pass through untouched — a doc's
+    split can never migrate between epochs. Returns the SAME schema
+    as docs_group_split (doc_id, group_id, split) over the full
+    corpus; the per-ingest cost is O(batch edges), not O(corpus).
+
+    The banded pair stream is computed once here and filtered three
+    ways (prior-prior for the artifact stand-in, batch-batch, cross
+    anchors); in production the prior-prior block IS the persisted
+    artifact and the band-key table prices anchor discovery at
+    O(batch) bucket lookups. Bridge residual (one batch component
+    anchored to two prior groups keeps only the min): reconciled by
+    the periodic full rebuild — the incremental-index + compaction
+    trade, see SCALE.md."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        dedup_groups,
+        incremental_groups,
+    )
+    from rust_dms_cdc_operator_spark.operators.split import (  # noqa: PLC0415
+        with_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # persist: the uncapped pair stream feeds three filtered
+    # consumers (prior CC, batch CC, anchor extraction) — caller-
+    # owned cache, the docs_group_split convention; salt=8 spreads
+    # hot-bucket pair emission exactly as there
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+    ).select("id_a", "id_b").persist()
+    a_new = F.col("id_a") % 4 == 0
+    b_new = F.col("id_b") % 4 == 0
+    prior_assign = (
+        d.filter(F.col("doc_id") % 4 != 0)
+        .select("doc_id")
+        .join(dedup_groups(pairs.filter(~a_new & ~b_new)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("group_id"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+    incr = incremental_groups(
+        prior_assign,
+        d.filter(F.col("doc_id") % 4 == 0).select("doc_id"),
+        pairs.filter(a_new & b_new),
+        pairs.filter(a_new != b_new).select(
+            F.when(a_new, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("new_id"),
+            F.when(a_new, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("prior_id"),
+        ),
+    )
+    allg = prior_assign.unionByName(incr)
+    return with_split(
+        allg, "group_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "group_id", "split")
+
+
+ORACLE_SQL_LLM["docs_group_split_incr"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_sql()}),
+    ppair AS MATERIALIZED (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a % 4 <> 0 AND id_b % 4 <> 0),
+    psym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM ppair
+            UNION SELECT id_b, id_a FROM ppair),
+    plbl(node, comp) AS (
+      SELECT a, LEAST(a, MIN(b)) FROM psym GROUP BY a
+      UNION
+      SELECT s.b, l.comp
+      FROM plbl l JOIN psym s ON s.a = l.node
+      WHERE l.comp < s.b
+    ),
+    pg AS (SELECT node AS doc_id, MIN(comp) AS group_id
+           FROM plbl GROUP BY node),
+    prior AS (
+      SELECT d.doc_id, coalesce(pg.group_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN pg USING (doc_id)
+      WHERE d.doc_id % 4 <> 0),
+    npair AS MATERIALIZED (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a % 4 = 0 AND id_b % 4 = 0),
+    nsym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM npair
+            UNION SELECT id_b, id_a FROM npair),
+    nlbl(node, comp) AS (
+      SELECT a, LEAST(a, MIN(b)) FROM nsym GROUP BY a
+      UNION
+      SELECT s.b, l.comp
+      FROM nlbl l JOIN nsym s ON s.a = l.node
+      WHERE l.comp < s.b
+    ),
+    ng AS (SELECT node AS doc_id, MIN(comp) AS comp
+           FROM nlbl GROUP BY node),
+    newc AS (
+      SELECT d.doc_id, coalesce(ng.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN ng USING (doc_id)
+      WHERE d.doc_id % 4 = 0),
+    anchors AS (
+      SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS new_id,
+             CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS prior_id
+      FROM pairs WHERE (id_a % 4 = 0) <> (id_b % 4 = 0)),
+    adopt AS (
+      SELECT nc.comp, MIN(p.group_id) AS adopt_g
+      FROM anchors a
+      JOIN prior p ON p.doc_id = a.prior_id
+      JOIN newc nc ON nc.doc_id = a.new_id
+      GROUP BY nc.comp),
+    incr AS (
+      SELECT nc.doc_id, coalesce(ad.adopt_g, nc.comp) AS group_id
+      FROM newc nc LEFT JOIN adopt ad USING (comp)),
+    allg AS (SELECT * FROM prior UNION ALL SELECT * FROM incr)
+    SELECT doc_id, group_id,
+           CASE WHEN {_sql_hex_to_long("md5(group_id::VARCHAR || 'split')", 8)} % 10000 < 8000
+                THEN 'train'
+                WHEN {_sql_hex_to_long("md5(group_id::VARCHAR || 'split')", 8)} % 10000 < 9000
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM allg
+"""
+QUERIES_LLM["docs_group_split_incr"] = q_docs_group_split_incr
 
 
 def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,3 +299,85 @@ def test_kcore_matches_replay_random(spark):
             for r in kcore_membership(df, k=k, rounds=rounds).collect()
         }
         assert got == _kcore_replay(edges, k, rounds), (k, rounds)
+
+
+def test_incremental_groups_semantics(spark):
+    """incremental_groups (round 11): batch components adopt the MIN
+    anchored prior group (frozen-artifact stability — prior rows never
+    move); transitive adoption flows through batch-internal edges;
+    unanchored components mint min-member ids; singletons mint their
+    own. Bridge residual: a component anchored to TWO prior groups
+    takes the min and leaves the other intact."""
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.graph import (
+        incremental_groups,
+    )
+
+    # prior artifact: group 10 = {10, 11}, group 20 = {20, 21},
+    # singleton 30
+    prior = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30)],
+        "doc_id long, group_id long",
+    )
+    # batch: 100-101-102 chain (101 anchored to BOTH prior groups ->
+    # bridge, adopts min=10 transitively for all three), 200-201 chain
+    # unanchored -> mints 200, singleton 300 -> mints 300
+    new_ids = spark.createDataFrame(
+        [(100,), (101,), (102,), (200,), (201,), (300,)], "doc_id long"
+    )
+    nn = spark.createDataFrame(
+        [(100, 101), (101, 102), (200, 201)], "id_a long, id_b long"
+    )
+    anchors = spark.createDataFrame(
+        [(101, 11), (101, 21)], "new_id long, prior_id long"
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in incremental_groups(prior, new_ids, nn, anchors).collect()
+    }
+    assert got == {
+        100: 10, 101: 10, 102: 10,   # bridge -> min prior group
+        200: 200, 201: 200,          # unanchored chain mints min id
+        300: 300,                    # singleton
+    }
+    # frozen prior: group 20 untouched — the documented residual is
+    # the surviving 101~21 cross edge, reconciled at full rebuild
+    assert 20 not in got.values()
+
+
+def test_group_split_incr_stability_and_coverage(spark, tmp_path):
+    """q_docs_group_split_incr: full-corpus coverage with exactly one
+    row per doc; prior docs carry EXACTLY the split they'd get from
+    the prior-only assignment (no migration across epochs); batch
+    docs anchored to a prior group land in that group's split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_dms_cdc_operator_spark.inventory_llm import (
+        q_docs_group_split,
+        q_docs_group_split_incr,
+    )
+
+    src = str(tmp_path)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = d.select("doc_id", "text", "n_chars", "source", "lang").toPandas()
+    pq.write_table(pa.Table.from_pandas(rows), f"{src}/documents.parquet")
+
+    full = {r.doc_id: (r.group_id, r.split)
+            for r in q_docs_group_split_incr(spark, src).collect()}
+    assert len(full) == len(rows)
+
+    # prior-only corpus through the FULL splitter == the prior rows of
+    # the incremental result (the frozen-artifact contract)
+    prior_rows = rows[rows.doc_id % 4 != 0]
+    __import__("os").makedirs(f"{src}/prior", exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(prior_rows.reset_index(drop=True)),
+        f"{src}/prior/documents.parquet",
+    )
+    prior_only = {r.doc_id: (r.group_id, r.split)
+                  for r in q_docs_group_split(spark, f"{src}/prior")
+                  .collect()}
+    got_prior = {k: v for k, v in full.items() if k % 4 != 0}
+    assert got_prior == prior_only
