@@ -1099,10 +1099,20 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    # persist: the tokens-strategy verify consumes the pair stream
+    # twice (participant extraction + the inter-count LEFT join) —
+    # caller-owned cache, the cohesion convention
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2
+    ).persist()
+    # tokens strategy (round 11): this is the dense FULL census — the
+    # uncapped pair stream is cluster-quadratic, so shared-token
+    # intersection counting beats dragging two shingle arrays through
+    # every pair row (the capped/sampled twins keep the array path,
+    # where candidates are sparse relative to participants)
     return jaccard_verify_pairs(
         pairs, d, "doc_id", "text", n=3, min_jaccard=0.8,
-        hash_shingles=True,
+        hash_shingles=True, strategy="tokens",
     )
 
 
@@ -1581,10 +1591,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
+    # persist: tokens-strategy verify consumes the pair stream twice
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2
+    ).persist()
+    # tokens strategy: dense full census, same rationale as
+    # dedup_lsh_verified (the capped twin keeps the array path)
     return containment_verify_pairs(
         pairs, d, "doc_id", "text", n=3, min_containment=0.9,
-        hash_shingles=True,
+        hash_shingles=True, strategy="tokens",
     )
 
 
@@ -10326,7 +10341,23 @@ def _group_cohesion_body(d: DataFrame, pairs: DataFrame) -> DataFrame:
     the given pair stream, exact hashed-shingle Jaccard per LSH edge,
     one group agg (size, n_edges, min/max jaccard). The pair stream
     must already be persisted by the caller — it feeds BOTH the CC
-    iteration and the exact-verify joins."""
+    iteration and the exact-verify joins.
+
+    Round-11 verify rework (the r10 verdict's cohesion-wall item —
+    the shared-token-agg trick the ORACLE already used, applied
+    engine-side): the old body dragged two full shingle arrays
+    through every pair row, so the second attach join shuffled
+    |pairs| x ~0.4 KB (~84 GB at native sf1). Shingle lists are
+    DISTINCT (hashed_shingle_set), so the shared-token equi-join's
+    per-pair row count IS |A inter B|: explode the participating
+    docs' shingles narrow (the CC label table doubles as the
+    participant list — no extra distinct over the pair stream), count
+    shared tokens per doc pair, and LEFT-join those exact inter
+    counts back onto the pair stream (absent pair -> inter 0). Every
+    pair-stream shuffle is now ~16-24 B/row; the token join is
+    intra-cluster-bounded (measured sf0.1: 1.16M joined rows vs 2.08M
+    pairs — SMALLER than the pair stream). Measured 97 -> ~36 s at
+    native sf1; oracle unchanged (it had this shape since r9)."""
     from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
         hashed_shingle_set,
     )
@@ -10334,25 +10365,39 @@ def _group_cohesion_body(d: DataFrame, pairs: DataFrame) -> DataFrame:
         dedup_groups,
     )
 
-    groups = dedup_groups(pairs)
-    sh = d.select(
-        "doc_id", hashed_shingle_set(F.col("text"), 3).alias("s")
+    # persist: the CC label table now has THREE consumers (participant
+    # semi-join, edge group attach, member counts) — without the cache
+    # each re-runs the post-checkpoint resolve joins (caller-owned via
+    # the returned lazy plan, same convention as the pair cache)
+    groups = dedup_groups(pairs).persist()
+    sh = d.join(groups.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", hashed_shingle_set(F.col("text"), 3).alias("h")
     )
+    sizes = sh.select("doc_id", F.size("h").cast("long").alias("sz"))
+    tokh = sh.select("doc_id", F.explode("h").alias("tok"))
+    st = (
+        tokh.select(F.col("doc_id").alias("id_a"), "tok")
+        .join(tokh.select(F.col("doc_id").alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("long")
     scored = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
+        pairs.join(st, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"),
+                         F.col("sz").alias("sza")),
             "id_a")
         .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
+            sizes.select(F.col("doc_id").alias("id_b"),
+                         F.col("sz").alias("szb")),
             "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
-            (
-                F.size("sa") + F.size("sb")
-                - F.size(F.array_intersect("sa", "sb"))
-            ).cast("long").alias("uni"),
+            inter.alias("inter"),
+            (F.col("sza") + F.col("szb") - inter).cast("long").alias("uni"),
         )
         .withColumn(
             "jac", F.col("inter").cast("double") / F.col("uni")

@@ -716,6 +716,44 @@ def candidate_budget_sample(
     return pairs.filter(key % k == 0)
 
 
+def _pair_inter_counts(
+    pairs: DataFrame, s: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact |A ∩ B| per candidate pair via the SHARED-TOKEN equi-join
+    (round 11 — the cohesion-oracle shape applied engine-side):
+    shingle arrays are DISTINCT, so the token self-join's per-pair row
+    count IS the intersection size. The shingle table is first
+    restricted to pair PARTICIPANTS (one narrow distinct over the
+    candidate ids), tokens explode narrow (id, tok), and the join
+    output partial-aggregates into (id_a, id_b, inter) — nothing
+    array-sized ever shuffles with the pair stream. Pairs sharing
+    zero tokens are absent (LEFT-join + coalesce at the caller).
+
+    Trade: the token join enumerates co-token pairs among
+    participants — a SUPERSET of the candidates. On dense near-dup
+    graphs (full LSH censuses: participants are cluster members,
+    co-token pairs ≈ candidate pairs) this is the win that removes
+    the |pairs| x array-width shuffle; on sparse/sampled candidate
+    sets the array path attaches only what the pairs need — hence
+    ``strategy`` stays caller-chosen with "arrays" as default."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    tokh = (
+        s.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), F.explode("sh").alias("tok"))
+    )
+    return (
+        tokh.select(F.col(id_col).alias("id_a"), "tok")
+        .join(tokh.select(F.col(id_col).alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+
+
 def jaccard_verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -725,6 +763,7 @@ def jaccard_verify_pairs(
     min_jaccard: float | None = None,
     hash_shingles: bool = False,
     max_candidates: int | None = None,
+    strategy: str = "arrays",
 ) -> DataFrame:
     """Exact-Jaccard verification stage for LSH candidate pairs — the
     second half of the production two-stage near-dup pipeline (LSH
@@ -782,17 +821,39 @@ def jaccard_verify_pairs(
         )
     if max_candidates is not None:
         pairs = candidate_budget_sample(pairs, max_candidates)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    out = j.select(
-        "id_a",
-        "id_b",
-        inter.cast("long").alias("inter_size"),
-        union.cast("long").alias("union_size"),
-    )
+    if strategy == "tokens":
+        # shared-token intersection counts (see _pair_inter_counts):
+        # pairs + sizes are the only pair-stream-shaped shuffles, all
+        # narrow; identical rows to the array path by distinctness
+        sz = s.select(F.col(id_col), F.size("sh").cast("long").alias("_sz"))
+        inter_c = F.coalesce(F.col("_inter"), F.lit(0)).cast("long")
+        out = (
+            pairs.join(_pair_inter_counts(pairs, s, id_col),
+                       ["id_a", "id_b"], "left")
+            .join(sz.select(F.col(id_col).alias("id_a"),
+                            F.col("_sz").alias("_sz_a")), "id_a")
+            .join(sz.select(F.col(id_col).alias("id_b"),
+                            F.col("_sz").alias("_sz_b")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                inter_c.alias("inter_size"),
+                (F.col("_sz_a") + F.col("_sz_b") - inter_c)
+                .cast("long").alias("union_size"),
+            )
+        )
+    else:
+        a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        j = pairs.join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        out = j.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_size"),
+            union.cast("long").alias("union_size"),
+        )
     if min_jaccard is not None:
         out = out.filter(
             F.col("inter_size")
@@ -885,6 +946,7 @@ def containment_verify_pairs(
     min_containment: float = 0.9,
     hash_shingles: bool = False,
     max_candidates: int | None = None,
+    strategy: str = "arrays",
 ) -> DataFrame:
     """ASYMMETRIC near-dup verification: containment
     C = |A ∩ B| / min(|A|, |B|) — a short document embedded inside a
@@ -911,17 +973,37 @@ def containment_verify_pairs(
     ).persist()
     if max_candidates is not None:
         pairs = candidate_budget_sample(pairs, max_candidates)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    out = j.select(
-        "id_a",
-        "id_b",
-        inter.cast("long").alias("inter_size"),
-        F.size("sh_a").cast("long").alias("size_a"),
-        F.size("sh_b").cast("long").alias("size_b"),
-    )
+    if strategy == "tokens":
+        # shared-token intersection counts (see _pair_inter_counts)
+        sz = s.select(F.col(id_col), F.size("sh").cast("long").alias("_sz"))
+        out = (
+            pairs.join(_pair_inter_counts(pairs, s, id_col),
+                       ["id_a", "id_b"], "left")
+            .join(sz.select(F.col(id_col).alias("id_a"),
+                            F.col("_sz").alias("_sz_a")), "id_a")
+            .join(sz.select(F.col(id_col).alias("id_b"),
+                            F.col("_sz").alias("_sz_b")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.coalesce(F.col("_inter"), F.lit(0)).cast("long")
+                .alias("inter_size"),
+                F.col("_sz_a").alias("size_a"),
+                F.col("_sz_b").alias("size_b"),
+            )
+        )
+    else:
+        a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        j = pairs.join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        out = j.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_size"),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
     return out.filter(
         F.col("inter_size")
         >= F.least("size_a", "size_b") * F.lit(min_containment)

@@ -558,27 +558,35 @@ def label_propagation(
         .repartition("src")
         .persist()
     )
-    labels = adj.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    )
-    for _ in range(iters):
-        votes = (
-            adj.join(
-                labels.withColumnRenamed("v", "src").hint("shuffle_hash"),
-                "src",
-            )
-            .select(F.col("dst").alias("v"), "label")
-            .groupBy("v", "label")
+
+    def _argmax(votes: DataFrame) -> DataFrame:
+        return (
+            votes.groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            votes.groupBy("v")
+            .groupBy("v")
             .agg(
                 F.max(
                     F.struct(F.col("c"), (-F.col("label")).alias("nl"))
                 ).alias("m")
             )
             .select("v", (-F.col("m.nl")).alias("label"))
+        )
+
+    # ROUND 1 FOLDED (round 11): labels initialize to node ids, so the
+    # first round's vote stream IS the adjacency itself (neighbor's
+    # label == neighbor's id) — no node-extraction distinct() and no
+    # edge-sized join for round 1; coverage is identical because every
+    # node appears as dst of the symmetric adjacency. Saves one full
+    # adjacency scan + one edge join per run (~15% of the sf1 wall).
+    labels = _argmax(
+        adj.select(F.col("dst").alias("v"), F.col("src").alias("label"))
+    )
+    for _ in range(iters - 1):
+        labels = _argmax(
+            adj.join(
+                labels.withColumnRenamed("v", "src").hint("shuffle_hash"),
+                "src",
+            ).select(F.col("dst").alias("v"), "label")
         )
     return labels
 

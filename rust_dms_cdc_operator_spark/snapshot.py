@@ -15,7 +15,7 @@ here) or ``sinks.postgres.PostgresSink`` (JDBC; gated on a driver).
 from __future__ import annotations
 
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +26,27 @@ from rust_dms_cdc_operator_spark.payloads import CdcSnapshotPayload, TableMode
 from rust_dms_cdc_operator_spark.sources.manifest import build_manifest
 
 NUM_OF_BUFFERS = 80  # reference per-table concurrency default
+
+
+class SnapshotPartialFailure(RuntimeError):
+    """One or more tables failed while the REST COMPLETED AND
+    COMMITTED — the reference's ``buffer_unordered`` drain semantics
+    (cdc_operator.rs:244-249: ``stream.for_each`` drives every
+    per-table future to completion regardless of its siblings'
+    outcomes; nothing is rolled back). ``results`` holds the
+    committed table→path map, ``failures`` the per-table exceptions,
+    so a caller can retry exactly the failed subset."""
+
+    def __init__(self, results: dict[str, str], failures: dict[str, Exception]):
+        self.results = results
+        self.failures = failures
+        msg = "; ".join(
+            f"{t}: {type(e).__name__}: {e}" for t, e in sorted(failures.items())
+        )
+        super().__init__(
+            f"{len(failures)} table(s) failed ({msg}); "
+            f"{len(results)} table(s) committed"
+        )
 
 
 @dataclass
@@ -135,11 +156,26 @@ def snapshot(
         path = target.write(state, payload.schema_name, table, pks.get(table, []))
         return table, path
 
+    # buffer_unordered drain semantics (cdc_operator.rs:244-249): every
+    # table's future runs to completion whatever happens to its
+    # siblings — a missing prefix or mid-replay error on ONE table
+    # must not abort (or roll back) the others. pool.map would stop
+    # yielding at the first exception; submit + as_completed collects
+    # every outcome, then reports failures together.
     results: dict[str, str] = {}
+    failures: dict[str, Exception] = {}
     workers = max(1, min(max_parallel_tables, len(tables) or 1))
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        for table, path in pool.map(one_table, tables):
-            results[table] = path
+        futures = {pool.submit(one_table, t): t for t in tables}
+        for fut in as_completed(futures):
+            t = futures[fut]
+            try:
+                table, path = fut.result()
+                results[table] = path
+            except Exception as exc:  # noqa: BLE001 — per-table isolation
+                failures[t] = exc
+    if failures:
+        raise SnapshotPartialFailure(results, failures)
     return results
 
 

@@ -789,6 +789,48 @@ def test_jaccard_verify_pairs(spark, docs):
     assert thr == {(1, 2)}
 
 
+def test_verify_tokens_strategy_matches_arrays(spark, docs):
+    """Round 11: the shared-token intersection strategy must produce
+    BIT-IDENTICAL rows to the array-intersect path for both verify
+    shapes — including the zero-overlap pair that the tokens path
+    reconstructs via LEFT join + coalesce, hashed and unhashed
+    shingles, and the thresholded forms."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        containment_verify_pairs,
+        jaccard_verify_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    for hashed in (False, True):
+        for thr in (None, 0.5):
+            a = sorted(
+                tuple(r) for r in jaccard_verify_pairs(
+                    pairs, docs, min_jaccard=thr, hash_shingles=hashed
+                ).collect()
+            )
+            t = sorted(
+                tuple(r) for r in jaccard_verify_pairs(
+                    pairs, docs, min_jaccard=thr, hash_shingles=hashed,
+                    strategy="tokens",
+                ).collect()
+            )
+            assert a == t, (hashed, thr)
+        ca = sorted(
+            tuple(r) for r in containment_verify_pairs(
+                pairs, docs, min_containment=0.5, hash_shingles=hashed
+            ).collect()
+        )
+        ct = sorted(
+            tuple(r) for r in containment_verify_pairs(
+                pairs, docs, min_containment=0.5, hash_shingles=hashed,
+                strategy="tokens",
+            ).collect()
+        )
+        assert ca == ct, hashed
+
+
 def _golden_wav(channels=2, rate=11025, n_samples=123, junk_chunk=True):
     """Hand-built RIFF/WAVE bytes, ground truth for the parser."""
     import struct

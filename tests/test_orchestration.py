@@ -67,6 +67,47 @@ def test_snapshot_include_exclude(spark, tmp_path):
     assert set(exc) == {"customers_cdc", "orders_cdc"}
 
 
+def test_snapshot_partial_failure_commits_others(spark, tmp_path):
+    """buffer_unordered drain semantics (round 11, verdict item 8;
+    cdc_operator.rs:244-249): one table's future failing mid-fan-out
+    must not abort — or roll back — its siblings. Wound one table
+    (corrupt LOAD parquet), snapshot the schema, and require the
+    other two tables committed + readable while the failure surfaces
+    with the wounded table's name and exception."""
+    import glob
+
+    import pytest as _pytest
+
+    from rust_dms_cdc_operator_spark.snapshot import SnapshotPartialFailure
+
+    root, tgt = str(tmp_path / "drop"), str(tmp_path / "state")
+    fx = _drop(root)
+    load = glob.glob(
+        f"{root}/{cdc_fixtures.DB}/{cdc_fixtures.SCHEMA}/orders_cdc/"
+        "LOAD*.parquet"
+    )
+    assert load, "fixture layout changed"
+    with open(load[0], "wb") as f:
+        f.write(b"this is not parquet")
+    payload = CdcSnapshotPayload(
+        bucket_name="local",
+        schema_name=cdc_fixtures.SCHEMA,
+        database_name=cdc_fixtures.DB,
+        mode=LoadMode.DATE_AWARE,
+        start_date="2000-01-01",
+    )
+    pks = {t: f["pk"] for t, f in fx.items()}
+    with _pytest.raises(SnapshotPartialFailure) as exc_info:
+        snapshot(spark, payload, ParquetTarget(tgt), root, pks)
+    err = exc_info.value
+    assert set(err.failures) == {"orders_cdc"}
+    assert set(err.results) == {"customers_cdc", "geo_cdc"}
+    # the committed siblings are real, complete state tables
+    for t in err.results:
+        got = spark.read.parquet(err.results[t])
+        assert got.count() == len(fx[t]["expected"])
+
+
 def test_snapshot_over_file_uri_matches_local(spark, tmp_path):
     """The S3 read-path contract: the same drop snapshotted through a
     scheme-qualified root (``file://`` → JVM Hadoop FileSystem — the

@@ -210,6 +210,9 @@ PERSIST_CALLER_OWNED = {
     # inventory: collect + lazy-return double consumers
     "inventory_tpch2.py:q_q11_important_stock": 1,   # per-part agg
     "inventory_llm.py:q_dedup_group_cohesion": 1,    # uncapped pairs
+    "inventory_llm.py:_group_cohesion_body": 1,      # CC labels, 3 uses
+    "inventory_llm.py:q_dedup_lsh_verified": 1,      # pairs, 2 uses
+    "inventory_llm.py:q_dedup_containment": 1,       # pairs, 2 uses
     "inventory_llm.py:q_dedup_group_cohesion_capped": 1,  # capped pairs
     "inventory_llm.py:q_dedup_band_tuning": 2,       # tagged + verified
     "inventory_llm.py:q_docs_group_split_incr": 1,   # pairs, 3 consumers
