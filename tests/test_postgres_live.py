@@ -813,3 +813,131 @@ def test_sf1_multitable_snapshot_fanout_live(pg, spark):
 
     walls["n_threads"] = len(threads)
     print("PG-SF1-MULTI-WALL " + json.dumps(walls))
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_PG_SF1"),
+    reason="opt-in: set SPARK_GRAFT_PG_SF1=1 (native-sf1 live-PG run, ~2-4 min)",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(
+        __import__("os").environ.get(
+            "SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native"
+        )
+    ),
+    reason="native sf1 dataset not generated (bench.py creates it)",
+)
+def test_sf1_fanout_exclude_and_partial_failure_live(pg, spark):
+    """Round-11 verdict item 8: the fan-out's TableMode exclusion and
+    failure-path semantics, live at native sf1. One snapshot() call
+    with customer EXCLUDED and the orders drop WOUNDED (corrupt LOAD
+    parquet) must (a) never touch the excluded table, (b) fail the
+    wounded table's future, (c) commit events anyway
+    (buffer_unordered drain semantics, cdc_operator.rs:244-249 →
+    SnapshotPartialFailure), after which the committed events state
+    bulk-loads into live PG 15 and V1+V2-validates. A second
+    include-mode call snapshots ONLY customer. Walls printed as
+    PG-SF1-FANOUT-SEMANTICS for SCALE.md."""
+    import json
+    import os
+    import time
+
+    import duckdb
+
+    from rust_dms_cdc_operator_spark.payloads import CdcSnapshotPayload
+    from rust_dms_cdc_operator_spark.snapshot import (
+        ParquetTarget,
+        SnapshotPartialFailure,
+        snapshot,
+    )
+    from rust_dms_cdc_operator_spark.validate import validate_table
+
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
+    work = f"/tmp/pgsf1x-{uuid.uuid4().hex[:8]}"
+    root = os.path.join(work, "drop")
+    os.makedirs(root)
+    os.chmod(work, 0o777)
+    con = duckdb.connect()
+
+    specs = [("events", "event_id"), ("orders", "o_orderkey"),
+             ("customer", "c_custkey")]
+    DUCK2PG = {"BIGINT": "bigint", "INTEGER": "integer",
+               "DOUBLE": "double precision", "VARCHAR": "text",
+               "DATE": "date", "TIMESTAMP": "timestamp",
+               "TIMESTAMP_NS": "timestamp"}
+    meta = {}
+    for table, pk in specs:
+        src = os.path.join(sf1, f"{table}.parquet")
+        src = f"{src}/*.parquet" if os.path.isdir(src) else src
+        desc = con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        cols = [r[0] for r in desc]
+        tdir = os.path.join(root, "mydb", "public", table)
+        os.makedirs(tdir)
+        con.sql(
+            f"COPY (SELECT {', '.join(cols)} FROM '{src}' ORDER BY {pk}) "
+            f"TO '{tdir}/LOAD00000001.parquet' (FORMAT PARQUET)"
+        )
+        meta[table] = (pk, cols, {r[0]: DUCK2PG[r[1]] for r in desc}, desc)
+
+    # wound orders: corrupt LOAD file (prefix present, payload broken)
+    with open(os.path.join(root, "mydb", "public", "orders",
+                           "LOAD00000001.parquet"), "wb") as f:
+        f.write(b"definitely not parquet")
+
+    walls = {}
+    payload = CdcSnapshotPayload(
+        bucket_name="local", schema_name="public", database_name="mydb",
+        excluded_tables=["customer"], mode="full-load-only",
+    )
+    t0 = time.time()
+    with pytest.raises(SnapshotPartialFailure) as exc_info:
+        snapshot(
+            spark, payload, ParquetTarget(os.path.join(work, "snap")),
+            root, primary_keys={t: [pk] for t, pk in specs},
+        )
+    walls["fanout_partial"] = round(time.time() - t0, 2)
+    err = exc_info.value
+    assert set(err.failures) == {"orders"}
+    assert set(err.results) == {"events"}  # customer excluded, never ran
+    assert not os.path.exists(os.path.join(work, "snap", "public", "customer"))
+
+    # include-mode second pass: ONLY the excluded table
+    t0 = time.time()
+    inc = snapshot(
+        spark,
+        CdcSnapshotPayload(
+            bucket_name="local", schema_name="public",
+            database_name="mydb", included_tables=["customer"],
+            mode="full-load-only",
+        ),
+        ParquetTarget(os.path.join(work, "snap")), root,
+        primary_keys={t: [pk] for t, pk in specs},
+    )
+    walls["fanout_include_only"] = round(time.time() - t0, 2)
+    assert set(inc) == {"customer"}
+
+    # the COMMITTED survivor is a real state table: live-PG V1+V2
+    schema_name = "live_sf1x"
+    _psql(pg, create_schema_sql(schema_name))
+    table, (pk, cols, pg_cols, desc) = "events", meta["events"]
+    col_csv = ", ".join(cols)
+    t0 = time.time()
+    _psql(pg, create_table_sql(pg_cols, [pk], schema_name, table))
+    csv = f"{work}/{table}.csv"
+    con.sql(f"COPY (SELECT {col_csv} FROM '{err.results[table]}/*.parquet') "
+            f"TO '{csv}' (FORMAT CSV, HEADER true)")
+    os.chmod(csv, 0o644)
+    _psql(pg, f"\\copy {schema_name}.{table} FROM '{csv}' "
+              "WITH (FORMAT csv, HEADER true)")
+    out_csv, out_pq = f"{work}/tgt.csv", f"{work}/tgt.parquet"
+    _psql(pg, f"\\copy (SELECT {col_csv} FROM {schema_name}.{table}) "
+              f"TO '{out_csv}' WITH (FORMAT csv, HEADER true)")
+    rcols = ", ".join(f"'{c}': '{t}'" for c, t, *_ in desc)
+    con.sql(f"COPY (SELECT * FROM read_csv('{out_csv}', header=true, "
+            f"columns={{{rcols}}})) TO '{out_pq}' (FORMAT PARQUET)")
+    state = spark.read.parquet(err.results[table]).select(*cols)
+    tgt = spark.read.parquet(out_pq).select(*cols)
+    rep = validate_table(state, tgt, table, [pk], chunk_size=50000)
+    walls["pg_load_validate_events"] = round(time.time() - t0, 2)
+    assert rep.ok and rep.counts_match and not rep.mismatched_chunks, vars(rep)
+    print("PG-SF1-FANOUT-SEMANTICS " + json.dumps(walls))
