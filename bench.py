@@ -294,6 +294,7 @@ SCALE_QUERIES = [
     "docs_ngram_novelty",
     "docs_backoff_crossppl",
     "docs_group_split",
+    "docs_group_split_incr",
     "events_exact_quantiles",
     "orders_stats_pruning",
     # round-8: DSIR rides a corpus-sized bigram explode with
@@ -397,6 +398,14 @@ EXACT_MODES = {
     "dedup_triangle_stats",
     "dedup_lsh_verified",
     "dedup_containment",
+    # round-11 sf10 evidence: dedup_groups swallows the FULL uncapped
+    # pair stream (the oracle closure is over every candidate pair) —
+    # at 10x its wall hides under fixed costs (~3x), at 100x the
+    # pair volume (~9400x on this fixture) shows through (63.7x).
+    # The capped-CC deployment path is exercised by dedup_keep_best /
+    # dedup_source_impact / the *_capped graph twins (1.5-3.5x per
+    # 10x step, measured to sf10 in SCALE.md).
+    "dedup_groups",
 }
 
 # EXACT-REQUIRED (round 11, verdict item 1): rides the same uncapped
@@ -412,6 +421,11 @@ EXACT_MODES = {
 # epoch. See SCALE.md.
 EXACT_REQUIRED = {
     "docs_group_split",
+    # the incremental deployment path's QUERY form recomputes the
+    # frozen prior-epoch artifact from scratch (uncapped CC) so the
+    # oracle can check it end-to-end — the per-ingest production cost
+    # is only its batch-edge CC + one artifact join (SCALE.md)
+    "docs_group_split_incr",
 }
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
