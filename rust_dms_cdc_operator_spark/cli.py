@@ -233,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
     pks = json.loads(args.primary_keys)
 
     results: dict = {}
+    snapshot_rc = 0
     if not args.only_datadiff:
         from rust_dms_cdc_operator_spark.snapshot import (  # noqa: PLC0415
             ParquetTarget,
@@ -246,11 +247,29 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        payload = snapshot_payload_from_args(args)
-        results["snapshot"] = snapshot(
-            spark, payload, ParquetTarget(args.target_parquet_root),
-            args.local_root, pks,
+        from rust_dms_cdc_operator_spark.snapshot import (  # noqa: PLC0415
+            SnapshotPartialFailure,
         )
+
+        payload = snapshot_payload_from_args(args)
+        try:
+            results["snapshot"] = snapshot(
+                spark, payload, ParquetTarget(args.target_parquet_root),
+                args.local_root, pks,
+            )
+        except SnapshotPartialFailure as e:
+            # buffer_unordered drain semantics: siblings committed —
+            # report every failed table, keep the committed results
+            # (they validate below), exit non-zero at the end
+            results["snapshot"] = e.results
+            results["snapshot_failures"] = {
+                t: f"{type(exc).__name__}: {exc}"
+                for t, exc in e.failures.items()
+            }
+            for t, exc in sorted(e.failures.items()):
+                print(f"error: snapshot of table {t} failed: {exc}",
+                      file=sys.stderr)
+            snapshot_rc = 1
 
     if not args.only_snapshot and args.target_parquet_root and (
         args.local_root or args.source_jdbc_url
@@ -308,7 +327,7 @@ def main(argv: list[str] | None = None) -> int:
         }
 
     print(json.dumps(results, indent=2, default=str))
-    return 0
+    return snapshot_rc
 
 
 if __name__ == "__main__":

@@ -227,6 +227,38 @@ def test_cli_snapshot_command(spark, tmp_path, capsys):
     assert "validate" not in out
 
 
+def test_cli_snapshot_partial_failure_exit_code(spark, tmp_path, capsys):
+    """CLI surface of SnapshotPartialFailure (round 11): a wounded
+    table is reported per-table on stderr and in the JSON, committed
+    siblings stay in the result, and the exit code is 1 — the
+    reference's drain-then-report shape, not a traceback."""
+    import glob
+
+    root, tgt = str(tmp_path / "drop3"), str(tmp_path / "state3")
+    fx = _drop(root)
+    load = glob.glob(
+        f"{root}/{cdc_fixtures.DB}/{cdc_fixtures.SCHEMA}/geo_cdc/"
+        "LOAD*.parquet"
+    )
+    with open(load[0], "wb") as f:
+        f.write(b"broken")
+    rc = cli_main([
+        "snapshot",
+        "--local-root", root,
+        "--target-parquet-root", tgt,
+        "--database-name", cdc_fixtures.DB,
+        "--database-schema", cdc_fixtures.SCHEMA,
+        "--start-date", "2000-01-01",
+        "--primary-keys", json.dumps({t: f["pk"] for t, f in fx.items()}),
+    ])
+    assert rc == 1
+    captured = capsys.readouterr()
+    out = json.loads(captured.out)
+    assert set(out["snapshot"]) == {"customers_cdc", "orders_cdc"}
+    assert set(out["snapshot_failures"]) == {"geo_cdc"}
+    assert "snapshot of table geo_cdc failed" in captured.err
+
+
 def test_cli_interactive_mode_builds_reference_payload():
     """The interactive config mirrors the reference client's inquire
     prompts (main.rs:167-287): same labels, defaults on empty answers,
