@@ -286,6 +286,96 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """The LSH BAND-KEY INDEX as a first-class frame: (id, band, bk)
+    in long format — one row per document per band, same signature
+    and banding arithmetic as :func:`minhash_lsh_pairs` (so a pair
+    collides in this index iff the pair generator would emit it).
+
+    This is the PERSISTED ARTIFACT of the incremental dedup/grouping
+    contract (round 11; the `incremental_dedup` digest-state pattern
+    applied to candidate generation): a corpus writes its band keys
+    once (bands x n_docs narrow rows — parquet-partitionable by
+    ``band``, bucketable by ``bk``), and each ingest batch computes
+    keys for ITS OWN docs only, then probes the index
+    (:func:`lsh_pairs_incremental`) — per-ingest candidate discovery
+    costs O(batch keys + touched buckets), never O(corpus)."""
+    rows_per_band = num_hashes // bands
+    wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
+    sigs = df.select(F.col(id_col), wh).select(F.col(id_col), *sig_cols)
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}")
+                  for r in range(rows_per_band)],
+            ).alias("bk"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select(
+        F.col(id_col), F.explode(entries).alias("_k")
+    ).select(id_col, F.col("_k.band").alias("band"), F.col("_k.bk").alias("bk"))
+
+
+def lsh_pairs_incremental(
+    batch_keys: DataFrame,
+    corpus_keys: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs TOUCHING an ingest batch, discovered against a
+    persisted band-key index (both inputs in :func:`minhash_band_keys`
+    long format; ``corpus_keys`` must not contain batch ids): the
+    batch self-join gives batch-batch pairs, the batch->index probe
+    gives batch-corpus pairs, unioned distinct as (id_a < id_b).
+
+    Output SET equals the full-corpus :func:`minhash_lsh_pairs`
+    stream restricted to pairs with >= 1 batch member (pinned by
+    tests/test_llm_ops.py::test_lsh_pairs_incremental_matches_full) —
+    so :func:`operators.graph.incremental_groups` fed from here
+    computes exactly what the from-scratch docs_group_split_incr
+    query computes, at O(batch) probe cost.
+
+    Scale shape: both joins are (band, bk)-keyed; the batch side is
+    batch-sized, and the index side prunes to TOUCHED buckets (a
+    bucketed/partitioned index makes that a storage-level prune). The
+    final distinct shuffles only batch-touching candidates — the
+    volume that a batch's own bucket occupancy implies, which is the
+    quantity a deployment monitors via the truncation census. The
+    first-colliding-band trick is deliberately NOT replicated here:
+    it saves a distinct on CORPUS-quadratic streams, while this
+    stream is batch-bounded by construction."""
+    b = batch_keys.select(
+        F.col(id_col).alias("_ida"), "band", "bk"
+    )
+    bb = (
+        b.join(
+            batch_keys.select(F.col(id_col).alias("_idb"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+    bc = (
+        b.join(
+            corpus_keys.select(F.col(id_col).alias("_idb"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+    )
+    return bb.unionByName(bc).distinct()
+
+
 def lsh_bucket_truncation_census(
     df: DataFrame,
     id_col: str,

@@ -5302,3 +5302,43 @@ def test_keepbest_combo_past_int32(spark):
     assert (got["keep_doc_id"], got["keep_n_chars"]) == want
     assert want == (2**40 + 3, 2**40 + 7)
     assert (2**40 + 7) * 2**63 > 2**63  # the combo really is past int64
+
+
+def test_lsh_pairs_incremental_matches_full(spark):
+    """Round 11: the persisted band-key index + batch probe
+    (minhash_band_keys / lsh_pairs_incremental) must discover EXACTLY
+    the full-corpus minhash_lsh_pairs stream restricted to pairs with
+    >= 1 batch member — the contract that lets incremental_groups
+    compute the same groups as the from-scratch rebuild."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        lsh_pairs_incremental,
+        minhash_band_keys,
+        minhash_lsh_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=16, bands=2
+        ).collect()
+    }
+    is_batch = F.col("doc_id") % 4 == 0
+    keys_b = minhash_band_keys(
+        d.filter(is_batch), "doc_id", "text", num_hashes=16, bands=2
+    )
+    keys_c = minhash_band_keys(
+        d.filter(~is_batch), "doc_id", "text", num_hashes=16, bands=2
+    )
+    incr = {
+        (r.id_a, r.id_b)
+        for r in lsh_pairs_incremental(keys_b, keys_c).collect()
+    }
+    want = {
+        (a, b) for a, b in full if a % 4 == 0 or b % 4 == 0
+    }
+    assert incr == want and len(want) > 0
+    # and the batch-free remainder is exactly the prior-epoch stream
+    assert (full - want) == {
+        (a, b) for a, b in full if a % 4 != 0 and b % 4 != 0
+    }
