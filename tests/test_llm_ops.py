@@ -5254,16 +5254,17 @@ def test_wide_vote_expr_past_int64(spark):
 
 
 def test_keepbest_combo_past_int32(spark):
-    """Synthetic-magnitude proof for the keep-best argmax combo
-    (round 11, verdict item 2 — the last documented-not-coded integer
-    bound): n_chars AND doc_id both past the old 2^32 combo base, the
-    n_chars*2^63 product past 2^63 itself, yet Spark's DECIMAL(38,0)
-    _keepbest_combo_expr and DuckDB's HUGEINT formula select the same
-    representative and decode the same (doc_id, n_chars)."""
+    """Synthetic-magnitude proof for the keep-best argmax (round 11,
+    verdict item 2 — the last documented-not-coded integer bound):
+    n_chars AND doc_id both past the old 2^32 combo base, yet Spark's
+    pure-long ``max(struct(n_chars, -doc_id))`` and DuckDB's HUGEINT
+    combo (whose n_chars*2^63 product is past 2^63 itself) select the
+    same representative — the two encodings are strictly monotone in
+    the same total order, so no magnitude can split them."""
     import duckdb
 
     from rust_dms_cdc_operator_spark.inventory_llm import (
-        _keepbest_combo_expr,
+        _keepbest_argmax_expr,
         _keepbest_decode_exprs,
     )
 
@@ -5278,8 +5279,8 @@ def test_keepbest_combo_past_int32(spark):
     df = spark.createDataFrame(rows, "doc_id long, n_chars long")
     got = (
         df.agg(
-            F.max(
-                _keepbest_combo_expr(F.col("n_chars"), F.col("doc_id"))
+            _keepbest_argmax_expr(
+                F.col("n_chars"), F.col("doc_id")
             ).alias("_m")
         )
         .select(
