@@ -295,6 +295,7 @@ SCALE_QUERIES = [
     "docs_backoff_crossppl",
     "docs_group_split",
     "docs_group_split_incr",
+    "dedup_incremental_pairs",
     "events_exact_quantiles",
     "orders_stats_pruning",
     # round-8: DSIR rides a corpus-sized bigram explode with
@@ -426,6 +427,11 @@ EXACT_REQUIRED = {
     # oracle can check it end-to-end — the per-ingest production cost
     # is only its batch-edge CC + one artifact join (SCALE.md)
     "docs_group_split_incr",
+    # batch-touching candidate discovery: volume is batch-size x
+    # bucket-occupancy by construction; a dropped candidate is a
+    # potential cross-boundary leak, so no cap — bounded in deployment
+    # by the truncation census + probe-bucket caps (SCALE.md)
+    "dedup_incremental_pairs",
 }
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")
