@@ -460,12 +460,16 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
         gen_secs = 0.0
 
     timings: dict[str, float] = {}
+    cpu: dict[str, float] = {}
+    load0 = _loadavg()
     for name in SCALE_QUERIES:
+        c0 = _jvm_cpu_secs(spark)
         t0 = time.time()
         QUERIES[name](spark, SF1_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
         timings[name] = round(time.time() - t0, 3)
+        cpu[name] = round(_jvm_cpu_secs(spark) - c0, 3)
         spark.catalog.clearCache()  # same per-query cache hygiene
     ratios = {
         q: round(timings[q] / sf01_timings[q], 2)
@@ -483,6 +487,13 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
                 "rows from sf0.1 distributions); timing-only",
         "gen_secs": gen_secs,
         "queries": timings,
+        # same contention-evidence channel as the sf0.1 section: the
+        # heavy exact-mode walls vary ±35% run-to-run at sf1, and
+        # wall-grew-while-cpu-flat is what separates environment noise
+        # from a plan regression
+        "queries_cpu": cpu,
+        "load_before": load0,
+        "load_after": _loadavg(),
         "scale_vs_sf0.1": ratios,
         # verdict item 8 (r10): the exact-mode rows are on the record
         # deliberately (pair-volume-bound by fixture construction);
