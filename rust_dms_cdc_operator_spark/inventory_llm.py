@@ -12044,8 +12044,9 @@ ORACLE_SQL_LLM["dedup_keep_best"] = f"""
     grp AS (SELECT node AS doc_id, MIN(comp) AS group_id
             FROM lbl GROUP BY node)
     SELECT g.group_id,
-           -- HUGEINT combo: the int128 twin of Spark's DECIMAL(38,0)
-           -- _keepbest_combo_expr (base 2^63, exact for any int64)
+           -- HUGEINT combo encoding the same (n_chars, -doc_id) total
+           -- order as Spark's _keepbest_argmax_expr struct max
+           -- (base 2^63, exact for any int64)
            CAST(9223372036854775808::HUGEINT - 1
                 - max(d.n_chars::HUGEINT * 9223372036854775808::HUGEINT
                       + (9223372036854775808::HUGEINT - 1 - d.doc_id))
@@ -13123,7 +13124,8 @@ ORACLE_SQL_LLM["dedup_source_impact"] = f"""
     grp AS (SELECT node AS doc_id, MIN(comp) AS group_id
             FROM lbl GROUP BY node),
     keep AS (
-      -- HUGEINT twin of Spark's DECIMAL(38,0) _keepbest_combo_expr
+      -- HUGEINT encoding of the same (n_chars, -doc_id) total order
+      -- as Spark's _keepbest_argmax_expr struct max
       SELECT CAST(9223372036854775808::HUGEINT - 1
                   - max(d.n_chars::HUGEINT * 9223372036854775808::HUGEINT
                         + (9223372036854775808::HUGEINT - 1 - d.doc_id))

@@ -325,10 +325,58 @@ def minhash_band_keys(
     ).select(id_col, F.col("_k.band").alias("band"), F.col("_k.bk").alias("bk"))
 
 
+def band_key_bucket_counts(keys: DataFrame) -> DataFrame:
+    """Per-bucket occupancy of a band-key index: (band, bk, c) from a
+    :func:`minhash_band_keys` long-format frame. This is the SECOND
+    persisted artifact of the incremental dedup contract (round 12):
+    a deployment maintains it next to the index itself — counts are
+    additive, so each ingest upserts ``c += batch count`` per touched
+    bucket — and feeds it to :func:`lsh_pairs_incremental` /
+    :func:`lsh_probe_truncation_census` so the probe-side hot-bucket
+    cap never scans the corpus index to learn occupancies."""
+    return keys.groupBy("band", "bk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def _probe_hot_buckets(
+    batch_keys: DataFrame,
+    corpus_keys: DataFrame,
+    max_bucket: int,
+    corpus_bucket_counts: DataFrame | None,
+) -> DataFrame:
+    """Buckets TOUCHED by the batch whose full-corpus occupancy
+    (batch members + prior-corpus members) exceeds ``max_bucket`` —
+    the probe-side mirror of the hot set minhash_lsh_pairs(max_bucket)
+    computes over the whole corpus. Batch-sized agg + one keyed join
+    against the occupancy artifact (computed from ``corpus_keys`` when
+    no artifact is supplied); output is hot buckets only, tiny by the
+    cap's own design."""
+    if corpus_bucket_counts is None:
+        corpus_bucket_counts = band_key_bucket_counts(corpus_keys)
+    return (
+        band_key_bucket_counts(batch_keys)
+        .withColumnRenamed("c", "_cb")
+        .join(
+            corpus_bucket_counts.withColumnRenamed("c", "_cc"),
+            ["band", "bk"],
+            "left",
+        )
+        .filter(
+            F.col("_cb") + F.coalesce(F.col("_cc"), F.lit(0))
+            > F.lit(max_bucket)
+        )
+        .select("band", "bk")
+    )
+
+
 def lsh_pairs_incremental(
     batch_keys: DataFrame,
     corpus_keys: DataFrame,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    corpus_bucket_counts: DataFrame | None = None,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """Candidate pairs TOUCHING an ingest batch, discovered against a
     persisted band-key index (both inputs in :func:`minhash_band_keys`
@@ -341,7 +389,33 @@ def lsh_pairs_incremental(
     tests/test_llm_ops.py::test_lsh_pairs_incremental_matches_full) —
     so :func:`operators.graph.incremental_groups` fed from here
     computes exactly what the from-scratch docs_group_split_incr
-    query computes, at O(batch) probe cost.
+    query computes, at O(batch) probe cost. The same equality holds
+    capped: with ``max_bucket`` set, the output equals
+    ``minhash_lsh_pairs(max_bucket=...)`` restricted to batch-touching
+    pairs (both drop every band level whose FULL-corpus occupancy —
+    batch + prior members — exceeds the cap; a pair surviving through
+    another under-cap band is still emitted).
+
+    ``max_bucket`` (round 12 — the round-8 batch contract mirrored
+    onto the probe path): per-ingest candidate volume is batch-size x
+    bucket-occupancy, so one adversarial hot bucket makes the ingest
+    step corpus-quadratic exactly like the batch path before its cap.
+    Occupancies come from ``corpus_bucket_counts`` (the
+    :func:`band_key_bucket_counts` artifact a deployment maintains
+    additively per ingest; derived from ``corpus_keys`` when omitted)
+    plus the batch's own counts — one batch-sized agg and one keyed
+    artifact join, never a corpus scan. Hot buckets are removed from
+    the BATCH side before both joins (a probe join can only produce
+    rows for buckets the batch still holds), and
+    :func:`lsh_probe_truncation_census` reports exactly what was
+    skipped — no silent cap.
+
+    ``check_disjoint=True`` materializes a bounded overlap probe (one
+    left-semi count on distinct ids) and raises ``ValueError`` when
+    the corpus index already contains batch ids — the precondition
+    violation that would otherwise surface as duplicate/degenerate
+    candidates. Independent of the flag, self-pairs can never be
+    emitted: the probe join filters ``_ida != _idb``.
 
     Scale shape: both joins are (band, bk)-keyed; the batch side is
     batch-sized, and the index side prunes to TOUCHED buckets (a
@@ -352,12 +426,31 @@ def lsh_pairs_incremental(
     first-colliding-band trick is deliberately NOT replicated here:
     it saves a distinct on CORPUS-quadratic streams, while this
     stream is batch-bounded by construction."""
+    if check_disjoint:
+        overlap = (
+            batch_keys.select(id_col)
+            .distinct()
+            .join(corpus_keys.select(id_col).distinct(), id_col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "lsh_pairs_incremental: corpus_keys contains batch ids — "
+                "the persisted index must not include the ingest batch "
+                "(re-point the probe at the pre-ingest index snapshot)"
+            )
     b = batch_keys.select(
         F.col(id_col).alias("_ida"), "band", "bk"
     )
+    if max_bucket is not None:
+        hot = _probe_hot_buckets(
+            batch_keys, corpus_keys, max_bucket, corpus_bucket_counts
+        )
+        b = b.join(F.broadcast(hot), ["band", "bk"], "left_anti")
     bb = (
         b.join(
-            batch_keys.select(F.col(id_col).alias("_idb"), "band", "bk"),
+            b.select(F.col("_ida").alias("_idb"), "band", "bk"),
             ["band", "bk"],
         )
         .filter(F.col("_ida") < F.col("_idb"))
@@ -368,12 +461,76 @@ def lsh_pairs_incremental(
             corpus_keys.select(F.col(id_col).alias("_idb"), "band", "bk"),
             ["band", "bk"],
         )
+        # degrades safely when the disjointness precondition is
+        # violated unchecked: a doc present in both inputs must not
+        # self-pair (it would corrupt downstream CC with a loop edge)
+        .filter(F.col("_ida") != F.col("_idb"))
         .select(
             F.least("_ida", "_idb").alias("id_a"),
             F.greatest("_ida", "_idb").alias("id_b"),
         )
     )
     return bb.unionByName(bc).distinct()
+
+
+def lsh_probe_truncation_census(
+    batch_keys: DataFrame,
+    corpus_keys: DataFrame | None = None,
+    max_bucket: int = 256,
+    corpus_bucket_counts: DataFrame | None = None,
+) -> DataFrame:
+    """The no-silent-cap companion of ``lsh_pairs_incremental(...,
+    max_bucket=...)`` — the probe-side twin of
+    :func:`lsh_bucket_truncation_census`: per band, what the ingest's
+    hot-bucket cap skipped. Returns (band_idx, n_buckets_touched,
+    n_hot_buckets, n_batch_slots_hot, n_corpus_slots_hot) over the
+    buckets the batch TOUCHES (untouched buckets produce no probe
+    pairs and are invisible to the ingest by construction): how many
+    were over-cap at full-corpus occupancy, and how many batch/corpus
+    key slots sat inside them. A deployment alerts on this exactly
+    like the batch census — slots in hot buckets are candidates the
+    ingest did NOT enumerate (the doc still pairs via its other
+    bands).
+
+    Cost: one batch-sized agg + one keyed join against the occupancy
+    artifact (:func:`band_key_bucket_counts`, derived from
+    ``corpus_keys`` when no artifact is supplied); output is one row
+    per band — bounded driver output at any scale."""
+    if corpus_bucket_counts is None:
+        if corpus_keys is None:
+            raise ValueError(
+                "lsh_probe_truncation_census: pass corpus_keys or "
+                "corpus_bucket_counts"
+            )
+        corpus_bucket_counts = band_key_bucket_counts(corpus_keys)
+    occ = (
+        band_key_bucket_counts(batch_keys)
+        .withColumnRenamed("c", "_cb")
+        .join(
+            corpus_bucket_counts.withColumnRenamed("c", "_cc"),
+            ["band", "bk"],
+            "left",
+        )
+        .select(
+            "band",
+            F.col("_cb"),
+            F.coalesce(F.col("_cc"), F.lit(0)).alias("_cc"),
+        )
+    )
+    hot = F.col("_cb") + F.col("_cc") > F.lit(max_bucket)
+    zero = F.lit(0).cast("long")
+    return occ.groupBy(F.col("band").alias("band_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_touched"),
+        F.coalesce(
+            F.sum(F.when(hot, F.lit(1)).otherwise(F.lit(0))), zero
+        ).cast("long").alias("n_hot_buckets"),
+        F.coalesce(
+            F.sum(F.when(hot, F.col("_cb")).otherwise(F.lit(0))), zero
+        ).cast("long").alias("n_batch_slots_hot"),
+        F.coalesce(
+            F.sum(F.when(hot, F.col("_cc")).otherwise(F.lit(0))), zero
+        ).cast("long").alias("n_corpus_slots_hot"),
+    )
 
 
 def lsh_bucket_truncation_census(
@@ -844,6 +1001,37 @@ def _pair_inter_counts(
     )
 
 
+def _attach_inter_counts(
+    pairs: DataFrame, s: DataFrame, id_col: str
+) -> DataFrame:
+    """LEFT-attach exact ``_inter`` to a candidate stream of ANY pair
+    orientation: :func:`_pair_inter_counts` emits ordered
+    (id_a < id_b) keys only, so this probe normalizes with
+    least/greatest for the join and keeps the caller's original
+    columns — the tokens strategy thereby matches the arrays path
+    row-for-row on unordered candidate input instead of silently
+    reporting zero intersections for id_a > id_b rows (round-12
+    hardening; candidate generators in this repo all emit ordered
+    pairs, but the public verify surface no longer assumes it).
+    Self-pairs (id_a == id_b) remain out of contract: no generator
+    emits them and :func:`lsh_pairs_incremental` now filters them."""
+    ic = _pair_inter_counts(pairs, s, id_col)
+    return (
+        pairs.withColumn("_na", F.least("id_a", "id_b"))
+        .withColumn("_nb", F.greatest("id_a", "id_b"))
+        .join(
+            ic.select(
+                F.col("id_a").alias("_na"),
+                F.col("id_b").alias("_nb"),
+                "_inter",
+            ),
+            ["_na", "_nb"],
+            "left",
+        )
+        .drop("_na", "_nb")
+    )
+
+
 def jaccard_verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -918,8 +1106,7 @@ def jaccard_verify_pairs(
         sz = s.select(F.col(id_col), F.size("sh").cast("long").alias("_sz"))
         inter_c = F.coalesce(F.col("_inter"), F.lit(0)).cast("long")
         out = (
-            pairs.join(_pair_inter_counts(pairs, s, id_col),
-                       ["id_a", "id_b"], "left")
+            _attach_inter_counts(pairs, s, id_col)
             .join(sz.select(F.col(id_col).alias("id_a"),
                             F.col("_sz").alias("_sz_a")), "id_a")
             .join(sz.select(F.col(id_col).alias("id_b"),
@@ -1067,8 +1254,7 @@ def containment_verify_pairs(
         # shared-token intersection counts (see _pair_inter_counts)
         sz = s.select(F.col(id_col), F.size("sh").cast("long").alias("_sz"))
         out = (
-            pairs.join(_pair_inter_counts(pairs, s, id_col),
-                       ["id_a", "id_b"], "left")
+            _attach_inter_counts(pairs, s, id_col)
             .join(sz.select(F.col(id_col).alias("id_a"),
                             F.col("_sz").alias("_sz_a")), "id_a")
             .join(sz.select(F.col(id_col).alias("id_b"),

@@ -550,6 +550,16 @@ def label_propagation(
     e = edges.select("id_a", "id_b")
     if not assume_distinct:
         e = e.distinct()
+    if iters <= 0:
+        # identity labels — the pre-round-11 iters=0 behavior, which
+        # the round-1 fold would otherwise silently absorb into one
+        # propagation round (range(iters - 1) is empty for iters <= 1)
+        nodes = (
+            e.select(F.col("id_a").alias("v"))
+            .unionByName(e.select(F.col("id_b").alias("v")))
+            .distinct()
+        )
+        return nodes.select("v", F.col("v").alias("label"))
     adj = (
         e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(

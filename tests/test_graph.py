@@ -381,3 +381,25 @@ def test_group_split_incr_stability_and_coverage(spark, tmp_path):
                   .collect()}
     got_prior = {k: v for k, v in full.items() if k % 4 != 0}
     assert got_prior == prior_only
+
+
+def test_label_propagation_iters_zero_identity(spark):
+    """Round 12 (ADVICE): the round-1 fold must not absorb iters<=0 —
+    zero (or negative) rounds return identity labels, the pre-fold
+    public behavior, and iters=1 runs exactly one propagation round."""
+    from rust_dms_cdc_operator_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    for it in (0, -1):
+        got = {
+            r.v: r.label for r in label_propagation(df, iters=it).collect()
+        }
+        assert got == {v: v for v in (1, 2, 3, 4, 10, 11)}
+    one = {r.v: r.label for r in label_propagation(df, iters=1).collect()}
+    # one round: each node adopts its neighbors' most frequent initial
+    # label (ties -> smallest): 1->2, 2->1, 3->2, 4->3, 10->11, 11->10
+    assert one == {1: 2, 2: 1, 3: 2, 4: 3, 10: 11, 11: 10}
