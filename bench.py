@@ -296,6 +296,10 @@ SCALE_QUERIES = [
     "docs_group_split",
     "docs_group_split_incr",
     "dedup_incremental_pairs",
+    # round-12: the CAPPED probe path + its census — the per-ingest
+    # deployment pair whose boundedness the cap now enforces in code
+    "dedup_incremental_pairs_capped",
+    "dedup_probe_truncation_census",
     "events_exact_quantiles",
     "orders_stats_pruning",
     # round-8: DSIR rides a corpus-sized bigram explode with

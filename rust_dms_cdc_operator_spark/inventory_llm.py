@@ -9768,6 +9768,138 @@ ORACLE_SQL_LLM["dedup_incremental_pairs"] = f"""
 QUERIES_LLM["dedup_incremental_pairs"] = q_dedup_incremental_pairs
 
 
+def q_dedup_incremental_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT form of per-ingest candidate discovery (round
+    12, verdict item 1): the probe runs under the same hot-bucket cap
+    as the batch path — occupancies come from the persisted
+    band_key_bucket_counts artifact (maintained additively per
+    ingest), buckets whose FULL-corpus occupancy (batch + prior)
+    exceeds the cap are skipped on the batch side before either join,
+    and operators/dedup.lsh_probe_truncation_census reports exactly
+    what was skipped (no silent cap). Output SET equals
+    minhash_lsh_pairs(max_bucket) restricted to batch-touching pairs
+    (test-pinned), so the capped incremental path feeds
+    incremental_groups with exactly what a capped rebuild would —
+    per-ingest cost is bounded at batch-size x cap whatever the
+    vocabulary does, which closes the one unbounded step the round-11
+    incremental contract narrated but did not code."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        band_key_bucket_counts,
+        lsh_pairs_incremental,
+        minhash_band_keys,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    keys_b = minhash_band_keys(
+        d.filter(F.col("doc_id") % 4 == 0), "doc_id", "text",
+        num_hashes=16, bands=2,
+    )
+    keys_c = minhash_band_keys(
+        d.filter(F.col("doc_id") % 4 != 0), "doc_id", "text",
+        num_hashes=16, bands=2,
+    )
+    return lsh_pairs_incremental(
+        keys_b, keys_c, max_bucket=_LSH_MAX_BUCKET,
+        corpus_bucket_counts=band_key_bucket_counts(keys_c),
+    )
+
+
+ORACLE_SQL_LLM["dedup_incremental_pairs_capped"] = f"""
+    SELECT id_a, id_b FROM ({_minhash_sql(16, 2, _LSH_MAX_BUCKET)})
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+"""
+QUERIES_LLM["dedup_incremental_pairs_capped"] = q_dedup_incremental_pairs_capped
+
+
+def _probe_census_sql(
+    num_hashes: int = 16, bands: int = 2, max_bucket: int = _LSH_MAX_BUCKET
+) -> str:
+    """DuckDB rendering of dedup.lsh_probe_truncation_census over the
+    %4 ingest split: band keys over the full corpus, per-bucket
+    occupancy split into batch (doc_id % 4 = 0) and prior-corpus
+    slots, censused over batch-TOUCHED buckets only."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        _mix_a,
+        _mix_b,
+    )
+
+    rows = num_hashes // bands
+    sigs = ", ".join(
+        "list_aggregate(list_transform(wh, "
+        f"h -> ({_mix_a(i)} * h + {_mix_b(i)}) % {_MERSENNE}), 'min') AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = [
+        " || '|' || ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows))
+        for b in range(bands)
+    ]
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bk, {i} AS band_idx FROM sigs"
+        for i, b in enumerate(band_exprs)
+    )
+    hot = f"cb + cc > {max_bucket}"
+    return f"""
+        WITH wh AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')),
+                                w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
+          FROM documents),
+        sigs AS (SELECT doc_id, {sigs} FROM wh),
+        banded AS ({band_selects}),
+        occ AS (SELECT band_idx, bk,
+                  sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS cb,
+                  sum(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS cc
+                FROM banded GROUP BY 1, 2)
+        SELECT band_idx,
+               CAST(count(*) AS BIGINT) AS n_buckets_touched,
+               CAST(coalesce(sum(CASE WHEN {hot} THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_hot_buckets,
+               CAST(coalesce(sum(CASE WHEN {hot} THEN cb ELSE 0 END), 0)
+                 AS BIGINT) AS n_batch_slots_hot,
+               CAST(coalesce(sum(CASE WHEN {hot} THEN cc ELSE 0 END), 0)
+                 AS BIGINT) AS n_corpus_slots_hot
+        FROM occ WHERE cb > 0 GROUP BY band_idx
+    """
+
+
+def q_dedup_probe_truncation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-side no-silent-cap report for
+    dedup_incremental_pairs_capped
+    (operators/dedup.lsh_probe_truncation_census): per band, how many
+    buckets the ingest batch touched, how many were over-cap at
+    full-corpus occupancy, and how many batch/corpus key slots sat
+    inside them — the candidates the capped probe did NOT enumerate
+    (a doc in a hot bucket still pairs via its other bands). One
+    batch-sized agg + one keyed join against the occupancy artifact;
+    one row per band — bounded driver output at any scale. A
+    deployment alerts on this exactly like the batch-side
+    dedup_lsh_hot_buckets census."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        band_key_bucket_counts,
+        lsh_probe_truncation_census,
+        minhash_band_keys,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    keys_b = minhash_band_keys(
+        d.filter(F.col("doc_id") % 4 == 0), "doc_id", "text",
+        num_hashes=16, bands=2,
+    )
+    keys_c = minhash_band_keys(
+        d.filter(F.col("doc_id") % 4 != 0), "doc_id", "text",
+        num_hashes=16, bands=2,
+    )
+    return lsh_probe_truncation_census(
+        keys_b, max_bucket=_LSH_MAX_BUCKET,
+        corpus_bucket_counts=band_key_bucket_counts(keys_c),
+    )
+
+
+ORACLE_SQL_LLM["dedup_probe_truncation_census"] = _probe_census_sql()
+QUERIES_LLM["dedup_probe_truncation_census"] = q_dedup_probe_truncation_census
+
+
 def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval concurrency by sweep — how many orders are OPEN
     (placed, not yet fully shipped) on each day. The naive form is a
