@@ -9945,6 +9945,72 @@ ORACLE_SQL_LLM["dedup_probe_truncation_census"] = _probe_census_sql()
 QUERIES_LLM["dedup_probe_truncation_census"] = q_dedup_probe_truncation_census
 
 
+def q_dedup_bucket_counts_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The occupancy artifact's ADDITIVE per-ingest maintenance
+    (operators/dedup.merge_bucket_counts): fold the batch's band keys
+    into the persisted corpus counts; the merged table must equal a
+    from-scratch census over the full corpus — which is exactly what
+    the oracle computes (per-(band, bk) occupancy of all docs). This
+    is the step that keeps probe-side capping O(batch) at every
+    epoch: no corpus scan ever re-derives occupancies."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        band_key_bucket_counts,
+        merge_bucket_counts,
+        minhash_band_keys,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    keys_b = minhash_band_keys(
+        d.filter(F.col("doc_id") % 4 == 0), "doc_id", "text",
+        num_hashes=16, bands=2,
+    )
+    keys_c = minhash_band_keys(
+        d.filter(F.col("doc_id") % 4 != 0), "doc_id", "text",
+        num_hashes=16, bands=2,
+    )
+    return merge_bucket_counts(band_key_bucket_counts(keys_c), keys_b)
+
+
+def _bucket_counts_sql(num_hashes: int = 16, bands: int = 2) -> str:
+    """DuckDB rendering of band_key_bucket_counts over the FULL
+    corpus — the from-scratch census the additive merge must equal."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        _MERSENNE,
+        _mix_a,
+        _mix_b,
+    )
+
+    rows = num_hashes // bands
+    sigs = ", ".join(
+        "list_aggregate(list_transform(wh, "
+        f"h -> ({_mix_a(i)} * h + {_mix_b(i)}) % {_MERSENNE}), 'min') AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = [
+        " || '|' || ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows))
+        for b in range(bands)
+    ]
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bk, {i} AS band FROM sigs"
+        for i, b in enumerate(band_exprs)
+    )
+    return f"""
+        WITH wh AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')),
+                                w -> {_sql_hex_to_long('md5(w)', 8)}) AS wh
+          FROM documents),
+        sigs AS (SELECT doc_id, {sigs} FROM wh),
+        banded AS ({band_selects})
+        SELECT band, bk, CAST(count(*) AS BIGINT) AS c
+        FROM banded GROUP BY 1, 2
+    """
+
+
+ORACLE_SQL_LLM["dedup_bucket_counts_merge"] = _bucket_counts_sql()
+QUERIES_LLM["dedup_bucket_counts_merge"] = q_dedup_bucket_counts_merge
+
+
 def q_orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval concurrency by sweep — how many orders are OPEN
     (placed, not yet fully shipped) on each day. The naive form is a

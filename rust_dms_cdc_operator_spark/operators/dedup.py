@@ -339,6 +339,27 @@ def band_key_bucket_counts(keys: DataFrame) -> DataFrame:
     )
 
 
+def merge_bucket_counts(
+    prior_counts: DataFrame, batch_keys: DataFrame
+) -> DataFrame:
+    """The ADDITIVE MAINTENANCE step of the occupancy artifact: fold
+    an ingest batch's band keys into the persisted
+    :func:`band_key_bucket_counts` table — counts are additive, so the
+    merged table equals a from-scratch census over corpus ∪ batch
+    (pinned by tests/test_llm_ops.py::test_bucket_counts_merge and the
+    ``dedup_bucket_counts_merge`` oracle row). One batch-sized agg +
+    one keyed union-agg against the artifact; a deployment writes the
+    result back as the next epoch's artifact, so probe-side capping
+    (:func:`lsh_pairs_incremental`) never scans the corpus index for
+    occupancies at any epoch."""
+    return (
+        prior_counts.select("band", "bk", "c")
+        .unionByName(band_key_bucket_counts(batch_keys))
+        .groupBy("band", "bk")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
 def _probe_hot_buckets(
     batch_keys: DataFrame,
     corpus_keys: DataFrame,

@@ -5558,3 +5558,64 @@ def test_verify_pairs_tokens_strategy_unordered_input(spark):
         ).collect()
     )
     assert ca == ct and len(ca) > 0
+
+
+def test_bucket_counts_merge(spark):
+    """Round 12: the occupancy artifact's additive maintenance —
+    merging a batch into the persisted counts equals a from-scratch
+    census over corpus ∪ batch, and the merged artifact drives the
+    capped probe identically to direct-keys occupancies."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        band_key_bucket_counts,
+        lsh_pairs_incremental,
+        merge_bucket_counts,
+        minhash_band_keys,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    is_batch = F.col("doc_id") % 4 == 0
+    keys_b = minhash_band_keys(
+        d.filter(is_batch), "doc_id", "text", num_hashes=16, bands=2
+    )
+    keys_c = minhash_band_keys(
+        d.filter(~is_batch), "doc_id", "text", num_hashes=16, bands=2
+    )
+    keys_all = minhash_band_keys(
+        d, "doc_id", "text", num_hashes=16, bands=2
+    )
+    merged = {
+        (r.band, r.bk): r.c
+        for r in merge_bucket_counts(
+            band_key_bucket_counts(keys_c), keys_b
+        ).collect()
+    }
+    scratch = {
+        (r.band, r.bk): r.c
+        for r in band_key_bucket_counts(keys_all).collect()
+    }
+    assert merged == scratch and len(merged) > 0
+    # NEXT-epoch shape: a second batch capped against the merged
+    # artifact equals capping against direct occupancy of its corpus
+    is_b2 = F.col("doc_id") % 8 == 1
+    keys_b2 = minhash_band_keys(
+        d.filter(is_b2), "doc_id", "text", num_hashes=16, bands=2
+    )
+    corpus2 = minhash_band_keys(
+        d.filter(~is_b2), "doc_id", "text", num_hashes=16, bands=2
+    )
+    # the occupancy artifact covers the CORPUS side only (the probe
+    # adds the batch's own counts itself)
+    art2 = band_key_bucket_counts(corpus2)
+    got_art = {
+        (r.id_a, r.id_b)
+        for r in lsh_pairs_incremental(
+            keys_b2, corpus2, max_bucket=8, corpus_bucket_counts=art2
+        ).collect()
+    }
+    got_direct = {
+        (r.id_a, r.id_b)
+        for r in lsh_pairs_incremental(
+            keys_b2, corpus2, max_bucket=8
+        ).collect()
+    }
+    assert got_art == got_direct and len(got_art) > 0

@@ -941,3 +941,217 @@ def test_sf1_fanout_exclude_and_partial_failure_live(pg, spark):
     walls["pg_load_validate_events"] = round(time.time() - t0, 2)
     assert rep.ok and rep.counts_match and not rep.mismatched_chunks, vars(rep)
     print("PG-SF1-FANOUT-SEMANTICS " + json.dumps(walls))
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_PG_SF10"),
+    reason="opt-in: set SPARK_GRAFT_PG_SF10=1 (native-sf10 live-PG run, ~15-30 min)",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(
+        __import__("os").environ.get(
+            "SPARK_GRAFT_SF10_DIR", "/tmp/spark-graft-sf10-native"
+        )
+    ),
+    reason="native sf10 dataset not generated (tools/gen_native_sf.py K=100)",
+)
+def test_sf10_fanout_staged_merge_validate_live(pg, spark):
+    """Round-12 (verdict item 7): the staged-merge JDBC-sink SQL at
+    100x the oracle scale. Three tables (orders 15M / events 10M /
+    customer 1.5M rows) fan out through ONE snapshot() call, each
+    full-loads into live PG 15 via server-side COPY, each applies ONE
+    CDC epoch through the staging-table path (COPY delta into staging
+    + ONE staging_merge_sql + ONE staging_delete_sql — the S8
+    statements the JDBC sink emits), and each V1+V2-validates
+    (chunked hashes) against PG. Per-phase walls print as
+    PG-SF10-WALL; read against the sf1 walls in SCALE.md, linear
+    per-row cost == the staging path scales in rows, not round-trips
+    (same TWO server-side statements per epoch at any size)."""
+    import json
+    import os
+    import threading
+    import time
+    from dataclasses import dataclass
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.payloads import CdcSnapshotPayload
+    from rust_dms_cdc_operator_spark.snapshot import ParquetTarget, snapshot
+    from rust_dms_cdc_operator_spark.validate import validate_table
+
+    sf10 = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", "/tmp/spark-graft-sf10-native"
+    )
+    work = f"/tmp/pgsf10-{uuid.uuid4().hex[:8]}"
+    root = os.path.join(work, "drop")
+    os.makedirs(root)
+    os.chmod(work, 0o777)
+    con = duckdb.connect()
+
+    specs = [("events", "event_id", "value"),
+             ("orders", "o_orderkey", "o_totalprice"),
+             ("customer", "c_custkey", "c_acctbal")]
+    DUCK2PG = {"BIGINT": "bigint", "INTEGER": "integer",
+               "DOUBLE": "double precision", "VARCHAR": "text",
+               "DATE": "date", "TIMESTAMP": "timestamp",
+               "TIMESTAMP_NS": "timestamp"}
+
+    walls = {}
+    meta = {}
+    expected = {}
+    t_all = time.time()
+    for table, pk, bump in specs:
+        src = os.path.join(sf10, f"{table}.parquet")
+        src = f"{src}/*.parquet" if os.path.isdir(src) else src
+        desc = con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
+        cols = [r[0] for r in desc]
+        pg_cols = {r[0]: DUCK2PG[r[1]] for r in desc}
+        col_csv = ", ".join(cols)
+        tdir = os.path.join(root, "mydb", "public", table)
+        os.makedirs(os.path.join(tdir, "2026", "08", "02"))
+        t0 = time.time()
+        con.sql(
+            f"COPY (SELECT {col_csv} FROM '{src}' WHERE {pk} % 10 != 0 "
+            f"ORDER BY {pk}) TO '{tdir}/LOAD00000001.parquet' "
+            "(FORMAT PARQUET)"
+        )
+        upd_cols = ", ".join(
+            f"{c} + 1.0 AS {c}" if c == bump else c for c in cols
+        )
+        con.sql(
+            "COPY (SELECT 'I' AS Op, "
+            "'2026-08-02 00:00:01' AS _dms_ingestion_timestamp, "
+            f"{col_csv} FROM '{src}' WHERE {pk} % 10 = 0 "
+            "UNION ALL SELECT 'U', '2026-08-02 00:00:01', "
+            f"{upd_cols} FROM '{src}' WHERE {pk} % 10 = 1 "
+            "UNION ALL SELECT 'D', '2026-08-02 00:00:01', "
+            f"{col_csv} FROM '{src}' WHERE {pk} % 10 = 2"
+            f") TO '{tdir}/2026/08/02/20260802-000001.parquet' "
+            "(FORMAT PARQUET)"
+        )
+        walls[f"build_drop_{table}"] = round(time.time() - t0, 2)
+        mods = dict(con.sql(
+            f"SELECT {pk} % 10, count(*) FROM '{src}' GROUP BY 1"
+        ).fetchall())
+        expected[table] = sum(v for k, v in mods.items() if k != 2)
+        meta[table] = (pk, cols, pg_cols, desc,
+                       sum(v for k, v in mods.items() if k != 0))
+
+    threads = set()
+
+    @dataclass
+    class TimedTarget(ParquetTarget):
+        def write(self, df, schema, table, pk):
+            t0 = time.time()
+            path = super().write(df, schema, table, pk)
+            walls[f"snapshot_{table}"] = round(time.time() - t0, 2)
+            threads.add(threading.current_thread().name)
+            return path
+
+    payload = CdcSnapshotPayload(
+        bucket_name="local", schema_name="public", database_name="mydb",
+        included_tables=[t for t, *_ in specs],
+        start_date="2026-08-01",
+    )
+    t0 = time.time()
+    written = snapshot(
+        spark, payload, TimedTarget(os.path.join(work, "snap")), root,
+        primary_keys={t: [pk] for t, pk, _ in specs},
+    )
+    walls["fanout_total"] = round(time.time() - t0, 2)
+    assert set(written) == {t for t, *_ in specs}
+    assert len(threads) >= 2, f"fan-out did not overlap: {threads}"
+
+    schema_name = "live_sf10"
+    _psql(pg, create_schema_sql(schema_name))
+    for table, pk, _bump in specs:
+        _pk, cols, pg_cols, desc, n_load = meta[table]
+        col_csv = ", ".join(cols)
+        tdir = os.path.join(root, "mydb", "public", table)
+
+        # phase 1 — DDL + bulk COPY of the LOAD file
+        t0 = time.time()
+        _psql(pg, create_table_sql(pg_cols, [pk], schema_name, table))
+        load_csv = f"{work}/{table}_load.csv"
+        con.sql(f"COPY (SELECT {col_csv} FROM "
+                f"'{tdir}/LOAD00000001.parquet') "
+                f"TO '{load_csv}' (FORMAT CSV, HEADER true)")
+        os.chmod(load_csv, 0o644)
+        _psql(pg, f"\\copy {schema_name}.{table} FROM '{load_csv}' "
+                  "WITH (FORMAT csv, HEADER true)")
+        walls[f"pg_full_load_{table}"] = round(time.time() - t0, 2)
+        os.unlink(load_csv)
+        assert int(_psql(
+            pg, f"SELECT count(*) FROM {schema_name}.{table}"
+        )) == n_load
+
+        # phase 2 — the CDC epoch through the STAGED-MERGE path:
+        # compact in Spark, COPY delta into staging, TWO server-side
+        # statements whatever the row count
+        from rust_dms_cdc_operator_spark.operators.compact import (
+            compact_cdc,
+        )
+
+        delta = compact_cdc(
+            spark.read.parquet(
+                os.path.join(tdir, "2026/08/02/20260802-000001.parquet")
+            ),
+            [pk], order_cols=["_dms_ingestion_timestamp"],
+            op_col="__keep_d__",
+        ).persist()
+        ups_dir = f"{work}/{table}_ups"
+        del_dir = f"{work}/{table}_del"
+        delta.filter(F.col("Op") != "D").select(*cols).write.parquet(ups_dir)
+        delta.filter(F.col("Op") == "D").select(pk).write.parquet(del_dir)
+        delta.unpersist()
+        stg = f"{schema_name}.stg_{table}"
+        stg_del = f"{schema_name}.stgdel_{table}"
+        t0 = time.time()
+        _psql(pg, f"CREATE TABLE {stg} "
+                  f"(LIKE {schema_name}.{table} INCLUDING DEFAULTS)")
+        _psql(pg, f"CREATE TABLE {stg_del} ({pk} bigint)")
+        for d, tgt, sel in ((ups_dir, stg, col_csv),
+                            (del_dir, stg_del, pk)):
+            csv = f"{d}.csv"
+            con.sql(f"COPY (SELECT {sel} FROM '{d}/*.parquet') "
+                    f"TO '{csv}' (FORMAT CSV, HEADER true)")
+            os.chmod(csv, 0o644)
+            _psql(pg, f"\\copy {tgt} FROM '{csv}' "
+                      "WITH (FORMAT csv, HEADER true)")
+            os.unlink(csv)
+        _psql(pg, staging_merge_sql(
+            schema_name, table, stg, list(pg_cols), [pk]))
+        _psql(pg, staging_delete_sql(schema_name, table, stg_del, [pk]))
+        _psql(pg, f"DROP TABLE {stg}; DROP TABLE {stg_del}")
+        walls[f"staged_merge_{table}"] = round(time.time() - t0, 2)
+        n_pg = int(_psql(
+            pg, f"SELECT count(*) FROM {schema_name}.{table}"
+        ))
+        assert n_pg == expected[table], (table, n_pg, expected[table])
+
+        # phase 3 — V1+V2 vs the snapshot state (type-preserving
+        # marshal, chunked hashes)
+        t0 = time.time()
+        out_csv = f"{work}/tgt_{table}.csv"
+        out_pq = f"{work}/tgt_{table}.parquet"
+        _psql(pg, f"\\copy (SELECT {col_csv} FROM {schema_name}.{table}) "
+                  f"TO '{out_csv}' WITH (FORMAT csv, HEADER true)")
+        rcols = ", ".join(f"'{c}': '{t}'" for c, t, *_ in desc)
+        con.sql(
+            f"COPY (SELECT * FROM read_csv('{out_csv}', header=true, "
+            f"columns={{{rcols}}})) TO '{out_pq}' (FORMAT PARQUET)"
+        )
+        os.unlink(out_csv)
+        state = spark.read.parquet(written[table]).select(*cols)
+        tgt = spark.read.parquet(out_pq).select(*cols)
+        rep = validate_table(state, tgt, table, [pk], chunk_size=500000)
+        walls[f"validate_{table}"] = round(time.time() - t0, 2)
+        assert rep.ok and rep.counts_match and not rep.mismatched_chunks, (
+            table, vars(rep))
+        assert rep.source_rows == expected[table]
+
+    walls["total"] = round(time.time() - t_all, 2)
+    walls["n_threads"] = len(threads)
+    print("PG-SF10-WALL " + json.dumps(walls))
