@@ -354,6 +354,92 @@ def main() -> int:
                     oracles[n] = sql
                 else:
                     print(f"(no closure substitution for {n})")
+        # subset-CC loop assist (round 12, verdict item 2):
+        # docs_group_split_incr / docs_group_rebuild_migration close
+        # over the %4 SUBGRAPHS (prior-prior and batch-batch pairs)
+        # with the same recursive min-label CTE that is infeasible
+        # single-node at ~200M pairs — the r11 session left their sf1
+        # completion status dangling for exactly this reason. Same
+        # function, same hash-to-min trick as __cc_groups, restricted
+        # to the cached pair subsets; the driver's sf0.01 gate still
+        # runs the untouched recursive SQL.
+        sub_users = [
+            n for n in names
+            if "__mh_pairs_plain" in materialized
+            and n in oracles
+            and "FROM plbl GROUP BY node" in oracles[n]
+            and "FROM __mh_pairs_plain" in oracles[n]
+        ]
+        if sub_users:
+            t0 = time.time()
+            for tbl, cond in (
+                ("__cc_prior", "id_a % 4 <> 0 AND id_b % 4 <> 0"),
+                ("__cc_new", "id_a % 4 = 0 AND id_b % 4 = 0"),
+            ):
+                con.sql(
+                    "CREATE OR REPLACE TEMP TABLE __sub_sym AS "
+                    "SELECT id_a AS a, id_b AS b FROM __mh_pairs_plain "
+                    f"WHERE {cond} "
+                    "UNION ALL SELECT id_b, id_a FROM __mh_pairs_plain "
+                    f"WHERE {cond}"
+                )
+                con.sql(
+                    "CREATE OR REPLACE TEMP TABLE __sub_l AS "
+                    "SELECT a AS node, least(a, min(b)) AS comp "
+                    "FROM __sub_sym GROUP BY a"
+                )
+                for it in range(50):
+                    con.sql(
+                        "CREATE OR REPLACE TEMP TABLE __sub_l2 AS "
+                        "SELECT node, min(comp) AS comp FROM ("
+                        "  SELECT s.b AS node, l.comp FROM __sub_sym s "
+                        "  JOIN __sub_l l ON l.node = s.a "
+                        "  UNION ALL SELECT node, comp FROM __sub_l"
+                        ") t GROUP BY node"
+                    )
+                    changed = con.sql(
+                        "SELECT count(*) FROM __sub_l a JOIN __sub_l2 b "
+                        "USING (node) WHERE a.comp <> b.comp"
+                    ).fetchone()[0]
+                    con.sql("DROP TABLE __sub_l")
+                    con.sql("ALTER TABLE __sub_l2 RENAME TO __sub_l")
+                    if changed == 0:
+                        break
+                else:
+                    raise RuntimeError(
+                        "subset-CC hash-to-min did not converge"
+                    )
+                con.sql(
+                    f"CREATE OR REPLACE TEMP TABLE {tbl} AS "
+                    "SELECT node AS doc_id, comp FROM __sub_l"
+                )
+            print(
+                f"(materialized __cc_prior/__cc_new: "
+                f"{time.time() - t0:.0f}s for {len(sub_users)} oracles)"
+            )
+            pat_prior = re.compile(
+                r"ppair AS MATERIALIZED \(.*?FROM plbl GROUP BY "
+                r"node\),",
+                re.S,
+            )
+            pat_new = re.compile(
+                r"npair AS MATERIALIZED \(.*?FROM nlbl GROUP BY "
+                r"node\),",
+                re.S,
+            )
+            for n in sub_users:
+                sql, s1 = pat_prior.subn(
+                    "pg AS (SELECT doc_id, comp AS group_id FROM "
+                    "__cc_prior),",
+                    oracles[n],
+                )
+                sql, s2 = pat_new.subn(
+                    "ng AS (SELECT doc_id, comp FROM __cc_new),", sql
+                )
+                if s1 and s2:
+                    oracles[n] = sql
+                else:
+                    print(f"(no subset-closure substitution for {n})")
         # pagerank / label-prop: even with MATERIALIZED CTEs, DuckDB
         # keeps every unrolled iteration's spill files alive until the
         # STATEMENT ends — 5 iterations over the 2x-directed 200M-pair
