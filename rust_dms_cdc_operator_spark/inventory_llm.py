@@ -9525,7 +9525,9 @@ ORACLE_SQL_LLM["docs_split_leakage"] = f"""
 QUERIES_LLM["docs_split_leakage"] = q_docs_split_leakage
 
 
-def q_docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_group_split(
+    spark: SparkSession, sf_dir: str, _pairs: DataFrame | None = None
+) -> DataFrame:
     """The FIX for split leakage: group-aware splitting. Near-dup
     groups (MinHash pairs → connected components; singletons are
     their own group) are assigned to train/val/test as UNITS — the
@@ -9554,7 +9556,9 @@ def q_docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket otherwise emits its quadratic pair volume from a single
     # task (AQE can't split output-exploding joins — see
     # minhash_lsh_pairs docstring). Same pair set, 8x emission spread.
-    pairs = minhash_lsh_pairs(
+    # ``_pairs``: the rebuild-migration audit runs BOTH stacks over
+    # ONE persisted pair stream (round 12) — identical set either way.
+    pairs = _pairs if _pairs is not None else minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
     )
     groups = dedup_groups(pairs)
@@ -9595,7 +9599,9 @@ ORACLE_SQL_LLM["docs_group_split"] = f"""
 QUERIES_LLM["docs_group_split"] = q_docs_group_split
 
 
-def q_docs_group_split_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_group_split_incr(
+    spark: SparkSession, sf_dir: str, _pairs: DataFrame | None = None
+) -> DataFrame:
     """INCREMENTAL group-aware splitting — the 100 TB deployment path
     of docs_group_split (round 11, verdict item 1). docs_group_split
     is EXACT-REQUIRED: its pair stream cannot be capped without
@@ -9632,8 +9638,10 @@ def q_docs_group_split_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the uncapped pair stream feeds three filtered
     # consumers (prior CC, batch CC, anchor extraction) — caller-
     # owned cache, the docs_group_split convention; salt=8 spreads
-    # hot-bucket pair emission exactly as there
-    pairs = minhash_lsh_pairs(
+    # hot-bucket pair emission exactly as there. ``_pairs``: the
+    # rebuild-migration audit passes ONE already-persisted stream
+    # shared with the full stack (round 12) — identical set.
+    pairs = _pairs if _pairs is not None else minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
     ).select("id_a", "id_b").persist()
     a_new = F.col("id_a") % 4 == 0
@@ -9753,9 +9761,16 @@ def q_docs_group_rebuild_migration(spark: SparkSession, sf_dir: str) -> DataFram
         group_rebuild_migration,
     )
 
+    # ONE persisted pair stream feeds BOTH stacks (round 12: the
+    # audit's only corpus-quadratic cost is the banded stream; running
+    # it twice doubled the round's top bench wall for no information)
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+    ).select("id_a", "id_b").persist()
     return group_rebuild_migration(
-        q_docs_group_split_incr(spark, sf_dir),
-        q_docs_group_split(spark, sf_dir),
+        q_docs_group_split_incr(spark, sf_dir, _pairs=pairs),
+        q_docs_group_split(spark, sf_dir, _pairs=pairs),
     )
 
 

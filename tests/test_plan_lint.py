@@ -216,6 +216,9 @@ PERSIST_CALLER_OWNED = {
     "inventory_llm.py:q_dedup_group_cohesion_capped": 1,  # capped pairs
     "inventory_llm.py:q_dedup_band_tuning": 2,       # tagged + verified
     "inventory_llm.py:q_docs_group_split_incr": 1,   # pairs, 3 consumers
+    # round 12: the rebuild audit shares ONE pair stream across both
+    # stacks (full + incremental), 4+ consumers
+    "inventory_llm.py:q_docs_group_rebuild_migration": 1,
     "inventory_llm.py:q_dedup_semantic_pairs": 1,    # centroid-scored docs
     "inventory_llm.py:q_docs_rareterm_neighbors": 1, # rare-term postings
     "inventory_llm.py:_bm25_scored": 1,              # doc-length table
