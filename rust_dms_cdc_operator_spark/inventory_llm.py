@@ -11993,6 +11993,62 @@ ORACLE_SQL_LLM["docs_bloom_contamination"] = f"""
 QUERIES_LLM["docs_bloom_contamination"] = q_docs_bloom_contamination
 
 
+def q_docs_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination artifact's ADDITIVE per-ingest maintenance
+    (operators/sketch.bloom_word_table / merge_bloom_word_tables —
+    round 12, the merge_bucket_counts pattern applied to Bloom bits):
+    the corpus's 5-gram Bloom filter is built as TWO epoch word
+    tables (doc_id % 2 split of the docs_bloom_contamination corpus)
+    and OR-merged; the result must equal the from-scratch filter over
+    the whole corpus bit-for-bit — which is exactly what the oracle
+    computes. OR is idempotent/associative/commutative, so a 100 TB
+    deployment maintains the filter per ingest (one batch-sized
+    bit_or agg + one <=128-row merge) without ever rescanning corpus
+    grams. Output is the word table itself: <= m_bits/32 rows at any
+    corpus size."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (  # noqa: PLC0415
+        sliding_word_ngrams,
+    )
+    from rust_dms_cdc_operator_spark.operators.sketch import (  # noqa: PLC0415
+        bloom_word_table,
+        merge_bloom_word_tables,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+
+    def grams(cond):
+        return d.filter((F.col("doc_id") >= 40) & cond).select(
+            F.explode(sliding_word_ngrams(F.col("text"), 5)).alias("g")
+        )
+
+    t_even = bloom_word_table(grams(F.col("doc_id") % 2 == 0))
+    t_odd = bloom_word_table(grams(F.col("doc_id") % 2 != 0))
+    return merge_bloom_word_tables(t_even, t_odd)
+
+
+ORACLE_SQL_LLM["docs_bloom_merge"] = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(w) - 4, 0)),
+               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] || ' ' || w[i+5]) AS gs
+      FROM words),
+    cg AS (
+      SELECT unnest(gs) AS g FROM grams WHERE doc_id >= 40),
+    pos AS (
+      SELECT {_sql_bloom_pos('g', 'b1')} AS p FROM cg
+      UNION ALL SELECT {_sql_bloom_pos('g', 'b2')} FROM cg
+      UNION ALL SELECT {_sql_bloom_pos('g', 'b3')} FROM cg)
+    SELECT CAST(p // 32 AS INTEGER) AS w,
+           CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT)
+             AS bits
+    FROM pos GROUP BY 1
+"""
+QUERIES_LLM["docs_bloom_merge"] = q_docs_bloom_merge
+
+
 def q_docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: what fraction of the corpus token
     MASS the top-k most frequent words cover, for k in {10, 100,

@@ -488,3 +488,65 @@ def hll_cardinality(
         s_scaled.alias("s_scaled"),
         est.alias("hll_estimate"),
     )
+
+
+def bloom_word_table(
+    grams: DataFrame,
+    gram_col: str = "g",
+    m_bits: int = 4096,
+    salts: tuple[str, ...] = ("b1", "b2", "b3"),
+) -> DataFrame:
+    """The contamination Bloom filter as a FRAME of 32-bit words:
+    (w, bits) — the same m-bit / k-salted-md5 construction the
+    docs_bloom_contamination query builds inline (inventory_llm.py),
+    factored out so the filter is a PERSISTED, MERGEABLE artifact.
+    One map-side-combined bit_or aggregate straight off the gram
+    stream (OR is idempotent — no distinct, no gram-string shuffle);
+    absent words simply have no row (bits = 0 implicitly), so the
+    table is at most m_bits/32 rows at any corpus size.
+
+    This is the decontamination family's incremental-maintenance
+    primitive (round 12 — the `merge_bucket_counts` pattern applied
+    to Bloom bits): a deployment builds the filter once, then each
+    ingest ORs its batch's word table in via
+    :func:`merge_bloom_word_tables` — merged == from-scratch over the
+    union corpus (bit_or is associative/commutative/idempotent),
+    pinned by the ``docs_bloom_merge`` oracle row."""
+    g = F.col(gram_col)
+    pos = F.explode(
+        F.array(
+            *[
+                hex_to_long(F.md5(F.concat(g, F.lit(s))), 8)
+                % F.lit(m_bits)
+                for s in salts
+            ]
+        )
+    ).alias("p")
+    return (
+        grams.select(pos)
+        .select(
+            (F.col("p") / 32).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("p") % 32).cast("int"),
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").cast("long").alias("bits"))
+    )
+
+
+def merge_bloom_word_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two Bloom word tables (additive per-ingest
+    maintenance): union + one bit_or per word. Because OR is
+    idempotent and associative, merging any partition of the corpus
+    reproduces the from-scratch filter bit-for-bit — the property
+    that lets a 100 TB deployment maintain its decontamination
+    artifact per ingest without ever rescanning the corpus grams."""
+    return (
+        a.select("w", "bits")
+        .unionByName(b.select("w", "bits"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )

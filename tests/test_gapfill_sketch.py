@@ -346,3 +346,44 @@ def test_hll_merge_equals_whole(spark):
     ).collect()[0]
     s_scaled = s_hit.s + (512 - s_hit.m_hit) * (1 << 52)
     assert (s_hit.m_hit, s_scaled) == (whole.m_hit, whole.s_scaled)
+
+
+def test_bloom_word_table_merge_equals_scratch(spark):
+    """Round 12: OR-merging per-epoch Bloom word tables reproduces
+    the from-scratch filter bit-for-bit, for any partition of the
+    corpus — the additive-maintenance contract of the
+    decontamination artifact."""
+    from pyspark.sql import functions as F
+
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        sliding_word_ngrams,
+    )
+    from rust_dms_cdc_operator_spark.operators.sketch import (
+        bloom_word_table,
+        merge_bloom_word_tables,
+    )
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+
+    def grams(cond):
+        return d.filter(cond).select(
+            F.explode(sliding_word_ngrams(F.col("text"), 5)).alias("g")
+        )
+
+    scratch = {
+        (r.w, r.bits)
+        for r in bloom_word_table(grams(F.lit(True))).collect()
+    }
+    # three-way split, merged pairwise in arbitrary order
+    parts = [bloom_word_table(grams(F.col("doc_id") % 3 == i))
+             for i in range(3)]
+    merged = merge_bloom_word_tables(
+        merge_bloom_word_tables(parts[2], parts[0]), parts[1]
+    )
+    assert {(r.w, r.bits) for r in merged.collect()} == scratch
+    assert len(scratch) > 0
+    # idempotence: re-merging an epoch changes nothing
+    again = merge_bloom_word_tables(merged, parts[1])
+    assert {(r.w, r.bits) for r in again.collect()} == scratch
