@@ -71,6 +71,15 @@ from rust_dms_cdc_operator_spark.operators.similarity import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE (round 12): deliberately NO blanket scan-parallelism floor
+    # here — a central floor was measured to help only the heavy
+    # per-row-compute pipelines while costing the cheap-scan/wide-agg
+    # queries their map-side pre-aggregation locality (e.g.
+    # events_dau_mau +2.1 s: 32-way partial distinct state where one
+    # partition deduplicated before the shuffle). The floor lives in
+    # the operators that know their stage is compute-bound
+    # (session.scan_parallelism_floor; see minhash_lsh_pairs,
+    # simhash_bits, dup_span_census, and the explicit query sites).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1105,6 +1114,10 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2
     ).persist()
+    # round 12: materialize before the fan-out — the verify's
+    # participant extraction and inter-count join race on a cold
+    # cache otherwise (see minhash_lsh_pairs keyed.count())
+    pairs.count()
     # tokens strategy (round 11): this is the dense FULL census — the
     # uncapped pair stream is cluster-quadratic, so shared-token
     # intersection counting beats dragging two shingle arrays through
@@ -1501,19 +1514,30 @@ def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stream_setup_done("stream_cms_heavy_hitters", _setup_t0)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    words_stream = stream.select(
-        F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).filter(F.col("word") != "")
 
     def sink(batch_df: DataFrame, bid: int) -> None:
         # cms_accumulate probes accumulator existence EXPLICITLY — a
         # corrupt accumulator fails the microbatch loudly instead of
         # being silently treated as "first batch" (r6 verdict item;
         # crash test: test_streaming.py cms_accumulate corrupt case).
-        cms_accumulate(batch_df, acc_dir, "word", width=1024)
+        # Round 12: the word explode + the sketch's depth x md5
+        # bucketing moved INSIDE the batch body, above a parallelism
+        # floor — as a pre-foreachBatch streaming projection the whole
+        # rowwise stage ran in the file source's (single-file) task;
+        # the accumulated sketch is identical either way.
+        from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+            scan_parallelism_floor,
+        )
+
+        words = (
+            scan_parallelism_floor(batch_df.select("text"))
+            .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+        )
+        cms_accumulate(words, acc_dir, "word", width=1024)
 
     q = (
-        words_stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ck_dir)
         .trigger(availableNow=True)
         .start()
@@ -5156,9 +5180,16 @@ def q_dedup_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification is affordable only on a sample. All-integer, so the
     confusion counts are engine-exact."""
     d = _t(spark, sf_dir, "documents")
+    from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+        scan_parallelism_floor,
+    )
+
+    # round 12: signature + shingle stages are compute-bound — floor
+    # the doc base once for both (single-file scan; no-op at scale)
+    db = scan_parallelism_floor(d.select("doc_id", "text"))
     wh, sig_cols = minhash_signature_cols(F.col("text"), 16)
     sigs = (
-        d.select(F.col("doc_id"), wh)
+        db.select(F.col("doc_id"), wh)
         .select(F.col("doc_id"), *sig_cols)
         .select(
             "doc_id",
@@ -5169,7 +5200,7 @@ def q_dedup_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_set,
     )
 
-    sh = d.select("doc_id", shingle_set(F.col("text"), 3).alias("s"))
+    sh = db.select("doc_id", shingle_set(F.col("text"), 3).alias("s"))
     # deterministic 1-in-7 candidate sample: the census is an ESTIMATE
     # of the estimator's error rates, and exact shingle verification
     # over every candidate is precisely the cost the sketch exists to
@@ -7918,7 +7949,15 @@ def q_mm_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming_pairs_from_signatures,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+        scan_parallelism_floor,
+    )
+
+    # round 12: JVM pixel synthesis + the Python raster decode are the
+    # compute-bound stages — floor their parallelism (no-op at scale)
+    d = scan_parallelism_floor(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
     # pixel i: x = i % 18, y = i div 18;
     # grey = (a*x + b*y + a*b*x*y) % 251 + c, emitted as 3 identical
     # hex bytes (r = g = b); a, b keyed by doc_id div 4, c by doc_id
@@ -8323,6 +8362,7 @@ def q_docs_rareterm_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term")
         .persist()  # feeds the size census and both posting-join sides
     )
+    rare.count()  # round 12: materialize before the 3-way fan-out
     na = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
     a = rare.select(F.col("doc_id").alias("id_a"), "term")
     b = rare.select(F.col("doc_id").alias("id_b"), "term")
@@ -10669,9 +10709,21 @@ def _group_cohesion_body(d: DataFrame, pairs: DataFrame) -> DataFrame:
     # each re-runs the post-checkpoint resolve joins (caller-owned via
     # the returned lazy plan, same convention as the pair cache)
     groups = dedup_groups(pairs).persist()
-    sh = d.join(groups.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id", hashed_shingle_set(F.col("text"), 3).alias("h")
+    # round 12: materialize before the 3-way fan-out (participant
+    # semi-join, edge group attach, member counts)
+    groups.count()
+    from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+        scan_parallelism_floor,
     )
+
+    # round 12: the broadcast semi-join keeps the (single-file) scan's
+    # partitioning, so the shingle-hash stage ran serial — floor it
+    # (no-op at scale)
+    sh = scan_parallelism_floor(
+        d.join(groups.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
+    ).select("doc_id", hashed_shingle_set(F.col("text"), 3).alias("h"))
     sizes = sh.select("doc_id", F.size("h").cast("long").alias("sz"))
     tokh = sh.select("doc_id", F.explode("h").alias("tok"))
     st = (
@@ -11005,7 +11057,13 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "element_at(split(text, ' '), i + 2)))"
         )
     )
-    bb = d.select(
+    from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+        scan_parallelism_floor,
+    )
+
+    # round 12: floor the bigram-explode + md5-bucket stage (no-op at
+    # scale)
+    bb = scan_parallelism_floor(d.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
         F.explode(bigrams).alias("bg"),
@@ -11194,7 +11252,15 @@ def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kh = F.transform(shingles, lambda s: hex_to_long(F.md5(s), 8))
-    base = d.select("doc_id", kh.alias("kh")).select(
+    from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+        scan_parallelism_floor,
+    )
+
+    # round 12: the per-row HOF fingerprint stage is compute-bound —
+    # floor its parallelism (single-file scan; no-op at scale)
+    base = scan_parallelism_floor(d.select("doc_id", "text")).select(
+        "doc_id", kh.alias("kh")
+    ).select(
         "doc_id",
         F.size("kh").cast("long").alias("n_kgrams"),
         F.expr(
@@ -11863,8 +11929,16 @@ def q_docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     M_BITS, WORDS = 4096, 128
+    from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+        scan_parallelism_floor,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    corpus_grams = d.filter(F.col("doc_id") >= 40).select(
+    # round 12: floor the gram-explode + salted-md5 build stage's
+    # parallelism (single-file scan; no-op at scale)
+    corpus_grams = scan_parallelism_floor(
+        d.filter(F.col("doc_id") >= 40).select("text")
+    ).select(
         F.explode(sliding_word_ngrams(F.col("text"), 5)).alias("g")
     )
 
@@ -12665,7 +12739,15 @@ def _pair_wordset_join(d: DataFrame, num_hashes: int) -> DataFrame:
         num_hashes=num_hashes, bands=2, max_bucket=_LSH_MAX_BUCKET,
     )
     wh, sig = minhash_signature_cols(F.col("text"), num_hashes)
-    sigs = d.select("doc_id", wh).select("doc_id", "_wh", *sig)
+    from rust_dms_cdc_operator_spark.session import (  # noqa: PLC0415
+        scan_parallelism_floor,
+    )
+
+    # round 12: the signature+wordset stage is evaluated once per join
+    # side — floor its parallelism (single-file scan; no-op at scale)
+    sigs = scan_parallelism_floor(d.select("doc_id", "text")).select(
+        "doc_id", wh
+    ).select("doc_id", "_wh", *sig)
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
         F.col("_wh").alias("wh_a"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rust_dms_cdc_operator_spark.session import scan_parallelism_floor
+
 
 def _words(text: Column) -> Column:
     return F.split(text, " ")
@@ -166,6 +168,14 @@ def minhash_lsh_pairs(
     carry_cols = list(carry_cols or [])
     rows_per_band = num_hashes // bands
     wh, sig_cols = minhash_signature_cols(F.col(text_col), num_hashes)
+    # round 12: NO parallelism floor here, deliberately — floored
+    # signature input propagates a multi-partition layout into the
+    # persisted keyed table and from there into every downstream
+    # cache (CC edge lists, k-core adjacencies), whose iterative
+    # consumers then pay per-partition task/codegen overhead on EVERY
+    # sweep (measured: dedup_kcore 3.7 -> 6.4 s). The signature
+    # stage's serial cost is bounded by the eager count below; truly
+    # serial-dominated pipelines floor at their own sites instead.
     sigs = df.select(F.col(id_col), *carry_cols, wh).select(
         F.col(id_col), *carry_cols, *sig_cols
     )
@@ -190,6 +200,15 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ],
     ).persist()
+    # round 12: materialize the signature cache BEFORE the per-band
+    # joins fan out. AQE launches the band joins' broadcast builds as
+    # concurrent futures; on a cold multi-partition cache each future
+    # races to compute the same partitions and the signature pipeline
+    # (scan + md5 x num_hashes) runs once PER CONSUMER instead of once
+    # (measured: 19.6 -> 53.4 cpu-s at sf0.1 without this count). One
+    # cheap count is the materialize-then-fan-out pattern and costs a
+    # single cache-sized job at any scale.
+    keyed.count()
 
     if max_bucket is not None:
         # hot-bucket flags per band: occupancy census over the cached
@@ -1098,9 +1117,18 @@ def jaccard_verify_pairs(
     pin a fresh shingle table until evicted.
     """
     mk = hashed_shingle_set if hash_shingles else shingle_set
-    s = docs.select(
+    # round 12: floor the shingle-hash stage's parallelism (serial on
+    # a single-file corpus otherwise; no-op at scale) — also gives the
+    # persisted table >= cores cache partitions for the join sides
+    s = scan_parallelism_floor(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), mk(F.col(text_col), n).alias("sh")
     ).persist()  # consumed by both join sides (and the size prepass)
+    # round 12: materialize before the fan-out — concurrent consumers
+    # of a cold multi-partition cache each recompute it (see
+    # minhash_lsh_pairs keyed.count())
+    s.count()
     if min_jaccard is not None:
         sizes = s.select(F.col(id_col), F.size("sh").alias("sz"))
         pa = sizes.select(
@@ -1266,9 +1294,16 @@ def containment_verify_pairs(
     candidate stream against the once-computed shingle table; the
     caller owns the persisted shingle cache lifetime."""
     mk = hashed_shingle_set if hash_shingles else shingle_set
-    s = docs.select(
+    # round 12: floor the shingle-hash stage (see jaccard_verify_pairs)
+    s = scan_parallelism_floor(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), mk(F.col(text_col), n).alias("sh")
     ).persist()
+    # round 12: materialize before the fan-out — concurrent consumers
+    # of a cold multi-partition cache each recompute it (see
+    # minhash_lsh_pairs keyed.count())
+    s.count()
     if max_candidates is not None:
         pairs = candidate_budget_sample(pairs, max_candidates)
     if strategy == "tokens":
@@ -1319,7 +1354,11 @@ def simhash_bits(
     stays positive in a signed 64-bit integer on every engine."""
     if bits % 4 or bits > 60:
         raise ValueError("bits must be a multiple of 4, at most 60")
-    words = df.select(
+    # round 12: the explode+md5 vote stream is the expensive row-wise
+    # stage; floor its parallelism (a single-file scan otherwise votes
+    # the whole corpus in one task — no-op at scale)
+    base = scan_parallelism_floor(df.select(F.col(id_col), F.col(text_col)))
+    words = base.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
     ).withColumn("h", hex_to_long(F.md5(F.col("w")), bits // 4))
     votes = words.groupBy(id_col).agg(
@@ -1427,9 +1466,15 @@ def _ranked_shingles(
     from pyspark.sql import Window  # noqa: PLC0415
 
     mk = hashed_shingle_set if hash_shingles else shingle_set
-    s = docs.select(
+    # round 12: floor the shingle-hash stage (see jaccard_verify_pairs)
+    s = scan_parallelism_floor(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), mk(F.col(text_col), n).alias("sh")
     ).persist()
+    # round 12: materialize before the fan-out (freq agg + ranked
+    # window + the prefix-join probes race on a cold cache otherwise)
+    s.count()
     tok = s.select(
         F.col(id_col),
         F.size("sh").alias("sz"),
@@ -1685,6 +1730,9 @@ def dup_span_census(
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # round 12: the stride-1 window posexplode + 48-bit md5 keying is
+    # the compute-bound stage — floor its parallelism (no-op at scale)
+    df = scan_parallelism_floor(df.select(id_col, text_col))
     grams = df.select(
         F.col(id_col),
         F.size(_words(F.col(text_col))).alias("n_words"),
@@ -2061,6 +2109,9 @@ def cdc_chunk_census(
     keys, oracle reproduces collisions bit-for-bit)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # round 12: floor the posexplode/digest stage's parallelism
+    # (serial on a single-file corpus otherwise; no-op at scale)
+    df = scan_parallelism_floor(df.select(id_col, text_col))
     words = df.select(
         F.col(id_col),
         F.size(_words(F.col(text_col))).alias("n_words"),

@@ -40,6 +40,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # round 12 (guide §2.2 "fewer, larger reduce partitions"):
+        # let AQE re-plan the OUTPUT partitioning of persisted plans.
+        # Off (the default), a persisted salted LSH pair stream
+        # materializes with every skew-split/salt reducer partition
+        # intact (measured: 256 cache partitions of ~100 KB at sf0.1),
+        # and every downstream pass over the cache — CC labeling,
+        # contraction joins, verify attaches — schedules one task per
+        # tiny partition. On, AQE coalesces the cached plan's tail
+        # exchange to advisoryPartitionSizeInBytes like any other
+        # exchange; the setting is scale-independent (on a cluster it
+        # produces the same ~target-sized cache blocks).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
@@ -53,3 +68,26 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def scan_parallelism_floor(df, min_parts: int | None = None):
+    """Floor the parallelism of an embarrassingly-parallel per-row
+    compute stage (round 12; guide §2.5 "input skew" / §6 input
+    splits): a dataset that arrives as a single small parquet file —
+    or any scan below ``min_parts`` splits — otherwise executes the
+    whole downstream row-wise stage (MinHash signatures, SimHash
+    votes, shingle digests, image decodes) as ONE task while the rest
+    of the machine idles. Round-robin repartition to
+    ``defaultParallelism`` only when the current layout is below the
+    floor; at scale a real scan already has >= cores splits, so this
+    is a no-op and no shuffle is ever added on a cluster. Row-wise
+    transforms are placement-independent, so results are unchanged,
+    and Spark's sort-before-repartition (on by default) keeps the
+    row-to-partition assignment deterministic under task retries.
+    The repartition is an explicit REPARTITION_BY_NUM, which AQE
+    never re-coalesces back down."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
