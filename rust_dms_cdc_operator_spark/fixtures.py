@@ -90,7 +90,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _enable_nanos_as_long(spark)
-    ev = spark.read.parquet(events_path(sf_dir))
+    # round 12: schema-memoized read (metadata only; session.read_table)
+    from rust_dms_cdc_operator_spark.session import read_table  # noqa: PLC0415
+
+    ev = read_table(spark, sf_dir, "events")
     return ev.withColumn("ts", normalized_ts(ev, "ts"))
 
 
@@ -100,4 +103,7 @@ def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     hard-coded literal (the round-3 streaming reader declared
     ``ts: long`` and only survived the drift by accident)."""
     _enable_nanos_as_long(spark)
-    return spark.read.parquet(events_path(sf_dir)).schema
+    # round 12: schema-memoized probe (metadata only; session.read_table)
+    from rust_dms_cdc_operator_spark.session import read_table  # noqa: PLC0415
+
+    return read_table(spark, sf_dir, "events").schema

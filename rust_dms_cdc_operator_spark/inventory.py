@@ -49,7 +49,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp literals in filters are timezone-sensitive, so pin UTC
     # (runtime-settable) to stay parity with the UTC-naive oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # round 12: schema-memoized read (metadata only — every query
+    # still computes from the parquet; see session.read_table)
+    from rust_dms_cdc_operator_spark.session import read_table  # noqa: PLC0415
+
+    return read_table(spark, sf_dir, name)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

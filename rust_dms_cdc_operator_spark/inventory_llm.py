@@ -68,6 +68,7 @@ from rust_dms_cdc_operator_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
+from rust_dms_cdc_operator_spark.session import read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,7 +82,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (session.scan_parallelism_floor; see minhash_lsh_pairs,
     # simhash_bits, dup_span_census, and the explicit query sites).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # round 12: schema-memoized read (metadata only — every query
+    # still computes from the parquet; see session.read_table)
+    return read_table(spark, sf_dir, name)
 
 
 def _link_stream_src(sf_dir: str, table: str, src_dir: str) -> None:
@@ -1505,7 +1508,7 @@ def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate,
     )
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = read_table(spark, sf_dir, "documents").schema
     _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="cms_stream_src_")
     _link_stream_src(sf_dir, "documents", src_dir)
@@ -4365,7 +4368,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so it SHARES the `dedup_exact` oracle (the stream_cdc_apply /
     stream_tumbling_counts cross-check pattern). State is O(distinct
     digests), the same bound the batch operator's shuffle carries."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = read_table(spark, sf_dir, "documents").schema
     _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="dedup_stream_src_")
     _link_stream_src(sf_dir, "documents", src_dir)
@@ -5200,6 +5203,13 @@ def q_dedup_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_set,
     )
 
+    # round 12: persist+count on sigs/sh was tried (each feeds both
+    # join sides) and MEASURED SLOWER (warm 4.4 -> 5.4 s, cpu 11 -> 16):
+    # the four broadcast builds run as concurrent jobs that overlap
+    # their recompute on idle cores, while the array-heavy cache write
+    # + two eager counts serialize. Recompute-concurrently wins here;
+    # the keyed.count() pattern pays off only when the cached frame is
+    # expensive RELATIVE to its serialized size (LSH signature table).
     sh = db.select("doc_id", shingle_set(F.col("text"), 3).alias("s"))
     # deterministic 1-in-7 candidate sample: the census is an ESTIMATE
     # of the estimator's error rates, and exact shingle verification
@@ -5643,12 +5653,30 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is one (part, part) shuffle; the cut is
     TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.select("ok", F.col("pk").alias("part_a"))
-    b = items.select("ok", F.col("pk").alias("part_b"))
-    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    # round 12 (guide §2.4 remove shuffles outright): the original
+    # distinct + self-join on ok cost three exchanges (distinct on
+    # (ok, pk), re-key both join sides on ok, pair agg) plus a
+    # sort-merge self-join. Baskets are small by construction, so
+    # collect the sorted distinct part set per order in ONE order-keyed
+    # aggregation and emit the i<j pairs with an array HOF — the
+    # within-basket pair volume is identical, the distinct rides the
+    # collect_set, and the self-join disappears. 2 exchanges total;
+    # measured 8.9 -> [see OPTIMIZATION_r12.md] at sf0.1.
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
@@ -7600,7 +7628,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_accumulate,
     )
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = read_table(spark, sf_dir, "documents").schema
     _setup_t0 = time.time()
     src_dir = tempfile.mkdtemp(prefix="neardup_stream_src_")
     _link_stream_src(sf_dir, "documents", src_dir)

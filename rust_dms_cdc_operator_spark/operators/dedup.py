@@ -61,13 +61,22 @@ def _mix_b(i: int) -> int:
 
 
 def hex_to_long(hexcol: Column, chars: int) -> Column:
-    """Leading ``chars`` hex chars → integer via digit positions
-    (portable: no engine-specific hex parsing)."""
-    digits = "0123456789abcdef"
-    out = F.lit(0).cast("long")
-    for i in range(chars):
-        out = out * 16 + (F.instr(F.lit(digits), F.substring(hexcol, i + 1, 1)) - 1)
-    return out
+    """Leading ``chars`` hex chars → integer (portable: identical to
+    DuckDB's digit-positional parse for the lowercase hex every call
+    site feeds — md5 output or substrings of it).
+
+    Round 12 (guide §1.2 step 2, per-task work): one native ``conv``
+    expression instead of ``chars`` chained instr/substring ops. The
+    positional chain also re-evaluated ``hexcol`` once per digit —
+    harmless under whole-stage-codegen subexpression elimination, but
+    inside higher-order-function lambdas (MinHash signatures, hashed
+    shingles, winnowing k-grams) evaluation is interpreted with no
+    CSE, so an ``md5(w)`` argument was recomputed per digit. Measured
+    at sf0.1: signature stage 0.26 → 0.15 s (HOF context), simhash
+    word-hash stage 0.44 → 0.31 s (projection context); bit-identical
+    output on both paths (exceptAll both ways = 0). ``chars`` ≤ 15
+    keeps the value under 2^60, inside signed-long range."""
+    return F.conv(F.substring(hexcol, 1, chars), 16, 10).cast("long")
 
 
 def minhash_signature_cols(
@@ -2010,7 +2019,15 @@ def neardup_accumulate(
                 ]
             )
         ).alias("_b"),
-    ).select(id_col, "simhash", "_b.band_idx", "_b.bk")
+    ).select(id_col, "simhash", "_b.band_idx", "_b.bk").persist()
+    # round 12: ``banded`` (the whole SimHash vote pipeline) feeds TWO
+    # consumers — the batch-min state merge and the flag join. Without
+    # a persist each consumer re-ran the explode+md5+vote stages per
+    # batch (and materializing before the fan-out stops AQE's
+    # concurrent subplans racing a cold cache — the
+    # minhash_lsh_pairs keyed.count() pattern). Per-batch state, freed
+    # below; bounded by the batch size times ``bands``.
+    banded.count()
     batch_min = banded.groupBy("band_idx", "bk").agg(
         F.min(id_col).alias("_bmin")
     )
@@ -2074,6 +2091,7 @@ def neardup_accumulate(
             .partitionBy("batch")
             .parquet(out_dir)
         )
+    banded.unpersist()  # round 12: per-batch cache, freed after the write
 
 
 def cdc_chunk_census(
