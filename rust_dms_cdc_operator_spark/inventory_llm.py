@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from collections.abc import Callable
@@ -9703,21 +9704,38 @@ def q_docs_group_split_incr(
     )
 
     d = _t(spark, sf_dir, "documents")
-    # persist: the uncapped pair stream feeds three filtered
-    # consumers (prior CC, batch CC, anchor extraction) — caller-
-    # owned cache, the docs_group_split convention; salt=8 spreads
-    # hot-bucket pair emission exactly as there. ``_pairs``: the
-    # rebuild-migration audit passes ONE already-persisted stream
-    # shared with the full stack (round 12) — identical set.
+    # localCheckpoint, not persist (round 12, guide §5): the uncapped
+    # pair stream feeds three filtered consumers (prior CC, batch CC,
+    # anchor extraction), and a persisted stream KEEPS the banded-LSH
+    # lineage — every downstream stage then ships a ~2 MiB task
+    # binary (the whole salted band-join DAG) per task. The lineage
+    # cut materializes the same rows once and every consumer reads a
+    # leaf RDD; salt=8 spreads hot-bucket pair emission exactly as in
+    # docs_group_split, and the coalesce to defaultParallelism merges
+    # the salt-shard micro-partitions (never increases a real scan's
+    # partition count). ``_pairs``: the rebuild-migration audit passes
+    # ONE already-materialized stream shared with the full stack.
     pairs = _pairs if _pairs is not None else minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
-    ).select("id_a", "id_b").persist()
+    ).select("id_a", "id_b").coalesce(
+        max(spark.sparkContext.defaultParallelism, 1)
+    ).localCheckpoint()
     a_new = F.col("id_a") % 4 == 0
     b_new = F.col("id_b") % 4 == 0
+    # the prior-epoch CC and the batch-internal CC are independent
+    # eager pipelines over the same materialized leaf — overlap them
+    # (guide §2.6); ``_comp`` hands the batch CC's result to
+    # incremental_groups, which would otherwise recompute it.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_prior = pool.submit(
+            dedup_groups, pairs.filter(~a_new & ~b_new)
+        )
+        f_batch = pool.submit(dedup_groups, pairs.filter(a_new & b_new))
+        prior_groups, batch_comp = f_prior.result(), f_batch.result()
     prior_assign = (
         d.filter(F.col("doc_id") % 4 != 0)
         .select("doc_id")
-        .join(dedup_groups(pairs.filter(~a_new & ~b_new)), "doc_id", "left")
+        .join(prior_groups, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("group_id"), F.col("doc_id")).alias("group_id"),
@@ -9733,6 +9751,7 @@ def q_docs_group_split_incr(
             F.when(a_new, F.col("id_b")).otherwise(F.col("id_a"))
             .alias("prior_id"),
         ),
+        _comp=batch_comp,
     )
     allg = prior_assign.unionByName(incr)
     return with_split(
@@ -9829,17 +9848,31 @@ def q_docs_group_rebuild_migration(spark: SparkSession, sf_dir: str) -> DataFram
         group_rebuild_migration,
     )
 
-    # ONE persisted pair stream feeds BOTH stacks (round 12: the
+    # ONE materialized pair stream feeds BOTH stacks (round 12: the
     # audit's only corpus-quadratic cost is the banded stream; running
-    # it twice doubled the round's top bench wall for no information)
+    # it twice doubled the round's top bench wall for no information).
+    # localCheckpoint, not persist (guide §5): with five consumers
+    # across the two stacks, a lineage-preserving cache shipped the
+    # ~2 MiB banded-LSH DAG in every task binary of every downstream
+    # stage (measured: exec cpu 27 -> 16 s, see OPTIMIZATION_r12.md).
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
-    ).select("id_a", "id_b").persist()
-    return group_rebuild_migration(
-        q_docs_group_split_incr(spark, sf_dir, _pairs=pairs),
-        q_docs_group_split(spark, sf_dir, _pairs=pairs),
-    )
+    ).select("id_a", "id_b").coalesce(
+        max(spark.sparkContext.defaultParallelism, 1)
+    ).localCheckpoint()
+    # overlap the two independent stacks (guide §2.6): each stack's
+    # construction runs eager CC jobs (labels init, contraction,
+    # bounded collects) whose stage tails leave most cores idle;
+    # submitting both from driver threads lets the scheduler back-fill
+    # (FAIR mode is on session-wide). Both threads read the same
+    # already-materialized leaf, so there is no cold-cache race, and
+    # each builds an independent plan — results are identical to the
+    # sequential construction by construction.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(q_docs_group_split_incr, spark, sf_dir, pairs)
+        f_new = pool.submit(q_docs_group_split, spark, sf_dir, pairs)
+        return group_rebuild_migration(f_old.result(), f_new.result())
 
 
 ORACLE_SQL_LLM["docs_group_rebuild_migration"] = f"""

@@ -75,13 +75,34 @@ def connected_components(
     ``max_iter`` as the guard. Common case: init groupBy + contract
     join + one broadcast mapping join — constant rounds, vs diameter
     rounds for plain label propagation."""
-    # the edge list is consumed once per round — persist the DIRECTED
-    # list (round 8: persisting the symmetrized union instead meant
-    # materialization ran the whole upstream pair computation —
-    # minhash band joins, cosine candidates — TWICE, once per union
-    # branch; and every downstream join paid 2|E| where |E| suffices)
+    # the edge list is consumed once per round — materialize the
+    # DIRECTED list (round 8: materializing the symmetrized union
+    # instead meant the whole upstream pair computation — minhash band
+    # joins, cosine candidates — ran TWICE, once per union branch; and
+    # every downstream join paid 2|E| where |E| suffices).
+    #
+    # Round 12 (guide §2.2 fewer-larger partitions): coalesce the edge
+    # list to defaultParallelism before caching — a salted LSH pair
+    # stream arrives in ~4x-cores micro-partitions (salt shards × skew
+    # splits), and every later pass (fast-path count, sym aggregation,
+    # contraction join) pays per-partition task overhead. coalesce
+    # never increases a partition count, so a real cluster scan with
+    # >= cores splits is untouched. Deliberately persist, NOT
+    # localCheckpoint: an extra per-recursion-level localCheckpoint
+    # compounds Catalyst's LogicalRDD stats/constraint rewriting
+    # (rewriteStatsAndConstraints) and on adversarial chains the
+    # contraction checkpoint's planning time grows exponentially with
+    # recursion depth (measured: 0.2 s/level → 5 s → stuck at level
+    # ~8 on a 40-edge chain). Callers that feed an expensive pair
+    # plan in cut its lineage ONCE at their own depth-1 site instead
+    # (see q_docs_group_split_incr), which keeps e0's task binary
+    # small without a per-level checkpoint.
     ckpt = _make_ckpt(edges.sparkSession, checkpoint_dir)
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .coalesce(max(edges.sparkSession.sparkContext.defaultParallelism, 1))
+        .persist()
+    )
     try:
         # FAST PATH: if the RAW edge list already fits the same
         # bounded driver collect the contracted path is allowed (≤
@@ -281,6 +302,7 @@ def incremental_groups(
     anchor_pairs: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    _comp: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental connected components for GROUP-AWARE SPLITTING at
     ingest time (round 11, verdict item 1) — the `incremental_dedup`
@@ -323,8 +345,16 @@ def incremental_groups(
     and the corpus band-key table (which also prices anchor-pair
     discovery at O(batch) bucket lookups).
     """
-    comp = dedup_groups(
-        new_new_pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    # ``_comp``: optimization hook (round 12, guide §2.6) — a caller
+    # that already ran CC over ``new_new_pairs`` (e.g. concurrently
+    # with the prior-epoch CC) passes the (doc_id, group_id) result
+    # in; identical to computing it here by definition.
+    comp = (
+        _comp
+        if _comp is not None
+        else dedup_groups(
+            new_new_pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        )
     ).withColumnRenamed("group_id", "comp")
     newc = (
         new_ids.select("doc_id")
