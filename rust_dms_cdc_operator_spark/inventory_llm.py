@@ -7999,9 +7999,14 @@ def q_mm_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         c="(doc_id % 3)",
     )
     px = f"lpad(hex({grey}), 2, '0')"
+    # repeat(px, 3), not concat(px, px, px): HOF lambdas evaluate
+    # INTERPRETED with no common-subexpression elimination, so the
+    # concat form ran the modular pixel formula three times per pixel
+    # (864 evaluations/row; measured round 12: synth stage 19.6 → 4.6
+    # cpu-s, full query 1.8 → 1.0 s). Identical bytes — r = g = b.
     hexpix = F.expr(
         "array_join(transform(sequence(0, 287), i -> "
-        f"concat({px}, {px}, {px})), '')"
+        f"repeat({px}, 3)), '')"
     )
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -10856,13 +10861,17 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     record as the exactness baseline, like its graph-family siblings."""
     d = _t(spark, sf_dir, "documents")
     # the pair stream feeds the CC iteration AND the exact-verify
-    # joins — persist it once or every consumer re-runs the banded
-    # LSH self-join; shingles ride as 32-bit hashes (the lsh_verified
-    # trick: long equality beats string equality in array_intersect
-    # and the attach shuffle shrinks ~3x)
+    # joins — materialize it once or every consumer re-runs the
+    # banded LSH self-join. localCheckpoint + coalesce, not persist
+    # (round 12, guide §5): a persisted salted stream keeps the
+    # banded-join lineage in every downstream task binary and pins
+    # 128 salt-shard micro-partitions (the docs_group_split findings;
+    # coalesce never increases a real scan's partition count).
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
-    ).persist()
+    ).coalesce(
+        max(spark.sparkContext.defaultParallelism, 1)
+    ).localCheckpoint()
     return _group_cohesion_body(d, pairs)
 
 
@@ -12397,13 +12406,16 @@ def q_dedup_group_cohesion_capped(
     carries the cap; the cap also makes emission salting unnecessary
     (per-bucket pair volume is bounded by construction)."""
     d = _t(spark, sf_dir, "documents")
-    # persist: the capped pair stream feeds the CC iteration AND the
-    # exact-verify joins (caller-owned cache, same convention as the
-    # exact form — the returned plan is lazy over it)
+    # the capped pair stream feeds the CC iteration AND the exact-
+    # verify joins; localCheckpoint + coalesce for the same lineage-
+    # weight reasons as the exact form (the capped plan additionally
+    # carries per-band hot-flag broadcast joins in its lineage)
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
-    ).persist()
+    ).coalesce(
+        max(spark.sparkContext.defaultParallelism, 1)
+    ).localCheckpoint()
     return _group_cohesion_body(d, pairs)
 
 

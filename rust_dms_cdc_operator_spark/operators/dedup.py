@@ -2063,12 +2063,20 @@ def neardup_accumulate(
         .groupBy("band_idx", "bk")
         .agg(F.min("min_id").alias("min_id"))
     )
-    rows = merged.collect()  # bounded: bands x 2^width buckets max
-    merged_df = sess.createDataFrame(rows, merged.schema)
+    # write the merged state DIRECTLY to the new epoch dir (round 12,
+    # guide §5 "the driver should do almost no data work"): the old
+    # collect() + createDataFrame() round-tripped ~bands x occupied
+    # buckets rows through Python pickle — measured 5-6 s of driver
+    # wall per batch at sf0.1 — for rows that were about to be written
+    # to parquet anyway. The epoch layout makes the direct write safe
+    # (state-<n> is read, state-<n+1> is written — never the same
+    # files), and the flag join below reads the COMMITTED epoch back
+    # from disk, which is both cheaper and more faithful to the crash
+    # contract than a driver-side copy.
     new_epoch = (epochs[-1] + 1) if epochs else 0
-    merged_df.coalesce(1).write.mode("overwrite").parquet(
-        fsio.join(acc_dir, f"state-{new_epoch}")
-    )
+    new_dir = fsio.join(acc_dir, f"state-{new_epoch}")
+    merged.coalesce(1).write.mode("overwrite").parquet(new_dir)
+    merged_df = sess.read.parquet(new_dir)
     # the new epoch is committed (_SUCCESS) — everything else,
     # including torn uncommitted epochs from crashed attempts, is dead
     for n in fsio.listdir_dirs(acc_dir):
