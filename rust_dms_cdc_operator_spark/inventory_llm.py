@@ -1533,12 +1533,20 @@ def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             scan_parallelism_floor,
         )
 
-        words = (
+        # Round 12: pre-aggregate to per-word counts BEFORE sketching
+        # (guide §2.3 "aggregate before you shuffle") — the sketch's
+        # bucket totals are sums, so sketching the vocabulary with
+        # count weights is bit-identical to sketching the token
+        # stream, and the depth x md5 bucketing runs once per
+        # DISTINCT word instead of once per token occurrence.
+        wc = (
             scan_parallelism_floor(batch_df.select("text"))
             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
             .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("_n"))
         )
-        cms_accumulate(words, acc_dir, "word", width=1024)
+        cms_accumulate(wc, acc_dir, "word", width=1024, count_col="_n")
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -8601,6 +8609,11 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         out_col="cluster",
     ).persist()
+    # round 12: materialize before the self-join fans out — AQE runs
+    # both join sides as concurrent subplans and a cold cache lets
+    # each re-run the centroid scoring (the ivf_knn_density both.count
+    # pattern; one narrow cache-sized job at any scale)
+    a.count()
     # width-repartition the NARROW pair stream (round 9, the
     # ivf_knn_density fix): the cluster self-join multiplies row
     # count by cluster occupancy while AQE sizes the next stage from

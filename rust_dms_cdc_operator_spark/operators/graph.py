@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rust_dms_cdc_operator_spark.session import local_relation
+
 
 DRIVER_UF_THRESHOLD = 200_000
 
@@ -150,7 +152,10 @@ def connected_components(
                     T.StructField("comp", node_type, True),
                 ]
             )
-            return edges.sparkSession.createDataFrame(rows, out_schema)
+            # Arrow local relation (round 12): the list form costs one
+            # Python-worker hop per slice at EVERY downstream
+            # evaluation — see session.local_relation
+            return local_relation(edges.sparkSession, rows, out_schema)
         # level-0 round: node's label = min(self, direct neighbors).
         # This is a FOREST: following comp pointers always ends at a
         # local-minimum node (comp(r) == r). The symmetrized view is
@@ -249,7 +254,9 @@ def connected_components(
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
             mapping = [(label, find(label)) for label in parent]
-            map_df = spark.createDataFrame(mapping, "comp long, _root long")
+            map_df = local_relation(
+                spark, mapping, "comp long, _root long"
+            )
         else:
             # contracted graph still large: recurse distributed —
             # every level at least halves chains

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rust_dms_cdc_operator_spark.session import local_relation
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -496,7 +498,11 @@ def _centroid_scores(
     IEEE-identical to the expression form: same cosine fold over the
     same doubles."""
     spark = df.sparkSession
-    cents = spark.createDataFrame(
+    # Arrow local relation (round 12): the list form re-paid one
+    # Python-worker hop per pickled slice at every evaluation of the
+    # broadcast build side — see session.local_relation
+    cents = local_relation(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroid_vecs)],
         "cid int, cvec array<double>",
     )
@@ -623,6 +629,14 @@ def ivf_knn_density(
             nprobe,
         ).alias("_ls"),
     ).persist()
+    # materialize BEFORE the fan-out (round 12, guide §5 — the
+    # minhash_lsh_pairs keyed.count() pattern): ``both`` feeds BOTH
+    # sides of the cell join below, which AQE launches as concurrent
+    # subplans; on a cold cache each side re-ran the whole centroid
+    # scoring pass (measured at sf0.1: exec bimodal 3.0 s / 37 cpu-s
+    # on lucky runs vs 9-10 s / 183-225 cpu-s when the race lost).
+    # One cache-sized count pins the scoring to exactly one run.
+    both.count()
     assign = both.select(
         F.col(id_col).alias("id_b"), (-F.col("m.ni")).cast("int").alias("lst")
     )

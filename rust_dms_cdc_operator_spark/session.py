@@ -96,6 +96,51 @@ def read_table(spark, data_dir: str, name: str):
     return spark.read.schema(schema).parquet(path)
 
 
+def local_relation(spark, rows, schema):
+    """Driver rows → DataFrame via pandas/Arrow (round 12, guide §6
+    "Arrow for driver transfers"): ``createDataFrame(list)``
+    parallelizes the rows into ``defaultParallelism`` pickled slices,
+    and EVERY later evaluation of the frame pays one Python-worker
+    round trip per slice — ~0.15 s each, serialized when a consumer
+    (e.g. ``coalesce(1)``) reads them in one task (measured: a
+    4096-row write cost 5-7 s through the list form, 0.3 s through
+    Arrow). The pandas/Arrow form lands as an Arrow-backed local
+    relation evaluated entirely JVM-side. Rows must be
+    fully-materialized tuples/Rows with no nulls in integer columns
+    (pandas would coerce those to float)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=[f.name for f in schema.fields]
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
+def release_persistent_rdds(spark) -> int:
+    """Free every persisted RDD — including ``localCheckpoint`` block
+    sets, which ``spark.catalog.clearCache()`` does NOT cover (it only
+    drops CacheManager entries). Harness-level cleanup between
+    independent queries (round 12): a lazily-GC'd localCheckpoint
+    leaks its blocks until the ContextCleaner happens to run, and a
+    suite that runs hundreds of queries back-to-back accumulates
+    gigabytes of dead blocks that evict live working sets (measured:
+    a +58 s regression window across the mid-inventory until GC
+    caught up). Returns the number of RDDs released. Never call this
+    while a query that still references a checkpointed frame is
+    in flight — truncated lineage cannot recompute."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in list(jmap.values()):  # py4j JavaMap view
+        jrdd.unpersist(False)
+        n += 1
+    return n
+
+
 def scan_parallelism_floor(df, min_parts: int | None = None):
     """Floor the parallelism of an embarrassingly-parallel per-row
     compute stage (round 12; guide §2.5 "input skew" / §6 input

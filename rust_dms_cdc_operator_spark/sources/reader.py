@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rust_dms_cdc_operator_spark import fsio
+from rust_dms_cdc_operator_spark.session import local_relation
 from rust_dms_cdc_operator_spark.sources.manifest import ParquetFile
 
 FILE_SEQ_COL = "_cdc_file_seq"
@@ -175,7 +176,13 @@ def read_manifest(
     rank_rows = [
         (_norm_path(p), i, files[i].is_load_file()) for i, p in enumerate(paths)
     ]
-    rank_df = spark.createDataFrame(
-        rank_rows, schema=f"_file_path string, {FILE_SEQ_COL} long, {IS_LOAD_COL} boolean"
+    # Arrow local relation (round 12): this broadcast build side is
+    # evaluated in every manifest-reading query; the list form cost
+    # one Python-worker hop per pickled slice per evaluation — see
+    # session.local_relation
+    rank_df = local_relation(
+        spark,
+        rank_rows,
+        f"_file_path string, {FILE_SEQ_COL} long, {IS_LOAD_COL} boolean",
     )
     return df.join(F.broadcast(rank_df), "_file_path", "left").drop("_file_path")

@@ -195,7 +195,10 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entry
-    from rust_dms_cdc_operator_spark.session import get_spark
+    from rust_dms_cdc_operator_spark.session import (
+        get_spark,
+        release_persistent_rdds,
+    )
 
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
@@ -690,6 +693,7 @@ def main() -> int:
             # dies mid-sweep (observed: INTERNAL_ERROR at query ~86)
             try:
                 spark.catalog.clearCache()
+                release_persistent_rdds(spark)
             except Exception:  # noqa: BLE001
                 pass
 

@@ -37,11 +37,16 @@ def main() -> None:
     from bench import _jvm_cpu_secs
     from rust_dms_cdc_operator_spark.inventory import QUERIES
     from rust_dms_cdc_operator_spark.inventory_llm import prepare_bench
-    from rust_dms_cdc_operator_spark.session import get_spark
+    from rust_dms_cdc_operator_spark.session import (
+        get_spark,
+        release_persistent_rdds,
+    )
 
     spark = get_spark(app_name="profile")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(1).mapInPandas(lambda it: it, "id long").collect()
+    from rust_dms_cdc_operator_spark.session import local_relation
+    local_relation(spark, [(1,)], "x long").collect()
     prepare_bench(spark, args.sf_dir)
 
     out: dict[str, list] = {}
@@ -56,6 +61,7 @@ def main() -> None:
             walls.append(round(time.time() - t0, 3))
             cpus.append(round(_jvm_cpu_secs(spark) - c0, 3))
             spark.catalog.clearCache()
+            release_persistent_rdds(spark)
             spark.sparkContext.setJobDescription(None)
         out[name] = [walls, cpus]
         if args.plans_dir:
