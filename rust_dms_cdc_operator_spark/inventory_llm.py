@@ -69,7 +69,7 @@ from rust_dms_cdc_operator_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
-from rust_dms_cdc_operator_spark.session import read_table
+from rust_dms_cdc_operator_spark.session import materialize_leaf, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -335,7 +335,9 @@ def q_docs_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
     )
-    groups = dedup_groups(pairs)
+    # round 12: no materialize_leaf — single CC pass, e0 is the
+    # materialization (same measurement as q_dedup_groups)
+    groups = dedup_groups(pairs.select("id_a", "id_b"))
     scored = d.select(
         "doc_id", quality_score_expr(F.col("text")).alias("quality")
     )
@@ -883,6 +885,10 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
     )
+    # round 12: NO materialize_leaf here, deliberately — the salted
+    # stream feeds ONE connected-components pass whose e0 cache is
+    # already the materialization; an extra leaf copy measured net
+    # slower (build 3.5 -> 4.2-4.9 s)
     return dedup_groups(pairs.select("id_a", "id_b"))
 
 
@@ -1591,6 +1597,9 @@ def q_dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hub cap 32: the adversarial fixture vocabulary makes ~16% of ALL
     # pairs collide, so uncapped wedge enumeration is quadratic in the
     # hub degrees (137 s at sf0.1); the cap keeps the census linear
+    # round 12: no materialize_leaf — one enumeration pass over the
+    # operator's own persisted adjacency; the extra leaf copy was a
+    # measured wash
     return triangle_stats(pairs, max_degree=32, assume_distinct=True)
 
 
@@ -1833,7 +1842,13 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    return pagerank_undirected(pairs, iters=5, assume_distinct=True)
+    # round 12: iterative consumers read a materialized leaf instead
+    # of re-shipping/re-planning the banded-LSH DAG per round/pass
+    # (session.materialize_leaf; measured on the capped pagerank:
+    # build 4.5-6.4 -> 0.7-0.8 s)
+    return pagerank_undirected(
+        materialize_leaf(pairs), iters=5, assume_distinct=True
+    )
 
 
 def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4632,7 +4647,13 @@ def q_dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    return label_propagation(pairs, iters=3, assume_distinct=True)
+    # round 12: iterative consumers read a materialized leaf instead
+    # of re-shipping/re-planning the banded-LSH DAG per round/pass
+    # (session.materialize_leaf; measured on the capped pagerank:
+    # build 4.5-6.4 -> 0.7-0.8 s)
+    return label_propagation(
+        materialize_leaf(pairs), iters=3, assume_distinct=True
+    )
 
 
 def q_docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8278,7 +8299,13 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    return kcore_membership(pairs, k=2, rounds=4, assume_distinct=True)
+    # round 12: iterative consumers read a materialized leaf instead
+    # of re-shipping/re-planning the banded-LSH DAG per round/pass
+    # (session.materialize_leaf; measured on the capped pagerank:
+    # build 4.5-6.4 -> 0.7-0.8 s)
+    return kcore_membership(
+        materialize_leaf(pairs), k=2, rounds=4, assume_distinct=True
+    )
 
 
 def _kcore_oracle_sql(
@@ -12342,7 +12369,11 @@ def q_dedup_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    return pagerank_undirected(pairs, iters=5, assume_distinct=True)
+    # round 12: materialized leaf for the iterative consumer (see
+    # session.materialize_leaf)
+    return pagerank_undirected(
+        materialize_leaf(pairs), iters=5, assume_distinct=True
+    )
 
 
 ORACLE_SQL_LLM["dedup_pagerank_capped"] = _pagerank_oracle_sql(
@@ -12368,7 +12399,11 @@ def q_dedup_label_propagation_capped(
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    return label_propagation(pairs, iters=3, assume_distinct=True)
+    # round 12: materialized leaf for the iterative consumer (see
+    # session.materialize_leaf)
+    return label_propagation(
+        materialize_leaf(pairs), iters=3, assume_distinct=True
+    )
 
 
 ORACLE_SQL_LLM["dedup_label_propagation_capped"] = _lpa_oracle_sql(3).format(
@@ -12394,7 +12429,11 @@ def q_dedup_kcore_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    return kcore_membership(pairs, k=2, rounds=4, assume_distinct=True)
+    # round 12: materialized leaf for the iterative consumer (see
+    # session.materialize_leaf)
+    return kcore_membership(
+        materialize_leaf(pairs), k=2, rounds=4, assume_distinct=True
+    )
 
 
 ORACLE_SQL_LLM["dedup_kcore_capped"] = _kcore_oracle_sql(
@@ -12484,7 +12523,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    # round 12: materialized leaf for the CC consumer (see
+    # session.materialize_leaf)
+    groups = dedup_groups(materialize_leaf(pairs.select("id_a", "id_b")))
     meta = d.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
     best = (
         groups.join(meta, "doc_id")
@@ -13489,7 +13530,9 @@ def q_dedup_group_size_powerlaw(
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    # round 12: materialized leaf for the CC consumer (see
+    # session.materialize_leaf)
+    groups = dedup_groups(materialize_leaf(pairs.select("id_a", "id_b")))
     sizes = groups.groupBy("group_id").agg(
         F.count(F.lit(1)).cast("long").alias("size")
     )
@@ -13554,7 +13597,9 @@ def q_dedup_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
     )
-    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    # round 12: materialized leaf for the CC consumer (see
+    # session.materialize_leaf)
+    groups = dedup_groups(materialize_leaf(pairs.select("id_a", "id_b")))
     meta = d.select(
         "doc_id",
         "source",

@@ -222,6 +222,12 @@ PERSIST_CALLER_OWNED = {
     "inventory_llm.py:q_dedup_semantic_pairs": 1,    # centroid-scored docs
     "inventory_llm.py:q_docs_rareterm_neighbors": 1, # rare-term postings
     "inventory_llm.py:_bm25_scored": 1,              # doc-length table
+    # round 12: the shared lineage-cut helper — materializes a heavy
+    # intermediate once (localCheckpoint) and returns the leaf; blocks
+    # are swept by the harness-level release_persistent_rdds (bench /
+    # profile / check_oracle) or freed by the ContextCleaner when the
+    # frame is dropped
+    "session.py:materialize_leaf": 1,
     # operator library: returned plan is lazy over the cache
     "operators/dedup.py:minhash_lsh_pairs": 1,       # signature table
     "operators/dedup.py:minhash_knn_topk": 1,        # signature table
