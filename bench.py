@@ -44,6 +44,22 @@ def _jvm_cpu_secs(spark) -> float:
         return 0.0
 
 
+def _host_steal_secs() -> float:
+    """Cumulative hypervisor CPU-steal seconds (field 8 of the
+    aggregate /proc/stat line). Round-12 contention evidence: this
+    sandbox runs on shared hardware and the host deschedules the
+    whole VM in roving ~minute windows — a query whose wall doubled
+    while BOTH its JVM cpu (queries_cpu) stayed flat AND its steal
+    delta (queries_steal) jumped was preempted by the host, not
+    regressed by code. 0.0 off-Linux / bare metal."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
 def _loadavg() -> list[float]:
     try:
         return [round(x, 2) for x in os.getloadavg()]
@@ -86,6 +102,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
+    steal_secs: dict[str, float] = {}
     load_before = _loadavg()
     # one-shot streaming queries rebuild their harness per run
     # (tempdir + source links + slice pre-writes) — a cost a real
@@ -95,11 +112,13 @@ def main() -> None:
     stream_setup: dict[str, float] = {}
     for name, fn in QUERIES.items():
         c0 = _jvm_cpu_secs(spark)
+        s0 = _host_steal_secs()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         cpu_secs[name] = round(_jvm_cpu_secs(spark) - c0, 3)
+        steal_secs[name] = round(_host_steal_secs() - s0, 3)
         if name in STREAM_SETUP_SECS:
             stream_setup[name] = STREAM_SETUP_SECS.pop(name)
         # queries own their persist() lifetimes only within one run
@@ -129,6 +148,7 @@ def main() -> None:
         # JVM parallelism — marks a CONTENDED environment, not a code
         # regression.
         "queries_cpu": cpu_secs,
+        "queries_steal": steal_secs,
         "load_before": load_before,
         "load_after": _loadavg(),
         "cpus": int(cpus),
