@@ -9760,11 +9760,11 @@ def q_docs_group_split_incr(
     # the salt-shard micro-partitions (never increases a real scan's
     # partition count). ``_pairs``: the rebuild-migration audit passes
     # ONE already-materialized stream shared with the full stack.
-    pairs = _pairs if _pairs is not None else minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
-    ).select("id_a", "id_b").coalesce(
-        max(spark.sparkContext.defaultParallelism, 1)
-    ).localCheckpoint()
+    pairs = _pairs if _pairs is not None else materialize_leaf(
+        minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+        ).select("id_a", "id_b")
+    )
     a_new = F.col("id_a") % 4 == 0
     b_new = F.col("id_b") % 4 == 0
     # the prior-epoch CC and the batch-internal CC are independent
@@ -9901,11 +9901,11 @@ def q_docs_group_rebuild_migration(spark: SparkSession, sf_dir: str) -> DataFram
     # ~2 MiB banded-LSH DAG in every task binary of every downstream
     # stage (measured: exec cpu 27 -> 16 s, see OPTIMIZATION_r12.md).
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=16, bands=2, salt=8
-    ).select("id_a", "id_b").coalesce(
-        max(spark.sparkContext.defaultParallelism, 1)
-    ).localCheckpoint()
+    pairs = materialize_leaf(
+        minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=16, bands=2, salt=8
+        ).select("id_a", "id_b")
+    )
     # overlap the two independent stacks (guide §2.6): each stack's
     # construction runs eager CC jobs (labels init, contraction,
     # bounded collects) whose stage tails leave most cores idle;
@@ -10907,11 +10907,9 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded-join lineage in every downstream task binary and pins
     # 128 salt-shard micro-partitions (the docs_group_split findings;
     # coalesce never increases a real scan's partition count).
-    pairs = minhash_lsh_pairs(
+    pairs = materialize_leaf(minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
-    ).coalesce(
-        max(spark.sparkContext.defaultParallelism, 1)
-    ).localCheckpoint()
+    ))
     return _group_cohesion_body(d, pairs)
 
 
@@ -12462,12 +12460,10 @@ def q_dedup_group_cohesion_capped(
     # verify joins; localCheckpoint + coalesce for the same lineage-
     # weight reasons as the exact form (the capped plan additionally
     # carries per-band hot-flag broadcast joins in its lineage)
-    pairs = minhash_lsh_pairs(
+    pairs = materialize_leaf(minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2,
         max_bucket=_LSH_MAX_BUCKET,
-    ).coalesce(
-        max(spark.sparkContext.defaultParallelism, 1)
-    ).localCheckpoint()
+    ))
     return _group_cohesion_body(d, pairs)
 
 

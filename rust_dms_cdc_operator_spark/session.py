@@ -123,24 +123,33 @@ def local_relation(spark, rows, schema):
 
 def materialize_leaf(df):
     """Materialize a heavy intermediate ONCE and hand consumers a leaf
-    (round 12, guide §5 localCheckpoint): coalesce the salt-shard /
-    per-band micro-partitions to defaultParallelism (coalesce never
-    increases a real scan's partition count) and cut the lineage.
-    For iterative consumers (CC, PageRank/LPA BSP rounds, k-core
-    sweeps) of an expensive pair plan this is the difference between
-    every round shipping the whole banded-LSH DAG in its task binary
-    + re-planning it per AQE stage, and reading a leaf RDD
-    (dedup_pagerank_capped measured: build 4.5-6.4 s → 0.7-0.8 s,
-    exec 2.4-3.0 → 1.3-1.4 s at sf0.1). Blocks are freed by the
-    harness-level :func:`release_persistent_rdds` sweep (or the
-    ContextCleaner once the frame is unreferenced). Do NOT call this
-    per-level inside a recursive operator — consecutive LogicalRDD
-    rewrites compound Catalyst's stats/constraint propagation
-    exponentially (see connected_components' e0 note)."""
+    (round 12, guide §5 localCheckpoint). For iterative consumers
+    (CC, PageRank/LPA BSP rounds, k-core sweeps) of an expensive pair
+    plan this is the difference between every round shipping the
+    whole banded-LSH DAG in its task binary + re-planning it per AQE
+    stage, and reading a leaf RDD (dedup_pagerank_capped measured:
+    build 4.5-6.4 s → 0.7-0.8 s, exec 2.4-3.0 → 1.3-1.4 s at sf0.1).
+
+    Checkpoints at the plan's NATURAL partitioning and coalesces the
+    LEAF afterwards — order matters: ``coalesce(cores)`` BELOW the
+    checkpoint squeezed the whole upstream band-join pipeline into
+    ``cores`` fat tasks, and at native sf1 (~200M pairs) the per-task
+    sort/aggregation state exhausted the execution pool
+    (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY in the driver
+    bench's scale section — dedup_pagerank). Coalescing ABOVE the
+    checkpoint is a narrow merge of already-materialized blocks:
+    materialization keeps every stage at its AQE-sized parallelism,
+    while consumers still read ~cores partitions instead of one per
+    salt shard (never increased: coalesce only shrinks). Blocks are
+    freed by the harness-level :func:`release_persistent_rdds` sweep
+    (or the ContextCleaner once the frame is unreferenced). Do NOT
+    call this per-level inside a recursive operator — consecutive
+    LogicalRDD rewrites compound Catalyst's stats/constraint
+    propagation exponentially (see connected_components' e0 note)."""
     spark = df.sparkSession
-    return df.coalesce(
+    return df.localCheckpoint().coalesce(
         max(spark.sparkContext.defaultParallelism, 1)
-    ).localCheckpoint()
+    )
 
 
 def release_persistent_rdds(spark) -> int:

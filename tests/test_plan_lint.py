@@ -209,16 +209,13 @@ def test_unpartitioned_window_allowlist_not_stale(plans):
 PERSIST_CALLER_OWNED = {
     # inventory: collect + lazy-return double consumers
     "inventory_tpch2.py:q_q11_important_stock": 1,   # per-part agg
-    "inventory_llm.py:q_dedup_group_cohesion": 1,    # uncapped pairs
     "inventory_llm.py:_group_cohesion_body": 1,      # CC labels, 3 uses
     "inventory_llm.py:q_dedup_lsh_verified": 1,      # pairs, 2 uses
     "inventory_llm.py:q_dedup_containment": 1,       # pairs, 2 uses
-    "inventory_llm.py:q_dedup_group_cohesion_capped": 1,  # capped pairs
     "inventory_llm.py:q_dedup_band_tuning": 2,       # tagged + verified
-    "inventory_llm.py:q_docs_group_split_incr": 1,   # pairs, 3 consumers
-    # round 12: the rebuild audit shares ONE pair stream across both
-    # stacks (full + incremental), 4+ consumers
-    "inventory_llm.py:q_docs_group_rebuild_migration": 1,
+    # (round 12: the group-split/cohesion/rebuild pair streams now go
+    # through session.materialize_leaf instead of in-function
+    # persist/localCheckpoint sites)
     "inventory_llm.py:q_dedup_semantic_pairs": 1,    # centroid-scored docs
     "inventory_llm.py:q_docs_rareterm_neighbors": 1, # rare-term postings
     "inventory_llm.py:_bm25_scored": 1,              # doc-length table
