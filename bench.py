@@ -44,20 +44,26 @@ def _jvm_cpu_secs(spark) -> float:
         return 0.0
 
 
-def _host_steal_secs() -> float:
+def _host_steal_secs() -> float | None:
     """Cumulative hypervisor CPU-steal seconds (field 8 of the
     aggregate /proc/stat line). Round-12 contention evidence: this
     sandbox runs on shared hardware and the host deschedules the
     whole VM in roving ~minute windows — a query whose wall doubled
     while BOTH its JVM cpu (queries_cpu) stayed flat AND its steal
     delta (queries_steal) jumped was preempted by the host, not
-    regressed by code. 0.0 off-Linux / bare metal."""
+    regressed by code. Round 13 (advisor note): returns ``None`` when
+    the counter is UNAVAILABLE (old kernels expose /proc/stat without
+    a steal column, or off-Linux) so consumers can tell "no signal"
+    from a measured 0.0 — a bare-metal run records nulls, not fake
+    zero contention."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
+        if len(parts) <= 8:
+            return None
         return int(parts[8]) / os.sysconf("SC_CLK_TCK")
     except Exception:
-        return 0.0
+        return None
 
 
 def _loadavg() -> list[float]:
@@ -118,7 +124,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         cpu_secs[name] = round(_jvm_cpu_secs(spark) - c0, 3)
-        steal_secs[name] = round(_host_steal_secs() - s0, 3)
+        s1 = _host_steal_secs()
+        steal_secs[name] = (
+            round(s1 - s0, 3) if s0 is not None and s1 is not None else None
+        )
         if name in STREAM_SETUP_SECS:
             stream_setup[name] = STREAM_SETUP_SECS.pop(name)
         # queries own their persist() lifetimes only within one run
@@ -508,15 +517,21 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
 
     timings: dict[str, float] = {}
     cpu: dict[str, float] = {}
+    steal: dict[str, float | None] = {}
     load0 = _loadavg()
     for name in SCALE_QUERIES:
         c0 = _jvm_cpu_secs(spark)
+        s0 = _host_steal_secs()
         t0 = time.time()
         QUERIES[name](spark, SF1_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
         timings[name] = round(time.time() - t0, 3)
         cpu[name] = round(_jvm_cpu_secs(spark) - c0, 3)
+        s1 = _host_steal_secs()
+        steal[name] = (
+            round(s1 - s0, 3) if s0 is not None and s1 is not None else None
+        )
         spark.catalog.clearCache()  # same per-query cache hygiene
         release_persistent_rdds(spark)
     ratios = {
@@ -538,8 +553,12 @@ def _sf1_section(spark, sf, sf_dir, sf01_timings) -> dict | None:
         # same contention-evidence channel as the sf0.1 section: the
         # heavy exact-mode walls vary ±35% run-to-run at sf1, and
         # wall-grew-while-cpu-flat is what separates environment noise
-        # from a plan regression
+        # from a plan regression. Round 13 (verdict item 8): the
+        # per-query steal deltas — the channel that diagnosed the r12
+        # regression — now cover the sf1 loop too (null = counter
+        # unavailable, not zero contention).
         "queries_cpu": cpu,
+        "queries_steal": steal,
         "load_before": load0,
         "load_after": _loadavg(),
         "scale_vs_sf0.1": ratios,

@@ -69,7 +69,11 @@ from rust_dms_cdc_operator_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
-from rust_dms_cdc_operator_spark.session import materialize_leaf, read_table
+from rust_dms_cdc_operator_spark.session import (
+    materialize_cache,
+    materialize_leaf,
+    read_table,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -124,6 +128,71 @@ STREAM_SETUP_SECS: dict[str, float] = {}
 
 def _stream_setup_done(name: str, t0: float) -> None:
     STREAM_SETUP_SECS[name] = round(time.time() - t0, 3)
+
+
+def _conf_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf string ('64MB', '256m', '1g')."""
+    t = s.strip().lower()
+    for suf, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if t.endswith(suf):
+            return int(float(t[: -len(suf)])) * mult
+    return int(float(t))
+
+
+class _stream_state_scope:
+    """DATA-DERIVED state-store partition count for one-shot
+    availableNow streams (round 13, r12 verdict item 3; guide §2.2
+    "fewer, larger reduce partitions"). AQE cannot re-plan stateful
+    streaming exchanges (it is disabled in stateful workloads), so
+    every stateful operator materializes ``spark.sql.shuffle
+    .partitions`` state-store instances PER OPERATOR — the
+    stream-stream join spins 4 stores × partitions (provider init,
+    commit, maintenance each) for one microbatch whose
+    batch-equivalent join costs 0.35 s. Inside this scope the
+    partition count derives from the SOURCE BYTES by exactly the
+    rule AQE applies to batch exchanges: ``ceil(input_bytes /
+    advisoryPartitionSizeInBytes)``, floored at 1, capped at the
+    session's configured shuffle parallelism. NOT a local[32] tune:
+    the advisory size is the session's own scale-independent knob,
+    the cap is the cluster-scaled setting (on a cluster whose source
+    is 100 TB the cap binds and nothing shrinks), and the rule is
+    the streaming stand-in for the adaptive coalescing streaming
+    plans cannot do. State-keyed results are placement-independent
+    (hash partitioning decides WHERE a key's state lives, never its
+    value), and each query here builds a FRESH checkpoint per run,
+    so the recorded state partition count never conflicts with a
+    prior run's."""
+
+    def __init__(self, spark: SparkSession, src_dir: str):
+        self.spark, self.src_dir = spark, src_dir
+
+    def __enter__(self):
+        conf = self.spark.conf
+        self.old = conf.get("spark.sql.shuffle.partitions")
+        try:
+            nbytes = sum(
+                os.path.getsize(os.path.join(self.src_dir, f))
+                for f in os.listdir(self.src_dir)
+            )
+        except OSError:
+            return self
+        advisory = _conf_bytes(
+            conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+            )
+        )
+        target = min(
+            int(self.old), max(1, -(-nbytes // advisory))
+        )
+        conf.set("spark.sql.shuffle.partitions", str(target))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1489,15 +1558,21 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("click_id", "purchase_id")
 
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ck_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # round 13 (verdict item 3): this query is 4 state stores × N
+    # shuffle partitions of streaming machinery for ONE availableNow
+    # batch — scope N to the source-derived value (see
+    # _stream_state_scope) so state-store count follows data volume,
+    # exactly what AQE would do to a batch exchange.
+    with _stream_state_scope(spark, src_dir):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select("click_id", "purchase_id")
 
 
@@ -1842,12 +1917,18 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    # round 12: iterative consumers read a materialized leaf instead
-    # of re-shipping/re-planning the banded-LSH DAG per round/pass
-    # (session.materialize_leaf; measured on the capped pagerank:
-    # build 4.5-6.4 -> 0.7-0.8 s)
+    # round 12 materialized a checkpoint leaf here; round 13: the
+    # UNCAPPED pair stream is corpus-quadratic (~200M rows at native
+    # sf1) and ANY checkpoint of it serializes every row through the
+    # block store — deserialized blocks OOMed the r12 local[32]
+    # bench, and DISK_ONLY measured 3x the cpu of an eager cache
+    # (sf1/32c A/B in materialize_leaf's docstring). The eager cache
+    # still halves the band-join evaluations for the symmetric
+    # adjacency build and kills the fan-out cold-cache race, without
+    # the serialization tax (pagerank sf1: 129 s ckpt / 48 s bare /
+    # 38 s cache).
     return pagerank_undirected(
-        materialize_leaf(pairs), iters=5, assume_distinct=True
+        materialize_cache(pairs), iters=5, assume_distinct=True
     )
 
 
@@ -4647,12 +4728,18 @@ def q_dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    # round 12: iterative consumers read a materialized leaf instead
-    # of re-shipping/re-planning the banded-LSH DAG per round/pass
-    # (session.materialize_leaf; measured on the capped pagerank:
-    # build 4.5-6.4 -> 0.7-0.8 s)
+    # round 12 materialized a checkpoint leaf here; round 13: the
+    # UNCAPPED pair stream is corpus-quadratic (~200M rows at native
+    # sf1) and ANY checkpoint of it serializes every row through the
+    # block store — deserialized blocks OOMed the r12 local[32]
+    # bench, and DISK_ONLY measured 3x the cpu of an eager cache
+    # (sf1/32c A/B in materialize_leaf's docstring). The eager cache
+    # still halves the band-join evaluations for the symmetric
+    # adjacency build and kills the fan-out cold-cache race, without
+    # the serialization tax (pagerank sf1: 129 s ckpt / 48 s bare /
+    # 38 s cache).
     return label_propagation(
-        materialize_leaf(pairs), iters=3, assume_distinct=True
+        materialize_cache(pairs), iters=3, assume_distinct=True
     )
 
 
@@ -8299,12 +8386,18 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=2)
-    # round 12: iterative consumers read a materialized leaf instead
-    # of re-shipping/re-planning the banded-LSH DAG per round/pass
-    # (session.materialize_leaf; measured on the capped pagerank:
-    # build 4.5-6.4 -> 0.7-0.8 s)
+    # round 12 materialized a checkpoint leaf here; round 13: the
+    # UNCAPPED pair stream is corpus-quadratic (~200M rows at native
+    # sf1) and ANY checkpoint of it serializes every row through the
+    # block store — deserialized blocks OOMed the r12 local[32]
+    # bench, and DISK_ONLY measured 3x the cpu of an eager cache
+    # (sf1/32c A/B in materialize_leaf's docstring). The eager cache
+    # still halves the band-join evaluations for the symmetric
+    # adjacency build and kills the fan-out cold-cache race, without
+    # the serialization tax (pagerank sf1: 129 s ckpt / 48 s bare /
+    # 38 s cache).
     return kcore_membership(
-        materialize_leaf(pairs), k=2, rounds=4, assume_distinct=True
+        materialize_cache(pairs), k=2, rounds=4, assume_distinct=True
     )
 
 
@@ -9713,6 +9806,52 @@ ORACLE_SQL_LLM["docs_group_split"] = f"""
 QUERIES_LLM["docs_group_split"] = q_docs_group_split
 
 
+_OVERLAP_SEQ = [0]  # monotone job-group ids for _overlap2
+
+
+def _overlap2(spark, thunk_a, thunk_b):
+    """Run two INDEPENDENT eager pipelines on driver threads (guide
+    §2.6 back-fill) with failure containment (round 13, advisor
+    note): each stack runs under its own thread-local job group with
+    interrupt-on-cancel; if either stack raises — or the submitting
+    thread is interrupted while futures are live — the sibling's
+    Spark jobs are cancelled before the exception propagates, so no
+    job runs detached and the with-block never waits out a doomed
+    full CC run. Returns (result_a, result_b); results are identical
+    to sequential execution by construction (both thunks build
+    independent plans over already-materialized inputs)."""
+    _OVERLAP_SEQ[0] += 1
+    tag = f"overlap-{_OVERLAP_SEQ[0]}"
+    sc = spark.sparkContext
+
+    def run(i, thunk):
+        # job groups are thread-local (pinned-thread mode), so each
+        # stack is cancellable independently
+        sc.setJobGroup(f"{tag}-{i}", f"overlapped stack {i}", True)
+        try:
+            return thunk()
+        finally:
+            # clear the thread-local group so a pooled thread reused
+            # by a later caller doesn't inherit a cancellable tag
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(run, 0, thunk_a)
+        fb = pool.submit(run, 1, thunk_b)
+        try:
+            return fa.result(), fb.result()
+        except BaseException:
+            for f in (fa, fb):
+                f.cancel()
+            for i in (0, 1):
+                try:
+                    sc.cancelJobGroup(f"{tag}-{i}")
+                except Exception:
+                    pass
+            raise
+
+
 def q_docs_group_split_incr(
     spark: SparkSession, sf_dir: str, _pairs: DataFrame | None = None
 ) -> DataFrame:
@@ -9749,18 +9888,17 @@ def q_docs_group_split_incr(
     )
 
     d = _t(spark, sf_dir, "documents")
-    # localCheckpoint, not persist (round 12, guide §5): the uncapped
-    # pair stream feeds three filtered consumers (prior CC, batch CC,
-    # anchor extraction), and a persisted stream KEEPS the banded-LSH
-    # lineage — every downstream stage then ships a ~2 MiB task
-    # binary (the whole salted band-join DAG) per task. The lineage
-    # cut materializes the same rows once and every consumer reads a
-    # leaf RDD; salt=8 spreads hot-bucket pair emission exactly as in
-    # docs_group_split, and the coalesce to defaultParallelism merges
-    # the salt-shard micro-partitions (never increases a real scan's
-    # partition count). ``_pairs``: the rebuild-migration audit passes
-    # ONE already-materialized stream shared with the full stack.
-    pairs = _pairs if _pairs is not None else materialize_leaf(
+    # the uncapped pair stream feeds three filtered consumers (prior
+    # CC, batch CC, anchor extraction) — materialize it ONCE. Round
+    # 13: eager cache, not checkpoint — the r12 lineage cut
+    # serialized the corpus-quadratic stream through the block store
+    # and OOMed the local[32] bench at sf1 (see materialize_leaf /
+    # materialize_cache docstrings for the A/B). The kept-lineage
+    # cost (the banded-LSH DAG in task binaries) is driver/codegen
+    # latency, not per-row cpu. ``_pairs``: the rebuild-migration
+    # audit passes ONE already-materialized stream shared with the
+    # full stack.
+    pairs = _pairs if _pairs is not None else materialize_cache(
         minhash_lsh_pairs(
             d, "doc_id", "text", num_hashes=16, bands=2, salt=8
         ).select("id_a", "id_b")
@@ -9771,12 +9909,11 @@ def q_docs_group_split_incr(
     # eager pipelines over the same materialized leaf — overlap them
     # (guide §2.6); ``_comp`` hands the batch CC's result to
     # incremental_groups, which would otherwise recompute it.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_prior = pool.submit(
-            dedup_groups, pairs.filter(~a_new & ~b_new)
-        )
-        f_batch = pool.submit(dedup_groups, pairs.filter(a_new & b_new))
-        prior_groups, batch_comp = f_prior.result(), f_batch.result()
+    prior_groups, batch_comp = _overlap2(
+        spark,
+        lambda: dedup_groups(pairs.filter(~a_new & ~b_new)),
+        lambda: dedup_groups(pairs.filter(a_new & b_new)),
+    )
     prior_assign = (
         d.filter(F.col("doc_id") % 4 != 0)
         .select("doc_id")
@@ -9896,12 +10033,13 @@ def q_docs_group_rebuild_migration(spark: SparkSession, sf_dir: str) -> DataFram
     # ONE materialized pair stream feeds BOTH stacks (round 12: the
     # audit's only corpus-quadratic cost is the banded stream; running
     # it twice doubled the round's top bench wall for no information).
-    # localCheckpoint, not persist (guide §5): with five consumers
-    # across the two stacks, a lineage-preserving cache shipped the
-    # ~2 MiB banded-LSH DAG in every task binary of every downstream
-    # stage (measured: exec cpu 27 -> 16 s, see OPTIMIZATION_r12.md).
+    # Round 13: eager cache, not checkpoint — serializing the
+    # corpus-quadratic stream through the block store is what OOMed
+    # the r12 local[32] bench at sf1 (A/B in materialize_leaf's
+    # docstring); the kept-lineage DAG in task binaries is driver
+    # latency, not per-row cpu.
     d = _t(spark, sf_dir, "documents")
-    pairs = materialize_leaf(
+    pairs = materialize_cache(
         minhash_lsh_pairs(
             d, "doc_id", "text", num_hashes=16, bands=2, salt=8
         ).select("id_a", "id_b")
@@ -9914,10 +10052,12 @@ def q_docs_group_rebuild_migration(spark: SparkSession, sf_dir: str) -> DataFram
     # already-materialized leaf, so there is no cold-cache race, and
     # each builds an independent plan — results are identical to the
     # sequential construction by construction.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_old = pool.submit(q_docs_group_split_incr, spark, sf_dir, pairs)
-        f_new = pool.submit(q_docs_group_split, spark, sf_dir, pairs)
-        return group_rebuild_migration(f_old.result(), f_new.result())
+    old_r, new_r = _overlap2(
+        spark,
+        lambda: q_docs_group_split_incr(spark, sf_dir, pairs),
+        lambda: q_docs_group_split(spark, sf_dir, pairs),
+    )
+    return group_rebuild_migration(old_r, new_r)
 
 
 ORACLE_SQL_LLM["docs_group_rebuild_migration"] = f"""
@@ -10902,12 +11042,11 @@ def q_dedup_group_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # the pair stream feeds the CC iteration AND the exact-verify
     # joins — materialize it once or every consumer re-runs the
-    # banded LSH self-join. localCheckpoint + coalesce, not persist
-    # (round 12, guide §5): a persisted salted stream keeps the
-    # banded-join lineage in every downstream task binary and pins
-    # 128 salt-shard micro-partitions (the docs_group_split findings;
-    # coalesce never increases a real scan's partition count).
-    pairs = materialize_leaf(minhash_lsh_pairs(
+    # banded LSH self-join. Round 13: eager cache, not checkpoint —
+    # the r12 lineage cut serialized the corpus-quadratic stream
+    # through the block store and OOMed the local[32] bench at sf1
+    # (A/B in materialize_leaf's docstring).
+    pairs = materialize_cache(minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=16, bands=2, salt=8
     ))
     return _group_cohesion_body(d, pairs)

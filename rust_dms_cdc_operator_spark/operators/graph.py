@@ -39,6 +39,28 @@ DRIVER_UF_THRESHOLD = 200_000
 LABEL_BROADCAST_ROWS = 4_000_000
 
 
+def _all_leaves_materialized(df: DataFrame) -> bool:
+    """True iff every leaf of ``df``'s logical plan is an
+    already-materialized RDD (``LogicalRDD`` — what
+    ``session.materialize_leaf`` / ``localCheckpoint`` produce) or an
+    Arrow/list local relation. Used to gate narrow coalesces that are
+    safe over finished blocks but hazardous under a live shuffle
+    pipeline (see connected_components' e0 note). Conservative on any
+    py4j surprise: returns False (skip the coalesce)."""
+    try:
+        leaves = df._jdf.queryExecution().logical().collectLeaves()
+        n = leaves.size()
+        if n == 0:
+            return False
+        for i in range(n):
+            name = leaves.apply(i).getClass().getName()
+            if not name.endswith(("LogicalRDD", "LocalRelation")):
+                return False
+        return True
+    except Exception:  # pragma: no cover — py4j defensive
+        return False
+
+
 def _make_ckpt(
     spark: SparkSession, checkpoint_dir: str | None
 ) -> Callable[[DataFrame], DataFrame]:
@@ -99,12 +121,27 @@ def connected_components(
     # plan in cut its lineage ONCE at their own depth-1 site instead
     # (see q_docs_group_split_incr), which keeps e0's task binary
     # small without a per-level checkpoint.
+    #
+    # Round 13 (advisor note): the coalesce is GATED on the input
+    # already being a materialized leaf. Below the gate it was a
+    # scale hazard for callers that feed the LIVE banded-join plan
+    # (q_dedup_groups, q_docs_canonical_by_quality): coalesce under
+    # persist squeezes the whole post-shuffle band-join output stage
+    # into ~cores fat tasks — the exact per-task memory-exhaustion
+    # mode materialize_leaf documents at native sf1 — and can
+    # re-concentrate salt-spread hot-bucket shards into one task. A
+    # leaf input's blocks are already materialized (the coalesce is
+    # a narrow merge of finished blocks, the safe case the round-12
+    # win measured); a live plan instead materializes at its
+    # AQE-sized parallelism, and the cached-plan output coalescing
+    # conf (session.py) handles its partition sizing scale-adaptively.
     ckpt = _make_ckpt(edges.sparkSession, checkpoint_dir)
-    e0 = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .coalesce(max(edges.sparkSession.sparkContext.defaultParallelism, 1))
-        .persist()
-    )
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if _all_leaves_materialized(edges):
+        e0 = e0.coalesce(
+            max(edges.sparkSession.sparkContext.defaultParallelism, 1)
+        )
+    e0 = e0.persist()
     try:
         # FAST PATH: if the RAW edge list already fits the same
         # bounded driver collect the contracted path is allowed (≤

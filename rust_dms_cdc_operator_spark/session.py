@@ -105,9 +105,19 @@ def local_relation(spark, rows, schema):
     (e.g. ``coalesce(1)``) reads them in one task (measured: a
     4096-row write cost 5-7 s through the list form, 0.3 s through
     Arrow). The pandas/Arrow form lands as an Arrow-backed local
-    relation evaluated entirely JVM-side. Rows must be
-    fully-materialized tuples/Rows with no nulls in integer columns
-    (pandas would coerce those to float)."""
+    relation evaluated entirely JVM-side.
+
+    Integer columns are built as pandas NULLABLE integer arrays
+    (round 13, advisor note): a bare ``pd.DataFrame`` silently
+    coerces an int column containing ``None`` to float64 (7 → 7.0,
+    and the Arrow cast back to long can raise or null) — with the
+    masked dtype, nulls stay nulls and values stay exact int64 for
+    any caller, not just the current null-free ones.
+
+    Private-API note: the string-schema convenience rides
+    ``T._parse_datatype_string``, pinned to the vendored pyspark
+    (4.1.x); callers that must outlive a pyspark upgrade can pass a
+    ``StructType`` directly."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
 
@@ -115,20 +125,61 @@ def local_relation(spark, rows, schema):
         schema = T._parse_datatype_string(schema)
     if not rows:
         return spark.createDataFrame([], schema)
-    pdf = pd.DataFrame(
-        [tuple(r) for r in rows], columns=[f.name for f in schema.fields]
-    )
+    _pd_int = {
+        T.ByteType: "Int8",
+        T.ShortType: "Int16",
+        T.IntegerType: "Int32",
+        T.LongType: "Int64",
+    }
+    tuples = [tuple(r) for r in rows]
+    data = {}
+    for i, f in enumerate(schema.fields):
+        vals = [t[i] for t in tuples]
+        dt = _pd_int.get(type(f.dataType))
+        data[f.name] = pd.array(vals, dtype=dt) if dt else vals
+    pdf = pd.DataFrame(data, columns=[f.name for f in schema.fields])
     return spark.createDataFrame(pdf, schema)
 
 
-def materialize_leaf(df):
-    """Materialize a heavy intermediate ONCE and hand consumers a leaf
-    (round 12, guide §5 localCheckpoint). For iterative consumers
-    (CC, PageRank/LPA BSP rounds, k-core sweeps) of an expensive pair
-    plan this is the difference between every round shipping the
-    whole banded-LSH DAG in its task binary + re-planning it per AQE
-    stage, and reading a leaf RDD (dedup_pagerank_capped measured:
-    build 4.5-6.4 s → 0.7-0.8 s, exec 2.4-3.0 → 1.3-1.4 s at sf0.1).
+#: Live leaf blocks created by :func:`materialize_leaf` — the py4j
+#: RDD handles backing each localCheckpoint, in creation order. A
+#: long-lived session releases them with :func:`release_leaves` after
+#: the consuming action finishes (round 13, r12 verdict item 6: leaf
+#: lifetimes must not depend on a bench-only sweep).
+_LIVE_LEAVES: list = []
+
+
+def materialize_leaf(df, bounded: bool = True):
+    """Materialize a heavy BOUNDED intermediate ONCE and hand
+    consumers a leaf (round 12, guide §5 localCheckpoint). For
+    iterative consumers (CC, PageRank/LPA BSP rounds, k-core sweeps)
+    of an expensive pair plan this is the difference between every
+    round shipping the whole banded-LSH DAG in its task binary +
+    re-planning it per AQE stage, and reading a leaf RDD
+    (dedup_pagerank_capped measured: build 4.5-6.4 s → 0.7-0.8 s,
+    exec 2.4-3.0 → 1.3-1.4 s at sf0.1).
+
+    BOUNDED STREAMS ONLY (round 13, the r12 regression): the stream's
+    row count must be bounded by construction (hot-bucket caps, probe
+    caps — a few hundred MB at any corpus size). An UNBOUNDED stream
+    (the uncapped banded pair stream grows with quadratic bucket
+    occupancy — ~200M rows at native sf1) must use
+    :func:`materialize_cache` instead: the checkpoint's block
+    materialization is what killed round 12 — deserialized blocks
+    OOMed the local[32] driver bench (32 concurrent block builders ×
+    ~250 MB > the 8 GB heap, ``java.lang.OutOfMemoryError`` inside
+    ``Dataset.localCheckpoint``, BENCH_r12.json) and GC-thrashed the
+    8-core run (exact-family sf1 cpu +68..+166%) — and the
+    disk-backed repair was measured WORSE than no cut at all:
+    ``localCheckpoint(storageLevel=DISK_ONLY)`` pushes every row
+    through the block-store serializer, and at native sf1 the
+    serialize+reread tax dwarfs what the lineage cut saves
+    (dedup_pagerank 2326 cpu-s DISK_ONLY vs 788 with a plain eager
+    cache vs 785 with no materialization at all; wall 129/38/48 s —
+    measured this round, 32 cores). ``bounded`` stays as the explicit
+    declaration at the call site; passing ``False`` raises rather
+    than silently picking a storage level, so the next unbounded
+    caller is routed to the cache form at author time.
 
     Checkpoints at the plan's NATURAL partitioning and coalesces the
     LEAF afterwards — order matters: ``coalesce(cores)`` BELOW the
@@ -141,15 +192,79 @@ def materialize_leaf(df):
     materialization keeps every stage at its AQE-sized parallelism,
     while consumers still read ~cores partitions instead of one per
     salt shard (never increased: coalesce only shrinks). Blocks are
-    freed by the harness-level :func:`release_persistent_rdds` sweep
-    (or the ContextCleaner once the frame is unreferenced). Do NOT
-    call this per-level inside a recursive operator — consecutive
-    LogicalRDD rewrites compound Catalyst's stats/constraint
-    propagation exponentially (see connected_components' e0 note)."""
+    tracked in ``_LIVE_LEAVES``; callers that own the action free
+    them with :func:`release_leaves` once the action returns (the
+    ContextCleaner remains the GC fallback). Do NOT call this
+    per-level inside a recursive operator — consecutive LogicalRDD
+    rewrites compound Catalyst's stats/constraint propagation
+    exponentially (see connected_components' e0 note)."""
+    if not bounded:
+        raise ValueError(
+            "materialize_leaf is for bounded streams; unbounded "
+            "streams must use materialize_cache (the checkpoint "
+            "block serialization is the r12 sf1 regression)"
+        )
     spark = df.sparkSession
-    return df.localCheckpoint().coalesce(
-        max(spark.sparkContext.defaultParallelism, 1)
-    )
+    ck = df.localCheckpoint(eager=True)
+    try:
+        plan = ck._jdf.queryExecution().logical()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            _LIVE_LEAVES.append(plan.rdd())
+    except Exception:  # pragma: no cover — ContextCleaner fallback
+        pass
+    return ck.coalesce(max(spark.sparkContext.defaultParallelism, 1))
+
+
+def materialize_cache(df):
+    """Materialize a heavy UNBOUNDED intermediate ONCE for fan-out
+    consumers — eager ``persist()`` + count, lineage KEPT (round 13,
+    r12 verdict items 1-2). This is the unbounded-stream counterpart
+    of :func:`materialize_leaf`: the eager count materializes the
+    cache BEFORE consumers fan out, killing the AQE concurrent
+    cold-cache race (each broadcast-build future otherwise recomputes
+    the shared partitions — the round-12 `keyed.count()` finding),
+    and for a union-of-two-selects consumer (every symmetric
+    adjacency build) it halves the band-join evaluations exactly like
+    a checkpoint would (measured at native sf1, 32 cores:
+    dedup_pagerank wall 48 → 38 s vs no materialization). Unlike a
+    checkpoint it never serializes rows through the block store —
+    blocks stay deserialized MEMORY_AND_DISK, LRU-evictable, and
+    recomputable through the kept lineage, so storage pressure
+    degrades to recomputation instead of an OOM (the 400M-row
+    adjacency caches have run this way since round 10). The cost kept
+    by NOT cutting lineage: consumers ship the upstream DAG in their
+    task binaries (~2 MiB for the banded-LSH plan) and replanning
+    stays O(plan); that is driver/codegen latency visible at sf0.1
+    (fractions of a second), while the checkpoint alternative costs
+    row-serialization cpu proportional to the STREAM (2326 vs 788
+    cpu-s at sf1 — see materialize_leaf's docstring). Ownership
+    follows the caller-owned cache contract (module docstring of
+    inventory_llm): bounded harnesses sweep with ``clearCache()``."""
+    d = df.persist()
+    d.count()
+    return d
+
+
+def release_leaves() -> int:
+    """Free every leaf block set created by :func:`materialize_leaf`
+    since the last call (round 13, r12 verdict item 6). The precise
+    production-side release: a caller that materialized a query
+    through its action calls ``clearCache()`` for the operator-owned
+    persists and ``release_leaves()`` for the checkpoint blocks —
+    nothing else in the session is touched, so concurrent queries'
+    state (streaming state stores, other sessions' caches) survives.
+    Only call between queries: a truncated lineage cannot recompute,
+    so a frame still holding a released leaf must not be re-executed.
+    Returns the number of leaf RDDs released."""
+    n = 0
+    while _LIVE_LEAVES:
+        jrdd = _LIVE_LEAVES.pop()
+        try:
+            jrdd.unpersist(False)
+            n += 1
+        except Exception:  # pragma: no cover — already cleaned
+            pass
+    return n
 
 
 def release_persistent_rdds(spark) -> int:
@@ -163,12 +278,25 @@ def release_persistent_rdds(spark) -> int:
     a +58 s regression window across the mid-inventory until GC
     caught up). Returns the number of RDDs released. Never call this
     while a query that still references a checkpointed frame is
-    in flight — truncated lineage cannot recompute."""
+    in flight — truncated lineage cannot recompute. Round 13 (advisor
+    note): refuses to sweep while streaming queries are active — an
+    in-flight stream's state or checkpointed frames would be
+    unrecoverable. Prefer :func:`release_leaves` + ``clearCache()``
+    outside bench-style harnesses; this whole-session sweep stays for
+    harnesses that rebuild every frame per repetition."""
+    if spark.streams.active:
+        raise RuntimeError(
+            "release_persistent_rdds: active streaming queries hold "
+            "state that this sweep would corrupt; stop them first or "
+            "use release_leaves()"
+        )
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for jrdd in list(jmap.values()):  # py4j JavaMap view
         jrdd.unpersist(False)
         n += 1
+    # the swept set covers every live leaf; drop the stale handles
+    _LIVE_LEAVES.clear()
     return n
 
 

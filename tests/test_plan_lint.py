@@ -220,11 +220,15 @@ PERSIST_CALLER_OWNED = {
     "inventory_llm.py:q_docs_rareterm_neighbors": 1, # rare-term postings
     "inventory_llm.py:_bm25_scored": 1,              # doc-length table
     # round 12: the shared lineage-cut helper — materializes a heavy
-    # intermediate once (localCheckpoint) and returns the leaf; blocks
-    # are swept by the harness-level release_persistent_rdds (bench /
-    # profile / check_oracle) or freed by the ContextCleaner when the
-    # frame is dropped
+    # BOUNDED intermediate once (localCheckpoint) and returns the
+    # leaf; round 13: blocks are tracked in session._LIVE_LEAVES and
+    # released by session.release_leaves() (harness sweeps and the
+    # ContextCleaner remain fallbacks)
     "session.py:materialize_leaf": 1,
+    # round 13: the UNBOUNDED counterpart — eager persist, lineage
+    # kept (LRU-evictable/recomputable, so no block-store OOM);
+    # caller-owned per the module clearCache contract
+    "session.py:materialize_cache": 1,
     # operator library: returned plan is lazy over the cache
     "operators/dedup.py:minhash_lsh_pairs": 1,       # signature table
     "operators/dedup.py:minhash_knn_topk": 1,        # signature table
