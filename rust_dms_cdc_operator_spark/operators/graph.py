@@ -717,8 +717,23 @@ def label_propagation(
     # edge-sized join for round 1; coverage is identical because every
     # node appears as dst of the symmetric adjacency. Saves one full
     # adjacency scan + one edge join per run (~15% of the sf1 wall).
-    labels = _argmax(
-        adj.select(F.col("dst").alias("v"), F.col("src").alias("label"))
+    #
+    # ROUND 1 DEGENERATE ARGMAX (round 13, guide §1.2 "the
+    # distributed algorithm" + §2.3 aggregate-before-shuffle): in
+    # round 1 every vote a node receives is DISTINCT (its neighbors'
+    # ids — the edge list is distinct pairs), so every label has
+    # count 1 and the most-frequent-then-smallest rule collapses to
+    # plain min(neighbor id). The generic argmax paid the worst-case
+    # round for nothing: with all-distinct votes the per-(v, label)
+    # count reduces NOTHING map-side, ships the full edge-sized
+    # stream, and the struct-max (not hash-aggregable — struct agg
+    # buffers are not mutable) SORTS it twice in SortAggregates.
+    # min() is a plain hash aggregate with effective partial
+    # reduction (node-sized after the map side). Identical labels by
+    # the vote rule itself; the unrolled SQL oracle — which keeps the
+    # full argmax for round 1 — hash-matches (checked this round).
+    labels = adj.groupBy(F.col("dst").alias("v")).agg(
+        F.min("src").alias("label")
     )
     for _ in range(iters - 1):
         labels = _argmax(
