@@ -339,6 +339,12 @@ SCALE_QUERIES = [
     "docs_backoff_crossppl",
     "docs_group_split",
     "docs_group_split_incr",
+    # round 13 (addition-only): the rebuild-acceptance audit was
+    # already in EXACT_REQUIRED but never ran in this loop, so its
+    # categorization was a no-op; it rides both uncapped stacks and
+    # is exactly the shape whose 10x behavior the r12 OOM hid
+    # (measured this round: 41 s / 618 cpu-s at native sf1, 32c)
+    "docs_group_rebuild_migration",
     "dedup_incremental_pairs",
     # round-12: the CAPPED probe path + its census — the per-ingest
     # deployment pair whose boundedness the cap now enforces in code
