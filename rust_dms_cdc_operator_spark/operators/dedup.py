@@ -1146,6 +1146,16 @@ def jaccard_verify_pairs(
         pb = sizes.select(
             F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
         )
+        # round 13 (guide §2.4 remove shuffles outright): KEEP the
+        # sizes the prepass already attached — the tokens branch
+        # below needs exactly these two columns, and re-joining the
+        # per-doc size table onto the surviving pair stream paid two
+        # more pair-sized joins for values already in hand (at corpus
+        # scale the size table outgrows the broadcast threshold and
+        # each re-join is a full pair-stream shuffle). Values are
+        # identical by construction (same `s`), so results are
+        # unchanged; the two narrow longs per sampled row are the
+        # only extra bytes the budget-sample persist pays.
         pairs = (
             pairs.join(pa, "id_a")
             .join(pb, "id_b")
@@ -1153,7 +1163,12 @@ def jaccard_verify_pairs(
                 F.least("sz_a", "sz_b")
                 >= F.greatest("sz_a", "sz_b") * F.lit(min_jaccard)
             )
-            .select("id_a", "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.col("sz_a").cast("long").alias("_sz_a"),
+                F.col("sz_b").cast("long").alias("_sz_b"),
+            )
         )
     if max_candidates is not None:
         pairs = candidate_budget_sample(pairs, max_candidates)
@@ -1161,21 +1176,26 @@ def jaccard_verify_pairs(
         # shared-token intersection counts (see _pair_inter_counts):
         # pairs + sizes are the only pair-stream-shaped shuffles, all
         # narrow; identical rows to the array path by distinctness
-        sz = s.select(F.col(id_col), F.size("sh").cast("long").alias("_sz"))
         inter_c = F.coalesce(F.col("_inter"), F.lit(0)).cast("long")
-        out = (
-            _attach_inter_counts(pairs, s, id_col)
-            .join(sz.select(F.col(id_col).alias("id_a"),
-                            F.col("_sz").alias("_sz_a")), "id_a")
-            .join(sz.select(F.col(id_col).alias("id_b"),
-                            F.col("_sz").alias("_sz_b")), "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                inter_c.alias("inter_size"),
-                (F.col("_sz_a") + F.col("_sz_b") - inter_c)
-                .cast("long").alias("union_size"),
+        withsz = _attach_inter_counts(pairs, s, id_col)
+        if min_jaccard is None:
+            # sizes not attached by a prepass — join them once here
+            sz = s.select(
+                F.col(id_col), F.size("sh").cast("long").alias("_sz")
             )
+            withsz = withsz.join(
+                sz.select(F.col(id_col).alias("id_a"),
+                          F.col("_sz").alias("_sz_a")), "id_a"
+            ).join(
+                sz.select(F.col(id_col).alias("id_b"),
+                          F.col("_sz").alias("_sz_b")), "id_b"
+            )
+        out = withsz.select(
+            "id_a",
+            "id_b",
+            inter_c.alias("inter_size"),
+            (F.col("_sz_a") + F.col("_sz_b") - inter_c)
+            .cast("long").alias("union_size"),
         )
     else:
         a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
