@@ -1338,21 +1338,86 @@ def containment_verify_pairs(
     if strategy == "tokens":
         # shared-token intersection counts (see _pair_inter_counts)
         sz = s.select(F.col(id_col), F.size("sh").cast("long").alias("_sz"))
-        out = (
-            _attach_inter_counts(pairs, s, id_col)
-            .join(sz.select(F.col(id_col).alias("id_a"),
-                            F.col("_sz").alias("_sz_a")), "id_a")
-            .join(sz.select(F.col(id_col).alias("id_b"),
-                            F.col("_sz").alias("_sz_b")), "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.coalesce(F.col("_inter"), F.lit(0)).cast("long")
-                .alias("inter_size"),
-                F.col("_sz_a").alias("size_a"),
-                F.col("_sz_b").alias("size_b"),
+        sza = sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"))
+        szb = sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"))
+        if min_containment > 0:
+            # round 13 (guide §2.3 decide on small rows, attach late):
+            # with a positive threshold, a pair ABSENT from the
+            # inter-count table (zero shared tokens) can only pass
+            # inter >= min(size)*t when one side has ZERO shingles —
+            # so the size attach does not need to touch the full
+            # candidate stream. Join inter-counts INNER (the matched
+            # stream is intra-cluster-bounded, orders of magnitude
+            # smaller than the candidates), attach sizes to THAT, and
+            # recover the zero-shingle pairs through two semi/anti
+            # probes against the (usually empty) zero-size id set.
+            # The former LEFT + two candidate-sized size joins paid
+            # two full pair-stream passes for values only the matched
+            # rows ever keep. Row set and multiplicity identical: the
+            # anti/semi split is disjoint by construction and every
+            # unmatched nonzero-size pair fails the threshold filter
+            # below in both shapes.
+            ic = _pair_inter_counts(pairs, s, id_col)
+            matched = (
+                pairs.withColumn("_na", F.least("id_a", "id_b"))
+                .withColumn("_nb", F.greatest("id_a", "id_b"))
+                .join(
+                    ic.select(
+                        F.col("id_a").alias("_na"),
+                        F.col("id_b").alias("_nb"),
+                        "_inter",
+                    ),
+                    ["_na", "_nb"],
+                )
+                .drop("_na", "_nb")
+                .join(sza, "id_a")
+                .join(szb, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.col("_inter").cast("long").alias("inter_size"),
+                    F.col("_sz_a").alias("size_a"),
+                    F.col("_sz_b").alias("size_b"),
+                )
             )
-        )
+            zs = sz.filter(F.col("_sz") == 0).select(id_col)
+            za = pairs.join(
+                zs.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+            )
+            zb = pairs.join(
+                zs.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
+            ).join(
+                zs.select(F.col(id_col).alias("id_b")), "id_b", "left_semi"
+            )
+            zout = (
+                za.unionByName(zb)
+                .join(sza, "id_a")
+                .join(szb, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.lit(0).cast("long").alias("inter_size"),
+                    F.col("_sz_a").alias("size_a"),
+                    F.col("_sz_b").alias("size_b"),
+                )
+            )
+            out = matched.unionByName(zout)
+        else:
+            # threshold 0: EVERY candidate passes, so all of them
+            # need sizes — the LEFT shape is the only correct one
+            out = (
+                _attach_inter_counts(pairs, s, id_col)
+                .join(sza, "id_a")
+                .join(szb, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.coalesce(F.col("_inter"), F.lit(0)).cast("long")
+                    .alias("inter_size"),
+                    F.col("_sz_a").alias("size_a"),
+                    F.col("_sz_b").alias("size_b"),
+                )
+            )
     else:
         a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

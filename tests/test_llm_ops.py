@@ -831,6 +831,58 @@ def test_verify_tokens_strategy_matches_arrays(spark, docs):
         assert ca == ct, hashed
 
 
+def test_containment_tokens_inner_restructure_edges(spark):
+    """Round 13: with a positive threshold the tokens strategy joins
+    inter-counts INNER and attaches sizes to the (cluster-bounded)
+    matched stream instead of the full candidate stream, plus a
+    zero-shingle-correction union. shingle_set is empty-safe (a text
+    with fewer than n words shingles to the whole text), so sizes are
+    >= 1 by construction, every zero-overlap pair fails
+    inter >= min(size)*t, and the correction branch is provably empty
+    — this test pins exactly those semantics on the shortest/empty
+    texts the public surface can produce, against the arrays
+    reference, including the pair orientation the normalization
+    handles (id_a > id_b)."""
+    from rust_dms_cdc_operator_spark.operators.dedup import (
+        containment_verify_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),   # whole-text shingle (1 word < n)
+            (2, "abcdefghij"),   # identical to 1 -> containment 1.0
+            (3, ""),             # empty text -> [""] (size 1, not 0)
+            (4, "xy"),           # short text -> ["xy"]
+            (5, "zzz"),          # one shingle, shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        # (1,2): duplicate, must pass; all others share zero tokens
+        # and sizes >= 1, so every one must be DROPPED at t=0.9 —
+        # (5,4) is deliberately reversed to exercise normalization
+        [(1, 2), (1, 3), (3, 4), (2, 5), (5, 4)],
+        "id_a long, id_b long",
+    )
+    for hashed in (False, True):
+        ca = sorted(
+            tuple(r) for r in containment_verify_pairs(
+                pairs, docs, min_containment=0.9, hash_shingles=hashed
+            ).collect()
+        )
+        ct = sorted(
+            tuple(r) for r in containment_verify_pairs(
+                pairs, docs, min_containment=0.9, hash_shingles=hashed,
+                strategy="tokens",
+            ).collect()
+        )
+        assert ca == ct, hashed
+        kept = {(r[0], r[1]) for r in ct}
+        assert kept == {(1, 2)}, kept
+        sizes = {(r[0], r[1]): (r[3], r[4]) for r in ct}
+        assert sizes[(1, 2)][0] >= 1 and sizes[(1, 2)][1] >= 1
+
+
 def _golden_wav(channels=2, rate=11025, n_samples=123, junk_chunk=True):
     """Hand-built RIFF/WAVE bytes, ground truth for the parser."""
     import struct
